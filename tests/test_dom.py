@@ -1,0 +1,76 @@
+"""DOM tokenizer/tree tests (kernel/dom.py) — the htmlPreTreat surface
+(F4, tableExtractor.py:519-537)."""
+
+from webtableextractionsystem_spark.kernel.dom import parse_html, pre_treat
+
+
+def test_basic_tree():
+    root = parse_html("<div><p>a</p><p>b<span>c</span></p></div>")
+    div = root.find("div")
+    assert [n.name for n in div.element_children] == ["p", "p"]
+    assert div.text == "abc"
+
+
+def test_pre_treat_strips_boilerplate():
+    html = (
+        "<!-- c -->\n<script>bad()</script><style>.x{}</style>"
+        "<article>art</article><code>cd</code><div>keep\tme</div>"
+    )
+    root = pre_treat(html)
+    assert root.find("script") is None
+    assert root.find("style") is None
+    assert root.find("article") is None
+    assert root.find("code") is None
+    assert root.text == "keepme"  # \t removed literally, comment dropped
+
+
+def test_implied_close_table_cells():
+    # unclosed td/tr get closed by the next td/tr (browser semantics)
+    root = parse_html("<table><tr><td>a<td>b<tr><td>c</table>")
+    trs = root.find_all("tr")
+    assert len(trs) == 2
+    assert [td.text for td in trs[0].find_all("td")] == ["a", "b"]
+    assert [td.text for td in trs[1].find_all("td")] == ["c"]
+
+
+def test_implied_close_dl_li():
+    root = parse_html("<dl><dt>k<dd>v</dl><ul><li>1<li>2</ul>")
+    assert [n.text for n in root.find_all("dt")] == ["k"]
+    assert [n.text for n in root.find_all("dd")] == ["v"]
+    assert [n.text for n in root.find_all("li")] == ["1", "2"]
+
+
+def test_void_elements_and_attrs():
+    root = parse_html('<td rowspan="2"><img src="u"/><br>x<a href="/y">z</a></td>')
+    td = root.find("td")
+    assert td.get("rowspan") == "2"
+    img = td.find("img")
+    assert img.get("src") == "u"
+    a = td.find("a")
+    assert a.get("href") == "/y"
+    assert a.text == "z"
+
+
+def test_entity_refs_decoded():
+    root = parse_html("<td>a&amp;b&nbsp;</td>")
+    assert root.find("td").text == "a&b\xa0"
+
+
+def test_previous_sibling_and_extract():
+    root = parse_html("<div><h2>t</h2><table><caption>c</caption></table></div>")
+    table = root.find("table")
+    assert table.previous_sibling().name == "h2"
+    cap = table.find("caption")
+    cap.extract()
+    assert table.find("caption") is None
+
+
+def test_find_all_class_regex():
+    root = parse_html('<div class="basic-info cmn-clearfix"><dl></dl></div>')
+    hits = root.find_all(class_re="basic-info cmn-clearfix")
+    assert len(hits) == 1 and hits[0].name == "div"
+
+
+def test_stray_end_tags_ignored():
+    root = parse_html("</p><div>ok</div></table>")
+    assert root.find("div").text == "ok"

@@ -1,0 +1,203 @@
+"""Golden per-document tests (SURVEY.md §5.2): each HTML archetype has a
+hand-pinned expected ordered span list + entity/triple sets. The
+invariant under test is span-sequence equality on
+(kind, text, media_ref, order) per doc — BASELINE.json north_rule."""
+
+import json
+
+from webtableextractionsystem_spark.fixtures import ARCHETYPES, mega_doc_html
+from webtableextractionsystem_spark.kernel.pipeline import extract_document
+
+
+def run(html: str, doc_id: str = "doc-1"):
+    return extract_document(
+        doc_id, [{"kind": "html", "text": html, "media_ref": "", "offset": 0}]
+    )
+
+
+def span_seq(res):
+    return [(s["kind"], s["text"], s["media_ref"]) for s in res["out_spans"]]
+
+
+def test_h1_basic_info():
+    res = run(ARCHETYPES["H1"])
+    assert span_seq(res) == [
+        ("header_cell", "中文名", ""),
+        ("header_cell", "国籍", ""),
+        ("header_cell", "出生日期", ""),
+        ("header_cell", "职业", ""),
+        ("cell", "李明", ""),
+        ("cell", "中国", ""),
+        ("cell", "1970年1月1日", ""),
+        ("cell", "教师/作家", ""),  # <br> -> "/" (tableExtractor.py:306-308)
+    ]
+    assert res["entities"] == [
+        {"name": "李明", "url": "doc://doc-1",
+         "props": {"国籍": "中国", "出生日期": "1970年1月1日", "职业": "教师/作家"}}
+    ]
+    assert res["triples"] == []
+    assert res["tables"][0]["table_type"] == "person_info"
+    assert res["tables"][0]["direction"] == "COL"
+
+
+def test_h2_relation_table():
+    res = run(ARCHETYPES["H2"])
+    texts = [s["text"] for s in res["out_spans"]]
+    # rowspan=2 duplicates 王芳 into the second data row (extendTable T6)
+    assert texts == [
+        "姓名", "关系", "备注",
+        "王芳", "妻子", "结婚",       # [1] footnote removed
+        "王芳", "朋友", "同学",       # \xa0 removed
+        "张三", "兄弟", "无",
+    ]
+    kinds = [s["kind"] for s in res["out_spans"]]
+    assert kinds == ["header_cell"] * 3 + ["cell"] * 9
+    assert [(t["subj_name"], t["rel"], t["obj_name"]) for t in res["triples"]] == [
+        ("doc-1", "妻子", "王芳"),
+        ("doc-1", "朋友", "王芳"),
+        ("doc-1", "兄弟", "张三"),
+    ]
+    # href resolution through the baike-prefixed cell link (table.py:1202)
+    assert res["triples"][0]["obj_url"] == \
+        "https://baike.baidu.com/item/%E7%8E%8B%E8%8A%B3"
+    assert res["triples"][0]["subj_url"] == "doc://doc-1"
+    assert [e["name"] for e in res["entities"]] == ["王芳", "王芳", "张三"]
+
+
+def test_h3_col_orientation_flip():
+    res = run(ARCHETYPES["H3"])
+    # first col all-<th> -> COL (tag vote) -> flipped to ROW for emission
+    assert res["tables"][0]["direction"] == "COL"
+    assert span_seq(res) == [
+        ("header_cell", "中文名", ""),
+        ("header_cell", "国籍", ""),
+        ("header_cell", "职业", ""),
+        ("cell", "赵云", ""),
+        ("cell", "蜀汉", ""),
+        ("cell", "将军", ""),
+    ]
+    assert res["entities"] == [
+        {"name": "赵云", "url": "", "props": {"国籍": "蜀汉", "职业": "将军"}}
+    ]
+
+
+def test_h4_caption_relation():
+    res = run(ARCHETYPES["H4"])
+    assert span_seq(res)[0] == ("caption", "家族成员", "")
+    assert [(t["subj_name"], t["rel"], t["obj_name"], t["obj_url"])
+            for t in res["triples"]] == [
+        ("doc-1", "家族成员", "李大", "https://baike.baidu.com/item/%E6%9D%8E%E5%A4%A7"),
+        ("doc-1", "家族成员", "李二", ""),
+    ]
+    assert res["tables"][0]["table_type"] == "caption_rel"
+
+
+def test_h5_layout_rejected():
+    res = run(ARCHETYPES["H5"])
+    assert res["out_spans"] == []
+    assert res["tables"] == []
+    assert res["n_errors"] == 0
+
+
+def test_h6_list_table():
+    res = run(ARCHETYPES["H6"])
+    assert span_seq(res) == [
+        ("caption", "主要作品", ""),
+        ("header_cell", "作品甲", ""),
+        ("header_cell", "作品乙", ""),
+        ("cell", "1990", ""),
+        ("cell", "1992", ""),
+    ]
+    assert res["tables"][0]["caption"] == "主要作品"
+
+
+def test_h7_junk_cleanup():
+    res = run(ARCHETYPES["H7"])
+    # 序号 column deleted, 参考资料 row deleted, 。。 blanked, [3]/\xa0 cleaned
+    assert [s["text"] for s in res["out_spans"]] == [
+        "姓名", "关系", "钱一", "亲属", "孙二", "",
+    ]
+    assert [(t["subj_name"], t["rel"], t["obj_name"]) for t in res["triples"]] == [
+        ("doc-1", "亲属", "钱一"),
+    ]
+    # stale normal/correct flags -> empty-prop entities (reference
+    # cached-flag semantics, table.py:168-199 + 658-685)
+    assert res["entities"] == [
+        {"name": "钱一", "url": "", "props": {}},
+        {"name": "孙二", "url": "", "props": {}},
+    ]
+
+
+def test_h8_media_spans():
+    res = run(ARCHETYPES["H8"])
+    assert span_seq(res) == [
+        ("header_cell", "姓名", ""),
+        ("header_cell", "照片", ""),
+        ("cell", "周八", ""),
+        ("cell", "肖像", ""),
+        ("media", "", "img://p8.jpg"),
+        ("cell", "吴九", ""),
+        ("cell", "肖像", ""),
+        ("media", "", "img://w9.jpg"),
+    ]
+    assert res["tables"][0]["cells"][1][1]["cell_type"] == "图片"
+
+
+def test_h9_boilerplate_stripped():
+    res = run(ARCHETYPES["H9"])
+    assert [s["text"] for s in res["out_spans"]] == ["姓名", "年龄", "郑十", "40"]
+    assert all("var" not in s["text"] and "ignored" not in s["text"]
+               for s in res["out_spans"])
+
+
+def test_h10_degenerate_excluded():
+    res = run(ARCHETYPES["H10"])
+    assert res["out_spans"] == []
+    assert res["tables"] == []
+
+
+def test_h12_type_battery():
+    res = run(ARCHETYPES["H12"])
+    cells = res["tables"][0]["cells"]
+    types = [[c["cell_type"] for c in row] for row in cells]
+    assert types == [
+        ["中文", "中文", "中文", "中文"],
+        ["中文", ">=1", "大写", "超链接"],
+        ["中文", "其他类型", "小写", "超链接"],   # -3: charnum gate quirk
+        ["中文", "其他类型", "大小写混合", "标点类型"],  # 0.5 quirk; ，。 punct
+    ]
+    # punctuation cell blanked by clearTable
+    assert res["out_spans"][15]["text"] == ""
+
+
+def test_interleaved_spans_order():
+    spans = [
+        {"kind": "text", "text": "前言[2]\xa0", "media_ref": "", "offset": 0},
+        {"kind": "html", "text": ARCHETYPES["H3"], "media_ref": "", "offset": 1},
+        {"kind": "media", "text": "", "media_ref": "img://d/0", "offset": 2},
+        {"kind": "text", "text": "结语", "media_ref": "", "offset": 3},
+    ]
+    res = extract_document("doc-2", spans)
+    seq = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+           for s in res["out_spans"]]
+    assert seq[0] == ("text", "前言", "", 0)          # footnote + nbsp cleaned
+    assert seq[1] == ("header_cell", "中文名", "", 1)
+    assert seq[7] == ("media", "", "img://d/0", 2)
+    assert seq[8] == ("text", "结语", "", 3)
+    assert [s["seq"] for s in res["out_spans"]] == list(range(9))
+
+
+def test_mega_doc_h11():
+    res = extract_document(
+        "doc-m",
+        [{"kind": "html", "text": mega_doc_html(50), "media_ref": "", "offset": 0}],
+    )
+    assert len(res["tables"]) == 50
+    assert res["n_spans"] == 50 * 12
+    assert len(res["triples"]) == 150
+    # determinism: same input -> identical output
+    res2 = extract_document(
+        "doc-m",
+        [{"kind": "html", "text": mega_doc_html(50), "media_ref": "", "offset": 0}],
+    )
+    assert json.dumps(res, sort_keys=True) == json.dumps(res2, sort_keys=True)

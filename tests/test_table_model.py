@@ -1,0 +1,225 @@
+"""Unit tests for table-structure operators T5-T16 (SURVEY.md §2.3) +
+property-based invariants (§5.4)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from webtableextractionsystem_spark.kernel.table_model import (
+    Cell,
+    Table,
+    clear_table,
+    discriminate_header_lines,
+    length_character,
+    normalize_grid,
+    tag_header_lines,
+    type_character,
+    type_header_lines,
+    unfold_direction,
+)
+from webtableextractionsystem_spark.lexicons import TYPE_INDEX
+
+
+def cell(content="x", rowspan=1, colspan=1, tag="td", type_name=None):
+    c = Cell(str(content), rowspan, colspan, tag=tag)
+    if type_name:
+        c.type_idx = TYPE_INDEX[type_name]
+    return c
+
+
+def grid_contents(grid):
+    return [[c.content for c in row] for row in grid]
+
+
+# -- T5/T6: span normalization ---------------------------------------------
+
+def test_normalize_plain():
+    rows = [[cell("a"), cell("b")], [cell("c"), cell("d")]]
+    grid, correct = normalize_grid(rows)
+    assert correct
+    assert grid_contents(grid) == [["a", "b"], ["c", "d"]]
+
+
+def test_normalize_rowspan_first_col():
+    rows = [
+        [cell("A", rowspan=2), cell("b"), cell("c")],
+        [cell("d"), cell("e")],
+    ]
+    grid, correct = normalize_grid(rows)
+    assert correct
+    assert grid_contents(grid) == [["A", "b", "c"], ["A", "d", "e"]]
+
+
+def test_normalize_rowspan_middle_col():
+    # the reference's getAbsolutePosition mis-places this layout
+    # (table.py:360-385); we pin the standard occupancy-grid semantics
+    rows = [
+        [cell("a"), cell("B", rowspan=2), cell("c")],
+        [cell("d"), cell("e")],
+    ]
+    grid, correct = normalize_grid(rows)
+    assert correct
+    assert grid_contents(grid) == [["a", "B", "c"], ["d", "B", "e"]]
+
+
+def test_normalize_colspan():
+    rows = [
+        [cell("H", colspan=3)],
+        [cell("a"), cell("b"), cell("c")],
+    ]
+    grid, correct = normalize_grid(rows)
+    assert correct
+    assert grid_contents(grid) == [["H", "H", "H"], ["a", "b", "c"]]
+
+
+def test_normalize_ragged_incorrect():
+    rows = [[cell("a"), cell("b"), cell("c")], [cell("d")]]
+    grid, correct = normalize_grid(rows)
+    assert not correct
+    assert len(grid[0]) == len(grid[1]) == 3  # padded for numpy safety
+
+
+def test_normalize_rowspan_overflow_clamped():
+    rows = [[cell("a", rowspan=9), cell("b")], [cell("c")]]
+    grid, correct = normalize_grid(rows)
+    assert correct
+    assert grid_contents(grid) == [["a", "b"], ["a", "c"]]
+
+
+# -- T9-T11: orientation ----------------------------------------------------
+
+def make_table(rows, **kw):
+    grid, correct = normalize_grid(rows)
+    return Table(grid, caption="未命名表格", correct=correct, **kw)
+
+
+def test_direction_tag_vote_row():
+    t = make_table([
+        [cell("姓名", tag="th", type_name="中文"), cell("年龄", tag="th", type_name="中文")],
+        [cell("甲", type_name="中文"), cell("1", type_name=">=1")],
+    ])
+    assert unfold_direction(t) == "ROW"
+
+
+def test_direction_tag_vote_col():
+    t = make_table([
+        [cell("姓名", tag="th", type_name="中文"), cell("甲", type_name="中文")],
+        [cell("年龄", tag="th", type_name="中文"), cell("1", type_name=">=1")],
+    ])
+    assert unfold_direction(t) == "COL"
+
+
+def test_direction_variance_col_for_homogeneous_columns():
+    # no <th>: score-based. Column 0 = short Chinese labels, column 1 =
+    # numbers; within-row variation high -> Row score high -> COL
+    # (mechanical reference semantics, table.py:337-358)
+    t = make_table([
+        [cell("名", type_name="中文"), cell("1990", type_name=">=1")],
+        [cell("次", type_name="中文"), cell("1992", type_name=">=1")],
+    ])
+    assert unfold_direction(t) == "COL"
+
+
+def test_length_character_normalization():
+    lengths = np.array([[1, 4], [1, 4]])
+    row_n, col_n = length_character(lengths)
+    # per-row std = 1.5 each -> row=1.5; per-col std = 0 -> col=0
+    assert (row_n, col_n) == (1.0, 0.0)
+    assert length_character(np.array([[2, 2], [2, 2]])) == (0.0, 0.0)
+
+
+def test_type_character_uniform_is_zero():
+    types = np.full((3, 3), TYPE_INDEX["中文"], dtype=np.int16)
+    assert type_character(types) == (0.0, 0.0)
+
+
+# -- T14-T16: header discriminators (standalone ops; pipeline pins 1) ------
+
+def header_table(th_rows):
+    rows = []
+    for r in range(3):
+        tag = "th" if r < th_rows else "td"
+        rows.append([cell(f"h{r}", tag=tag, type_name="中文"),
+                     cell(str(r), tag=tag, type_name=">=1" if r >= th_rows else "中文")])
+    return make_table(rows)
+
+
+def test_tag_header_lines():
+    assert tag_header_lines(header_table(1), "ROW") == 1
+    assert tag_header_lines(header_table(2), "ROW") == 2
+    assert tag_header_lines(header_table(0), "ROW") == 0
+
+
+def test_type_header_lines_all_rows_returns_zero():
+    t = make_table([
+        [cell("甲", type_name="中文"), cell("乙", type_name="中文")],
+        [cell("丙", type_name="中文"), cell("丁", type_name="中文")],
+    ])
+    assert type_header_lines(t, "ROW") == 0  # consumed all rows -> 0
+
+
+def test_discriminate_floor_one():
+    assert discriminate_header_lines(header_table(0), "ROW") == 1
+
+
+# -- F8: clearTable ---------------------------------------------------------
+
+def test_clear_table_serial_column():
+    t = make_table([
+        [cell("序号", type_name="中文"), cell("姓名", type_name="中文")],
+        [cell("1", type_name=">=1"), cell("甲乙", type_name="中文")],
+    ], direction="ROW")
+    clear_table(t)
+    assert grid_contents(t.grid) == [["姓名"], ["甲乙"]]
+
+
+def test_clear_table_single_char_last_row():
+    # reference counts len==1 cells as "empty" (table.py:1033)
+    t = make_table([
+        [cell("姓名", type_name="中文"), cell("备注", type_name="中文")],
+        [cell("甲甲", type_name="中文"), cell("乙乙", type_name="中文")],
+        [cell("a", type_name="小写"), cell(" ", type_name="标点类型")],
+    ], direction="ROW")
+    clear_table(t)
+    assert len(t.grid) == 2
+
+
+# -- property-based invariants (SURVEY.md §5.4) -----------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.integers(2, 5), cols=st.integers(2, 5),
+    data=st.data(),
+)
+def test_flip_involution_and_normalize_rectangular(rows, cols, data):
+    contents = [
+        [data.draw(st.text(alphabet="ab中1。", max_size=4)) for _ in range(cols)]
+        for _ in range(rows)
+    ]
+    raw = [[cell(v, type_name="中文") for v in r] for r in contents]
+    grid, correct = normalize_grid(raw)
+    assert correct
+    assert all(len(r) == cols for r in grid)
+    t = Table(grid, caption="x", direction="ROW", correct=correct)
+    flipped = t.flip()
+    assert flipped.direction == "COL"
+    back = flipped.flip()
+    assert grid_contents(back.grid) == grid_contents(t.grid)
+    assert back.direction == "ROW"
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.integers(2, 4), cols=st.integers(2, 4),
+    rs=st.integers(1, 3), cs=st.integers(1, 3),
+)
+def test_normalize_with_spans_is_rectangular(rows, cols, rs, cs):
+    raw = []
+    for r in range(rows):
+        row = [cell(f"{r}-{c}") for c in range(cols)]
+        raw.append(row)
+    raw[0][0].rowspan = rs
+    raw[0][0].colspan = cs
+    grid, _ = normalize_grid(raw)
+    widths = {len(r) for r in grid}
+    assert len(widths) == 1

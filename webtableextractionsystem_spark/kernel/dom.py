@@ -1,0 +1,177 @@
+"""Minimal HTML DOM for the extraction kernel (stdlib only).
+
+The reference uses BeautifulSoup+lxml (/root/reference/src/tableExtract/
+tableExtractor.py:519-537); neither is available in this environment, and
+the north star calls for an "lxml-style tree walk implemented as batched
+tokenize+classify". This module implements the tokenizer (stdlib
+``html.parser.HTMLParser``, which is regex-batch based, not char-at-a-time)
+plus a small element tree with exactly the API surface the kernel needs:
+``find_all``/``find``/``text``/``previous_sibling``/``extract``.
+
+``pre_treat`` reproduces htmlPreTreat semantics
+(/root/reference/src/tableExtract/tableExtractor.py:519-537): literal
+removal of \\r \\t \\n, then dropping comments, <script>, <style>,
+<article> and <code> subtrees.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# Implied end tags: starting tag K closes an open element in IMPLIED_CLOSE[K].
+IMPLIED_CLOSE: dict[str, frozenset] = {
+    "td": frozenset({"td", "th"}),
+    "th": frozenset({"td", "th"}),
+    "tr": frozenset({"td", "th", "tr"}),
+    "thead": frozenset({"td", "th", "tr"}),
+    "tbody": frozenset({"td", "th", "tr", "thead"}),
+    "li": frozenset({"li"}),
+    "dt": frozenset({"dt", "dd"}),
+    "dd": frozenset({"dt", "dd"}),
+    "p": frozenset({"p"}),
+    "option": frozenset({"option"}),
+}
+
+_STRIP_TAGS = frozenset({"script", "style", "article", "code"})
+
+
+class Node:
+    """One element. ``children`` holds Node and str (text) in doc order."""
+
+    __slots__ = ("name", "attrs", "children", "parent")
+
+    def __init__(self, name: str, attrs: dict[str, str] | None = None,
+                 parent: "Node | None" = None):
+        self.name = name
+        self.attrs = attrs or {}
+        self.children: list[Node | str] = []
+        self.parent = parent
+
+    # -- traversal ---------------------------------------------------------
+
+    def iter_desc(self):
+        """All descendant Nodes, document order (self excluded)."""
+        stack = [c for c in reversed(self.children) if isinstance(c, Node)]
+        while stack:
+            node = stack.pop()
+            yield node
+            stack.extend(c for c in reversed(node.children) if isinstance(c, Node))
+
+    def find_all(self, name: str | None = None,
+                 class_re: str | re.Pattern | None = None) -> list["Node"]:
+        pat = re.compile(class_re) if isinstance(class_re, str) else class_re
+        out = []
+        for node in self.iter_desc():
+            if name is not None and node.name != name:
+                continue
+            if pat is not None and not pat.search(node.attrs.get("class", "")):
+                continue
+            out.append(node)
+        return out
+
+    def find(self, name: str) -> "Node | None":
+        for node in self.iter_desc():
+            if node.name == name:
+                return node
+        return None
+
+    @property
+    def element_children(self) -> list["Node"]:
+        return [c for c in self.children if isinstance(c, Node)]
+
+    @property
+    def text(self) -> str:
+        parts: list[str] = []
+        stack: list[Node | str] = list(reversed(self.children))
+        while stack:
+            c = stack.pop()
+            if isinstance(c, str):
+                parts.append(c)
+            else:
+                stack.extend(reversed(c.children))
+        return "".join(parts)
+
+    def get(self, attr: str, default: str | None = None) -> str | None:
+        return self.attrs.get(attr, default)
+
+    def has_attr(self, attr: str) -> bool:
+        return attr in self.attrs
+
+    def previous_sibling(self) -> "Node | None":
+        """Previous *element* sibling (whitespace text nodes are gone after
+        pre_treat's \\r\\t\\n removal, mirroring bs4 behavior there)."""
+        if self.parent is None:
+            return None
+        sibs = self.parent.element_children
+        i = sibs.index(self)
+        return sibs[i - 1] if i > 0 else None
+
+    def extract(self) -> None:
+        if self.parent is not None:
+            self.parent.children.remove(self)
+            self.parent = None
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"<{self.name} {self.attrs}>"
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("[document]")
+        self.stack: list[Node] = [self.root]
+
+    # HTMLParser treats <script>/<style> bodies as raw data already.
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        implied = IMPLIED_CLOSE.get(tag)
+        if implied:
+            while len(self.stack) > 1 and self.stack[-1].name in implied:
+                self.stack.pop()
+        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs},
+                    self.stack[-1])
+        self.stack[-1].children.append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs},
+                    self.stack[-1])
+        self.stack[-1].children.append(node)
+
+    def handle_endtag(self, tag: str) -> None:
+        # pop to the matching open tag; ignore stray end tags
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].name == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self.stack[-1].children.append(data)
+
+    # comments, decls, PIs: dropped (htmlPreTreat removes comments anyway)
+
+
+def parse_html(html: str) -> Node:
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root
+
+
+def pre_treat(html: str) -> Node:
+    """htmlPreTreat (tableExtractor.py:519-537): strip \\r\\t\\n literally,
+    parse, drop comment/script/style/article/code subtrees."""
+    html = html.replace("\r", "").replace("\t", "").replace("\n", "")
+    root = parse_html(html)
+    for name in _STRIP_TAGS:
+        for node in root.find_all(name):
+            if node.parent is not None:
+                node.extract()
+    return root
