@@ -1,0 +1,107 @@
+"""Local-mode e2e (SURVEY.md §5.3): distributed pipeline vs the single-doc
+kernel oracle, span ordering stability across partitions, derived views."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from webtableextractionsystem_spark.datagen import gen_document, gen_documents_df
+from webtableextractionsystem_spark.kernel.pipeline import extract_document
+from webtableextractionsystem_spark.operators.extraction import (
+    extract_all,
+    entities_view,
+    spans_view,
+    tables_view,
+    triples_view,
+)
+from webtableextractionsystem_spark.operators.fusion import fuse_entities
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    docs = gen_documents_df(spark, N_DOCS, partitions=8)
+    return extract_all(docs, num_buckets=16).cache()
+
+
+def test_all_docs_present_no_errors(extracted):
+    assert extracted.count() == N_DOCS
+    assert extracted.agg(F.sum("n_errors")).first()[0] == 0
+
+
+def test_spark_matches_single_doc_kernel(extracted):
+    """Self-oracle: the distributed result equals the kernel run doc by
+    doc — the span-sequence-equality invariant surface."""
+    rows = extracted.select("doc_id", "out_spans", "entities", "triples") \
+                    .collect()
+    assert len(rows) == N_DOCS
+    for row in rows:
+        i = int(row["doc_id"].split("-")[1])
+        oracle = extract_document(row["doc_id"], gen_document(i)["spans"])
+        got = [(s["seq"], s["kind"], s["text"], s["media_ref"], s["offset"])
+               for s in row["out_spans"]]
+        want = [(s["seq"], s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in oracle["out_spans"]]
+        assert got == want, f"span mismatch for {row['doc_id']}"
+        got_t = [(t["subj_name"], t["rel"], t["obj_name"])
+                 for t in row["triples"]]
+        want_t = [(t["subj_name"], t["rel"], t["obj_name"])
+                  for t in oracle["triples"]]
+        assert got_t == want_t
+
+
+def test_span_view_dense_order(extracted, spark):
+    spans = spans_view(extracted)
+    bad = (
+        spans.groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.max("seq").alias("mx"),
+             F.min("seq").alias("mn"))
+        .where((F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_views_schemas(extracted):
+    assert spans_view(extracted).columns == [
+        "doc_id", "seq", "kind", "text", "media_ref", "offset"]
+    assert tables_view(extracted).columns == [
+        "doc_id", "table_idx", "caption", "prefix", "direction",
+        "header_rows", "table_type", "cells", "href_map"]
+    assert triples_view(extracted).columns == [
+        "doc_id", "seq", "subj_name", "subj_url", "rel", "obj_name", "obj_url"]
+
+
+def test_determinism_across_runs(spark, extracted):
+    docs = gen_documents_df(spark, N_DOCS, partitions=4)  # different layout
+    ext2 = extract_all(docs, num_buckets=8)
+    s1 = spans_view(extracted).orderBy("doc_id", "seq") \
+        .agg(F.md5(F.concat_ws("\x01", F.collect_list(
+            F.concat_ws("\x02", "doc_id", "seq", "kind", "text",
+                        "media_ref")))).alias("h")).first()["h"]
+    s2 = spans_view(ext2).orderBy("doc_id", "seq") \
+        .agg(F.md5(F.concat_ws("\x01", F.collect_list(
+            F.concat_ws("\x02", "doc_id", "seq", "kind", "text",
+                        "media_ref")))).alias("h")).first()["h"]
+    assert s1 == s2
+
+
+def test_fusion_first_wins_and_url_containment(spark):
+    rows = [
+        ("d1", 0, "甲乙", "http://a/1", {"k": "v1"}),
+        ("d2", 0, "甲乙", "http://a/1", {"k": "v2", "j": "w"}),   # merge, k kept
+        ("d3", 0, "甲乙", "http://a/1/sub", {"x": "y"}),          # containment
+        ("d4", 0, "甲乙", "http://b/2", {"z": "q"}),              # new node
+        ("d5", 0, "丙丁", "", {"p": "1"}),                        # url-less
+        ("d6", 0, "钱氏", "http://c/3", {"n": "1"}),              # dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, seq int, name string, url string, "
+              "props map<string,string>")
+    fused = {(r["name"], r["url"]): (r["props"], r["n_sources"])
+             for r in fuse_entities(df).collect()}
+    assert fused[("甲乙", "http://a/1")][0] == {"k": "v1", "j": "w", "x": "y"}
+    assert fused[("甲乙", "http://a/1")][1] == 3
+    assert ("甲乙", "http://b/2") in fused
+    assert fused[("丙丁", "")][0] == {"p": "1"}
+    assert not any(n == "钱氏" for n, _ in fused)

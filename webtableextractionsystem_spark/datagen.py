@@ -1,0 +1,115 @@
+"""Deterministic synthetic interleaved-documents generator.
+
+The driver instruction requires building over a table of exactly the
+input_hint shape, synthesized deterministically at small scale — no
+external data, no wall clock. Every document is a pure function of its
+integer index (seeded ``random.Random``), so generation is reproducible
+AND distributable: ``gen_documents_df`` builds docs on executors via
+``mapInPandas`` over ``spark.range`` — no driver-side materialization, no
+collect; at 10^12 docs the same code simply gets a bigger range.
+
+Skew model (H11): one doc in ``MEGA_EVERY`` is a mega-doc with 50-200
+copies of the H2 relation table — the skew tail that salted partitioning
+(operators/extraction.py) must defuse.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+
+from . import fixtures as FX
+
+MEGA_EVERY = 211          # ~0.5% of docs are mega-docs (prime: decorrelates)
+SEED = 42
+
+# archetype rotation: weighted toward table-bearing docs, with text/media
+# interleaving; H10/H5 included so rejection paths run at scale
+_ARCHETYPE_KEYS = ["H1", "H2", "H3", "H4", "H5", "H6", "H7", "H8", "H9",
+                   "H10", "H12", "H2", "H1", "H3"]
+
+_TEXT_SNIPPETS = [
+    "早年经历[1]与生平简介。",
+    "主要成就概述\xa0包括多个方面。",
+    "人物评价：历来褒贬不一[2]。",
+    "Background and early life notes.",
+    "相关研究文献综述。",
+]
+
+
+def doc_id_of(i: int) -> str:
+    return f"doc-{i:08d}"
+
+
+def gen_document(i: int) -> dict:
+    """One document, fully determined by its index."""
+    rng = random.Random((SEED << 32) ^ i)
+    doc_id = doc_id_of(i)
+    spans: list[dict] = []
+    offset = 0
+
+    def add(kind: str, text: str = "", media_ref: str = "") -> None:
+        nonlocal offset
+        spans.append({"kind": kind, "text": text, "media_ref": media_ref,
+                      "offset": offset})
+        offset += 1
+
+    if i % MEGA_EVERY == 0 and i > 0:
+        add("text", rng.choice(_TEXT_SNIPPETS))
+        add("html", FX.mega_doc_html(rng.randint(50, 200)))
+        return {"doc_id": doc_id, "spans": spans}
+
+    n_spans = rng.randint(1, 8)
+    for _ in range(n_spans):
+        roll = rng.random()
+        if roll < 0.35:
+            add("text", rng.choice(_TEXT_SNIPPETS))
+        elif roll < 0.45:
+            add("media", media_ref=f"img://{doc_id}/{offset}")
+        else:
+            key = rng.choice(_ARCHETYPE_KEYS)
+            add("html", FX.ARCHETYPES[key])
+    return {"doc_id": doc_id, "spans": spans}
+
+
+def gen_documents_pdf(indices) -> pd.DataFrame:
+    rows = [gen_document(int(i)) for i in indices]
+    return pd.DataFrame(
+        {"doc_id": [r["doc_id"] for r in rows],
+         "spans": [r["spans"] for r in rows]}
+    )
+
+
+def n_docs_for_sf(sf: float) -> int:
+    """Scale knob aligned with TESTDATA.md sf points: sf0.001 -> 500 docs,
+    sf0.01 -> 5000, sf0.1 -> 50000."""
+    return max(1, int(round(sf * 500_000)))
+
+
+def sf_of_dir(sf_dir: str) -> float:
+    """Parse '.../sf0.01' -> 0.01 (defaults to 0.01 on no match)."""
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir or "")
+    try:
+        return float(m.group(1)) if m else 0.01
+    except ValueError:
+        return 0.01
+
+
+def gen_documents_df(spark, n_docs: int, partitions: int | None = None):
+    """Distributed deterministic generation: spark.range -> mapInPandas."""
+    from .schemas import DOCUMENTS, ddl
+
+    if partitions is None:
+        partitions = max(8, spark.sparkContext.defaultParallelism)
+
+    def build(batches):
+        for pdf in batches:
+            yield gen_documents_pdf(pdf["id"].to_numpy())
+
+    return (
+        spark.range(0, n_docs, numPartitions=partitions)
+        .mapInPandas(build, schema=ddl(DOCUMENTS))
+    )

@@ -9,8 +9,33 @@ cluster AQE coalescing makes the initial number far less sensitive).
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def package_zip(path: str = "/tmp/wtes_spark_pkg.zip") -> str:
+    """Zip this package for shipping to executors — the programmatic
+    equivalent of ``spark-submit --py-files`` (north rule). Rebuilt only
+    when sources are newer than the existing zip."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    sources = []
+    for dirpath, _, files in os.walk(pkg_dir):
+        if "__pycache__" in dirpath:
+            continue
+        sources.extend(os.path.join(dirpath, f) for f in files
+                       if f.endswith(".py"))
+    if os.path.exists(path):
+        newest = max(os.path.getmtime(s) for s in sources)
+        if os.path.getmtime(path) >= newest:
+            return path
+    tmp = path + ".tmp"
+    with zipfile.ZipFile(tmp, "w") as zf:
+        for src in sources:
+            zf.write(src, os.path.relpath(src, root))
+    os.replace(tmp, path)
+    return path
 
 
 def get_spark(app_name: str = "wtes-spark", cores: int | None = None,
@@ -37,4 +62,8 @@ def get_spark(app_name: str = "wtes-spark", cores: int | None = None,
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # ship the package to python workers (works for local AND cluster
+    # masters; equivalent to spark-submit --py-files)
+    spark.sparkContext.addPyFile(package_zip())
+    return spark
