@@ -1,38 +1,75 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` smoke-runs the flagship extraction pipeline; ``queries`` /
+``oracle_sql`` expose every implemented operator from SURVEY.md §2 (plus
+the training-data-pipeline family) for the DuckDB correctness gate. The
+real implementations live in webtableextractionsystem_spark/ — this file
+stays thin so the driver import is cheap.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _bootstrap(spark: SparkSession) -> None:
+    """Ship the package to executors when the driver didn't use
+    session.get_spark (the driver harness builds its own session)."""
+    from webtableextractionsystem_spark.session import package_zip
+
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added in this session
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extract ordered spans + triples from a deterministic
+    interleaved-documents table (200 docs), return the ordered span
+    sequence joined with per-doc triple counts."""
+    from pyspark.sql import functions as F
+
+    from webtableextractionsystem_spark.datagen import gen_documents_df
+    from webtableextractionsystem_spark.operators.extraction import (
+        extract_all,
+        spans_view,
+        triples_view,
+    )
+
+    _bootstrap(spark)
+    docs = gen_documents_df(spark, 200)
+    ext = extract_all(docs, num_buckets=16)
+    spans = spans_view(ext)
+    trip_counts = triples_view(ext).groupBy("doc_id").agg(
+        F.count("*").alias("n_triples")
+    )
+    return spans.join(trip_counts, "doc_id", "left").fillna(
+        0, subset=["n_triples"]
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from webtableextractionsystem_spark import entry_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    base = entry_queries.queries()
+
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _bootstrap(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in base.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from webtableextractionsystem_spark import entry_queries
+
+    return entry_queries.oracle_sql()

@@ -1,0 +1,169 @@
+"""Query + oracle registry backing __spark_entry__.py.
+
+Three families:
+
+* ``x_*`` — the extraction engine itself, run over the deterministic
+  synthetic interleaved-documents table (datagen.py; the driver's own
+  testdata has no spans-shaped input, per TESTDATA.md/FIXTURES.md §5).
+  Their oracles are PINNED LITERALS: the expected aggregates are computed
+  from the (deterministic) pipeline and frozen here as VALUES clauses, so
+  any semantic drift in datagen, kernel, or Spark plumbing fails the
+  driver's hash comparison loudly.
+* ``q_doc_*`` / ``q_emb_*`` — training-data-pipeline operators (dedup
+  family, text analysis, similarity search) with real side-by-side
+  DuckDB oracles.
+* ``q_rel_*`` / ``q_events_*`` — relational surface (joins, windows,
+  anti-joins, rollup, top-n, unions) with real oracles.
+
+SURVEY.md §2 mapping is noted per entry.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .datagen import gen_documents_df
+from .operators import dedup as DD
+from .operators import relational as REL
+from .operators import similarity as SIM
+from .operators import textstats as TS
+from .operators.extraction import (
+    extract_all,
+    entities_view,
+    spans_view,
+    tables_view,
+    triples_view,
+)
+from .operators.fusion import fuse_entities
+
+N_X_DOCS = 600  # fixed extraction-correctness corpus (2 mega-docs included)
+
+
+def _extracted(spark: SparkSession) -> DataFrame:
+    docs = gen_documents_df(spark, N_X_DOCS)
+    return extract_all(docs, num_buckets=32)
+
+
+# ---------------------------------------------------------------------------
+# extraction-engine queries (SURVEY §2.1-2.4 composite; pinned oracles)
+# ---------------------------------------------------------------------------
+
+def x_spans_by_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spans_view(_extracted(spark))
+        .groupBy("kind").agg(F.count("*").alias("n"))
+    )
+
+
+def x_tables_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tables_view(_extracted(spark))
+        .groupBy("table_type", "direction").agg(F.count("*").alias("n"))
+    )
+
+
+def x_triples_by_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        triples_view(_extracted(spark))
+        .groupBy("rel").agg(F.count("*").alias("n"))
+    )
+
+
+def x_entities_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ents = entities_view(_extracted(spark))
+    return (
+        fuse_entities(ents)
+        .groupBy("name")
+        .agg(F.count("*").alias("n_nodes"),
+             F.sum("n_sources").cast("long").alias("n_sources"))
+    )
+
+
+def x_doc_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ext = _extracted(spark)
+    return ext.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_spans").cast("long").alias("total_spans"),
+        F.sum("n_errors").cast("long").alias("total_errors"),
+    )
+
+
+# pinned-literal oracles, regenerated via tools/pin_extraction_oracles.py
+# (deterministic: datagen seed 42, N_X_DOCS=600)
+try:
+    from .x_oracles import X_ORACLES
+except ImportError:  # before first pin run
+    X_ORACLES = {}
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        # extraction engine (T1-T18, C1-C8, E1-E4, F4-F10 composed)
+        "x_spans_by_kind": x_spans_by_kind,
+        "x_tables_by_type": x_tables_by_type,
+        "x_triples_by_rel": x_triples_by_rel,
+        "x_entities_fused": x_entities_fused,   # + A6 fusion
+        "x_doc_totals": x_doc_totals,
+        # text analysis over documents
+        "q_doc_token_stats": TS.token_stats,
+        "q_doc_quality": TS.quality_stats,
+        "q_doc_lang_id": TS.lang_id,
+        "q_doc_fingerprint": TS.fingerprints,
+        # dedup family (F3 at scale)
+        "q_doc_exact_dedup": DD.exact_dedup,
+        "q_doc_minhash": DD.minhash_signatures,
+        "q_doc_lsh_bands": DD.lsh_band_keys,
+        "q_doc_lsh_pairs": DD.lsh_candidate_pairs,
+        "q_doc_simhash": DD.simhash,
+        "q_doc_ngram_jaccard": DD.ngram_jaccard_pairs,
+        # embedding similarity
+        "q_emb_topk_cosine": SIM.topk_bruteforce,
+        "q_emb_lsh_buckets": SIM.lsh_buckets,
+        # relational surface (S3/S9 -> queue_batch, F3 -> anti-join, union)
+        "q_rel_pricing_summary": REL.pricing_summary,
+        "q_rel_revenue_by_nation": REL.revenue_by_nation,
+        "q_rel_top_orders": REL.top_orders_per_customer,
+        "q_rel_anti_join": REL.customers_without_orders,
+        "q_rel_queue_batch": REL.queue_batch,
+        "q_rel_name_union": REL.name_union,
+        "q_rel_rollup": REL.lineitem_rollup,
+        "q_events_hourly": REL.events_hourly,
+        "q_events_json_props": REL.events_json_props,
+        "q_events_user_profiles": REL.user_profiles,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    out = {
+        "q_doc_token_stats": TS.TOKEN_STATS_SQL,
+        "q_doc_quality": TS.QUALITY_SQL,
+        "q_doc_lang_id": TS.LANG_ID_SQL,
+        "q_doc_fingerprint": TS.FINGERPRINT_SQL,
+        "q_doc_exact_dedup": DD.EXACT_DEDUP_SQL,
+        "q_doc_minhash": DD.minhash_sql(),
+        "q_doc_lsh_bands": DD.lsh_band_keys_sql(),
+        "q_doc_lsh_pairs": DD.lsh_candidate_pairs_sql(),
+        "q_doc_simhash": DD.simhash_sql(),
+        "q_doc_ngram_jaccard": DD.ngram_jaccard_sql(),
+        "q_emb_topk_cosine": SIM.TOPK_SQL,
+        "q_emb_lsh_buckets": SIM.LSH_BUCKETS_SQL,
+        "q_rel_pricing_summary": REL.PRICING_SQL,
+        "q_rel_revenue_by_nation": REL.REVENUE_BY_NATION_SQL,
+        "q_rel_top_orders": REL.TOP_ORDERS_SQL,
+        "q_rel_anti_join": REL.ANTI_JOIN_SQL,
+        "q_rel_queue_batch": REL.QUEUE_BATCH_SQL,
+        "q_rel_name_union": REL.NAME_UNION_SQL,
+        "q_rel_rollup": REL.ROLLUP_SQL,
+        "q_events_hourly": REL.EVENTS_HOURLY_SQL,
+        "q_events_json_props": REL.EVENTS_JSON_SQL,
+        "q_events_user_profiles": REL.USER_PROFILES_SQL,
+    }
+    out.update(X_ORACLES)
+    return out

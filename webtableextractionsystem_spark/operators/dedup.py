@@ -1,0 +1,268 @@
+"""Deduplication family over the documents table: exact (hash-groupBy),
+MinHash+LSH (shingle -> minhash -> band -> bucket-join), SimHash, n-gram
+Jaccard.
+
+Design for 100 TB:
+
+* Everything is built-in DataFrame expressions (whole-stage codegen) —
+  shingling via ``transform``/``sequence``/``slice`` higher-order
+  functions, hashing via ``md5`` — no Python UDFs anywhere.
+* MinHash uses md5 hex-string minima so the DuckDB oracle computes the
+  IDENTICAL value (both engines share md5); at cluster scale you'd swap
+  in xxhash64 for speed — the algebra is unchanged.
+* LSH candidate generation is the scale path: band-key equi-join
+  (shuffle on band hash) instead of the O(n^2) cross join; the n-gram
+  Jaccard verifier runs only on LSH survivors (or a bounded id range in
+  the oracle-checked query).
+* Exact dedup = window over fingerprint — at scale a groupBy(fp) with
+  min(doc_id) broadcast back; the window form keeps one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .textstats import load_documents
+
+SHINGLE_K = 3
+N_SEEDS = 8          # minhash permutations
+BAND_ROWS = 2        # seeds per LSH band -> 4 bands
+JACCARD_MAX_ID = 200  # bounded id range for the oracle-checked pair query
+
+
+def _tokens():
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+def _shingles(k: int = SHINGLE_K):
+    toks = _tokens()
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _shingles_sql(k: int = SHINGLE_K) -> str:
+    return (
+        rf"CASE WHEN len(toks) >= {k} THEN "
+        rf"list_distinct([array_to_string(toks[i:i+{k - 1}], ' ') "
+        rf"FOR i IN range(1, len(toks)-{k}+2)]) "
+        rf"ELSE [] END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (prefix-fingerprint variant so the synthetic corpus actually
+# collides; full-text exact dedup is the same query with the full md5)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = F.md5(F.concat_ws(" ", F.slice(_tokens(), 1, 5)))
+    w = Window.partitionBy("fp")
+    return (
+        load_documents(spark, sf_dir)
+        .select("doc_id", fp.alias("fp"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("is_dup", F.col("doc_id") != F.col("canonical_id"))
+    )
+
+
+EXACT_DEDUP_SQL = r"""
+SELECT doc_id, fp,
+       min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+FROM (SELECT doc_id,
+             md5(array_to_string(regexp_split_to_array(trim(text), '\s+')[1:5], ' ')) AS fp
+      FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures
+# ---------------------------------------------------------------------------
+
+def _seed_hash(seed: int):
+    # NOTE: single-arg factory, NOT `lambda x, s=s`: pyspark infers lambda
+    # arity from the signature, and a default arg turns it into the
+    # two-arg (element, index) form with the closure silently shadowed
+    return lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x))
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles()
+    cols = [F.col("doc_id")]
+    for s in range(N_SEEDS):
+        cols.append(
+            F.array_min(F.transform(sh, _seed_hash(s))).alias(f"mh{s}")
+        )
+    return load_documents(spark, sf_dir).select(*cols)
+
+
+def minhash_sql() -> str:
+    mh = ",\n       ".join(
+        rf"list_min([md5('{s}:' || sh) FOR sh IN shingles]) AS mh{s}"
+        for s in range(N_SEEDS)
+    )
+    return rf"""
+SELECT doc_id,
+       {mh}
+FROM (SELECT doc_id, {_shingles_sql()} AS shingles
+      FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents))
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH banding + candidate pairs
+# ---------------------------------------------------------------------------
+
+def lsh_band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(spark, sf_dir)
+    n_bands = N_SEEDS // BAND_ROWS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("bk")) \
+              .select("doc_id", "bk.band", "bk.band_key")
+
+
+def lsh_band_keys_sql() -> str:
+    n_bands = N_SEEDS // BAND_ROWS
+    rows = []
+    for b in range(n_bands):
+        concat = " || '|' || ".join(
+            f"mh{b * BAND_ROWS + r}" for r in range(BAND_ROWS)
+        )
+        rows.append(
+            f"SELECT doc_id, {b} AS band, md5({concat}) AS band_key FROM sig"
+        )
+    return (
+        "WITH sig AS (" + minhash_sql() + ")\n" + "\nUNION ALL\n".join(rows)
+    )
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs sharing any band key — the scale path for near-dup candidate
+    generation (equi-join on band_key, NOT a cross join)."""
+    bk = lsh_band_keys(spark, sf_dir)
+    a = bk.alias("a")
+    b = bk.alias("b")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_sql() -> str:
+    return f"""
+WITH bk AS ({lsh_band_keys_sql()})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, md5-derived token hashes, frequency-weighted)
+# ---------------------------------------------------------------------------
+
+N_SIMHASH_BITS = 16
+
+
+def _bit_test(bit: int):
+    # single-arg factory (see _seed_hash note on pyspark lambda arity)
+    def f(t):
+        h = F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int")
+        return F.shiftright(h, bit).bitwiseAND(1) == 1
+
+    return f
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens()
+    expr = F.lit(0)
+    n = F.size(toks)
+    for b in range(N_SIMHASH_BITS):
+        ones = F.size(F.filter(toks, _bit_test(b)))
+        bit = (ones * 2 > n).cast("int")
+        expr = expr + (bit * (1 << b))
+    return load_documents(spark, sf_dir).select(
+        "doc_id", expr.cast("int").alias("simhash16")
+    )
+
+
+def simhash_sql() -> str:
+    terms = []
+    for b in range(N_SIMHASH_BITS):
+        ones = (
+            rf"len([t FOR t IN toks IF "
+            rf"(CAST(concat('0x', substring(md5(t), 1, 4)) AS INTEGER) >> {b}) & 1 = 1])"
+        )
+        terms.append(f"(CASE WHEN {ones} * 2 > len(toks) THEN {1 << b} ELSE 0 END)")
+    return rf"""
+SELECT doc_id, CAST({' + '.join(terms)} AS INTEGER) AS simhash16
+FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification on a bounded id range
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_documents(spark, sf_dir) \
+        .where(F.col("doc_id") < JACCARD_MAX_ID) \
+        .select("doc_id", _shingles().alias("sh"))
+    a = docs.alias("a")
+    b = docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return (
+        a.crossJoin(b)
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.alias("n_common"),
+            union.alias("n_union"),
+        )
+        .where(F.col("n_common") > 0)
+    )
+
+
+def ngram_jaccard_sql() -> str:
+    return rf"""
+WITH d AS (
+  SELECT doc_id, {_shingles_sql()} AS sh
+  FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents WHERE doc_id < {JACCARD_MAX_ID})
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_common,
+       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_union
+FROM d a, d b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.sh, b.sh)) > 0
+"""

@@ -1,0 +1,248 @@
+"""Relational operator surface over the driver's TPC-H-ish tables.
+
+The reference has no general relational algebra (SURVEY.md §2.5); what it
+does have maps to: left-anti set difference (Bloom dedup F3), TOP-n queue
+consumption (S3/S9), count guards, unions, and per-key accumulation.
+These queries exercise the Spark-native versions of each — plus the
+joins/windows/rollups any real engine user needs — with exact DuckDB
+oracles.
+
+Numeric discipline: money aggregates are summed as DECIMAL(18,2) in BOTH
+engines — decimal addition is exact and order-independent, so value
+hashes can't drift on float summation order (doubles appear only where
+values are compared, never re-accumulated).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- TPC-H Q1-style aggregation (map-side partial aggs, one shuffle) -------
+
+def pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") < F.lit("2002-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # exact decimal accumulation, ONE final cast to double so both
+            # engines hand pandas the same plain float (engines disagree on
+            # how Decimal objects surface otherwise)
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '2002-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- broadcast join chain: orders -> customer -> nation ---------------------
+
+def revenue_by_nation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("revenue"),
+        )
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --- window: top-3 orders per customer --------------------------------------
+
+def top_orders_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk",
+                F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, CAST(rnk AS INTEGER) AS rnk,
+       round(o_totalprice, 2) AS price
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders)
+WHERE rnk <= 3
+"""
+
+
+# --- left-anti set difference (the Bloom-dedup F3 analogue) ------------------
+
+def customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti") \
+            .select("c_custkey", "c_name")
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+"""
+
+
+# --- TOP-n batch consumption (S3: SELECT TOP n ... ORDER BY ID) --------------
+
+def queue_batch(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+
+
+QUEUE_BATCH_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders ORDER BY o_orderkey LIMIT 100
+"""
+
+
+# --- union (lexicon fusion / list accumulation analogue) ---------------------
+
+def name_union(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("src"))
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("src"))
+    return s.unionByName(c).distinct()
+
+
+NAME_UNION_SQL = """
+SELECT s_name AS name, 'supplier' AS src FROM supplier
+UNION
+SELECT c_name AS name, 'customer' AS src FROM customer
+"""
+
+
+# --- events: hourly windowed aggregation (streaming-shaped, batch-run) -------
+
+def events_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"),
+                          "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double").alias("sum_value"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --- events: JSON prop extraction (regexp-based for engine parity) -----------
+
+def events_json_props(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int")
+    return (
+        e.select((k % 10).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+EVENTS_JSON_SQL = r"""
+SELECT CAST(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) % 10
+            AS INTEGER) AS k_bucket,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# --- events: per-user sessions-ish profile -----------------------------------
+
+def user_profiles(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.date_format(F.min("ts"), fmt).alias("first_ts"),
+        F.date_format(F.max("ts"), fmt).alias("last_ts"),
+    )
+
+
+USER_PROFILES_SQL = """
+SELECT user_id, count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
+# --- rollup (grouping sets) ---------------------------------------------------
+
+def lineitem_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""

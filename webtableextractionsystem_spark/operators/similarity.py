@@ -1,0 +1,141 @@
+"""Embedding similarity search over the embeddings table
+(vec_id, embedding float[64], label).
+
+* ``topk_bruteforce`` — exact cosine top-k for a bounded query set. The
+  dot product is a JVM-side ``aggregate(zip_with(...))`` fold (no UDF);
+  similarity is rounded to 4 decimals BEFORE ranking with a vec_id
+  tiebreak, so results are reproducible bit-for-bit across engines.
+* ``lsh_buckets`` — random-hyperplane signature (signs derived from md5
+  of (plane, dim), so Spark and DuckDB compute identical planes with no
+  shared RNG). This is the scale path: bucketing is a narrow map + one
+  small broadcast join; neighbor search then only probes same-bucket
+  candidates instead of the O(n^2) cross join.
+
+At real scale the brute-force variant is the per-bucket verifier, not
+the global search; the plan shape (broadcast tiny plane table, shuffle
+on bucket) survives 1000 executors unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_QUERIES = 10       # query set: vec_id < N_QUERIES
+TOP_K = 5
+N_PLANES = 8
+N_DIMS = 64
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_embeddings(spark, sf_dir) \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    q = emb.where(F.col("vec_id") < N_QUERIES) \
+           .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"))
+    c = emb.select(F.col("vec_id").alias("nbr_id"), F.col("e").alias("ce"))
+    sim = _dot(F.col("qe"), F.col("ce")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("nbr_id"))
+    return (
+        F.broadcast(q).crossJoin(c)
+        .where(F.col("q_id") != F.col("nbr_id"))
+        .select("q_id", "nbr_id", F.round(sim, 4).alias("sim_r"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+sims AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS nbr_id,
+         round(list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))), 4) AS sim_r
+  FROM e q, e c
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT q_id, nbr_id, sim_r,
+       CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY sim_r DESC, nbr_id ASC) AS rank
+      FROM sims)
+WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH buckets
+# ---------------------------------------------------------------------------
+
+def plane_signs(spark: SparkSession) -> DataFrame:
+    """(plane, dim, sign) — sign = +-1 from md5 parity; tiny, broadcast."""
+    return spark.range(N_PLANES).select(F.col("id").alias("plane")) \
+        .crossJoin(spark.range(N_DIMS).select(F.col("id").alias("dim"))) \
+        .select(
+            "plane", "dim",
+            (F.conv(F.substring(F.md5(F.concat_ws("_", "plane", "dim")), 1, 4),
+                    16, 10).cast("int") % 2 * 2 - 1).alias("sign"),
+        )
+
+
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_embeddings(spark, sf_dir) \
+        .select("vec_id",
+                F.posexplode(F.col("embedding").cast("array<double>"))
+                .alias("dim", "v"))
+    proj = (
+        emb.join(F.broadcast(plane_signs(spark)), "dim")
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(F.col("v") * F.col("sign")).alias("proj"))
+    )
+    return (
+        proj.groupBy("vec_id")
+        .agg(
+            F.sum(
+                # shiftleft's python wrapper needs a literal numBits;
+                # the SQL form accepts a column
+                F.when(F.col("proj") > 0,
+                       F.expr("shiftleft(1, cast(plane as int))"))
+                .otherwise(0)
+            ).cast("int").alias("bucket")
+        )
+    )
+
+
+LSH_BUCKETS_SQL = f"""
+WITH planes AS (
+  SELECT p.range AS plane, d.range AS dim,
+         (CAST(concat('0x', substring(md5(p.range || '_' || d.range), 1, 4))
+               AS INTEGER) % 2) * 2 - 1 AS sign
+  FROM range({N_PLANES}) p, range({N_DIMS}) d
+),
+expl AS (
+  SELECT vec_id, t.range - 1 AS dim, embedding[t.range]::DOUBLE AS v
+  FROM embeddings, range(1, {N_DIMS + 1}) t
+),
+proj AS (
+  SELECT e.vec_id, pl.plane, sum(e.v * pl.sign) AS proj
+  FROM expl e JOIN planes pl ON e.dim = pl.dim
+  GROUP BY e.vec_id, pl.plane
+)
+SELECT vec_id,
+       CAST(sum(CASE WHEN proj > 0 THEN 1 << CAST(plane AS INTEGER) ELSE 0 END)
+            AS INTEGER) AS bucket
+FROM proj
+GROUP BY vec_id
+"""

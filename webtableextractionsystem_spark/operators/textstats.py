@@ -1,0 +1,141 @@
+"""Text-analysis operators over the flat documents table: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+Every operator is pure built-in pyspark.sql.functions (JVM-side, inside
+whole-stage codegen — no Python in the hot path) and each ships a
+DuckDB-equivalent ANSI-SQL oracle string used by the driver's correctness
+gate. Outputs are integer/string-typed wherever possible so value hashes
+can't drift on float rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# common-word list for the stopword/langid heuristics (includes the
+# synthetic corpus' function-ish words so the signal is non-trivial)
+STOPWORDS = (
+    "the", "a", "of", "and", "to", "in", "is", "on", "for", "with",
+    "table", "value", "data", "join", "query", "row", "key",
+)
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens():
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# token stats
+# ---------------------------------------------------------------------------
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens()
+    return load_documents(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(F.transform(toks, F.length), F.lit(0),
+                    lambda acc, x: acc + x).alias("sum_token_len"),
+        F.length("text").cast("int").alias("n_chars_actual"),
+    )
+
+
+TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+       CAST(list_sum([length(t) FOR t IN regexp_split_to_array(trim(text), '\s+')]) AS INTEGER) AS sum_token_len,
+       CAST(length(text) AS INTEGER) AS n_chars_actual
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality scoring (length / punctuation / stopword-ratio flags)
+# ---------------------------------------------------------------------------
+
+def quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens()
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    # dropping [A-Za-z0-9 ] keeps exactly the punctuation characters
+    punct = F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", ""))
+    return load_documents(spark, sf_dir).select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_hits.alias("stop_hits"),
+        punct.cast("int").alias("punct_count"),
+        # integer cross-multiplication instead of a float ratio:
+        # stopword ratio >= 10% and a sane length band
+        ((stop_hits * 10 >= n_tokens) & (n_tokens >= 5) & (n_tokens <= 10000))
+        .alias("quality_ok"),
+    )
+
+
+QUALITY_SQL = rf"""
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len([t FOR t IN toks IF list_contains({_STOP_SQL}, lower(t))]) AS INTEGER) AS stop_hits,
+       CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS INTEGER) AS punct_count,
+       (len([t FOR t IN toks IF list_contains({_STOP_SQL}, lower(t))]) * 10 >= len(toks)
+        AND len(toks) >= 5 AND len(toks) <= 10000) AS quality_ok
+FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# language-ID heuristic (CJK presence, stopword density)
+# ---------------------------------------------------------------------------
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens()
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    cjk = (F.length("text")
+           - F.length(F.regexp_replace("text", "[一-龥]", "")))
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    n_tokens = F.size(toks)
+    return load_documents(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.when(cjk > 0, F.lit("zh"))
+        .when(stop_hits * 20 >= n_tokens, F.lit("en"))
+        .otherwise(F.lit("unk"))
+        .alias("lang_pred"),
+    )
+
+
+LANG_ID_SQL = rf"""
+SELECT doc_id, lang,
+       CASE
+         WHEN length(text) - length(regexp_replace(text, '[一-龥]', '', 'g')) > 0 THEN 'zh'
+         WHEN len([t FOR t IN toks IF list_contains({_STOP_SQL}, lower(t))]) * 20
+              >= len(toks) THEN 'en'
+         ELSE 'unk'
+       END AS lang_pred
+FROM (SELECT doc_id, text, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint (normalized-content hash)
+# ---------------------------------------------------------------------------
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return load_documents(spark, sf_dir).select(
+        "doc_id", F.md5(norm).alias("fingerprint")
+    )
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
