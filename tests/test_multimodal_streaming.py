@@ -1,0 +1,111 @@
+"""Multimodal plumbing + Structured Streaming incremental extraction."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from webtableextractionsystem_spark.datagen import gen_documents_df
+from webtableextractionsystem_spark.operators.extraction import extract_all, spans_view
+from webtableextractionsystem_spark.operators import multimodal as MM
+from webtableextractionsystem_spark.streaming.incremental import (
+    incremental_extract,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = gen_documents_df(spark, 60)
+    spans = spans_view(extract_all(docs, num_buckets=8))
+    m = MM.synth_media_for_spans(spans).cache()
+    assert m.count() > 0
+    return m
+
+
+def test_media_schema_and_determinism(spark, media):
+    row = media.orderBy("media_ref").first()
+    assert isinstance(row["payload"], (bytes, bytearray))
+    assert row["meta"]["mime"] == "image/fake"
+    # deterministic: same ref -> same payload across a second build
+    docs = gen_documents_df(spark, 60)
+    spans = spans_view(extract_all(docs, num_buckets=4))
+    m2 = MM.synth_media_for_spans(spans)
+    r2 = m2.orderBy("media_ref").first()
+    assert bytes(row["payload"]) == bytes(r2["payload"])
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"abc")
+
+
+def test_image_features_shape(media):
+    feats = MM.image_features(media, fake=True)
+    rows = feats.collect()
+    assert all(len(r["features"]) == MM.N_IMG_FEATURES for r in rows)
+    assert all(0 <= r["features"][0] <= 1 for r in rows)
+    assert feats.count() == media.count()
+
+
+def test_resize_binary_roundtrip(media):
+    small = MM.resize_images(media, target=8, fake=True)
+    rows = small.collect()
+    assert all(len(bytes(r["payload"])) == 8 * 8 * 3 for r in rows)
+    assert all(r["width"] == 8 for r in rows)
+
+
+def test_frame_sample_plumbing(spark, media):
+    frames = MM.frame_sample(media, every_n=1)
+    # n_frames==1 for images -> exactly one frame row each
+    assert frames.count() == media.count()
+    assert frames.columns == ["media_ref", "frame_idx"]
+
+
+def test_incremental_extract_exactly_once(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    gen_documents_df(spark, 40).coalesce(1).write.mode("append").parquet(in_dir)
+    incremental_extract(spark, in_dir, out_dir, ckpt, num_buckets=8)
+    first = spark.read.parquet(out_dir)
+    assert first.select("doc_id").distinct().count() == 40
+
+    # second wave of files; rerun processes ONLY the new ones
+    gen_documents_df(spark, 70).where(F.col("doc_id") >= "doc-00000040") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    incremental_extract(spark, in_dir, out_dir, ckpt, num_buckets=8)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 70
+    assert out.select("doc_id").distinct().count() == 70  # no reprocessing
+
+    # idempotent third run with nothing new
+    incremental_extract(spark, in_dir, out_dir, ckpt, num_buckets=8)
+    assert spark.read.parquet(out_dir).count() == 70
+
+
+def test_windowed_event_counts_matches_batch(spark, tmp_path):
+    out_dir = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ckpt2")
+    events_dir = str(tmp_path / "events")  # file source needs a DIRECTORY
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .coalesce(2).write.parquet(events_dir)
+    windowed_event_counts(spark, events_dir, out_dir, ckpt)
+    got = spark.read.parquet(out_dir)
+    # append mode only emits windows past the watermark: compare against
+    # the batch equivalent restricted to expired windows (correct
+    # late-data semantics, not a bug)
+    max_ts = spark.read.parquet(events_dir).agg(F.max("ts")).first()[0]
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("w.end") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+    )
+    emitted = got.where(
+        F.col("window_end") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+    assert emitted.agg(F.sum("n")).first()[0] == batch.agg(F.sum("n")).first()[0]
+    assert emitted.count() == batch.count()
+    assert got.count() >= batch.count()

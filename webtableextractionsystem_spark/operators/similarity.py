@@ -117,6 +117,46 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, the scale path: candidates
+    come from the LSH bucket equi-join (same 8-bit hyperplane signature),
+    then exact cosine verifies. No O(n^2) cross join anywhere."""
+    emb = load_embeddings(spark, sf_dir) \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    buckets = lsh_buckets(spark, sf_dir)
+    side = emb.join(buckets, "vec_id")
+    a = side.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"),
+                    "bucket")
+    b = side.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"),
+                    "bucket")
+    sim = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea")))
+        * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(sim, 4).alias("sim_r"))
+        .where(F.col("sim_r") >= 0.3)
+    )
+
+
+def neardup_pairs_sql() -> str:
+    return f"""
+WITH b AS ({LSH_BUCKETS_SQL}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+s AS (SELECT e.vec_id, e.emb, b.bucket FROM e JOIN b USING (vec_id))
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       round(list_dot_product(a.emb, c.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb))
+                * sqrt(list_dot_product(c.emb, c.emb))), 4) AS sim_r
+FROM s a JOIN s c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round(list_dot_product(a.emb, c.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb))
+               * sqrt(list_dot_product(c.emb, c.emb))), 4) >= 0.3
+"""
+
+
 LSH_BUCKETS_SQL = f"""
 WITH planes AS (
   SELECT p.range AS plane, d.range AS dim,
