@@ -20,6 +20,8 @@ Bug-compatible notes (pinned by tests/test_celltype.py):
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 
@@ -42,57 +44,89 @@ RE_ENG_LOWER = r"[a-z]+$"
 RE_ENG_UPPER = r"[A-Z]+$"
 
 
+_C_HYPER = re.compile(RE_HYPERLINK)
+_C_SYMBOL = re.compile(RE_SYMBOL)
+_C_CHARNUM = re.compile(RE_CHARNUM)
+_C_NUMBER = re.compile(RE_NUMBER)
+_C_LE0 = re.compile(RE_NUM_LE0)
+_C_01 = re.compile(RE_NUM_0_1)
+_C_GE1 = re.compile(RE_NUM_GE1)
+_C_CHINESE = re.compile(RE_CHINESE)
+_C_ENGLISH = re.compile(RE_ENGLISH)
+_C_LOWER = re.compile(RE_ENG_LOWER)
+_C_UPPER = re.compile(RE_ENG_UPPER)
+
+_ID_IMG = _T["图片"]
+_ID_HYPER = _T["超链接"]
+_ID_PUNCT = _T["标点类型"]
+_ID_LE0 = _T["<=0"]
+_ID_01 = _T["0-1"]
+_ID_GE1 = _T[">=1"]
+_ID_NUM = _T["数字类型"]
+_ID_ZH = _T["中文"]
+_ID_UP = _T["大写"]
+_ID_LOW = _T["小写"]
+_ID_MIX = _T["大小写混合"]
+_ID_CHAR = _T["字符类型"]
+_ID_OTHER = _T["其他类型"]
+
+
+def _classify_text(content: str) -> int:
+    """Short-circuiting classifier, reference decision order
+    (TableItem.py:65-95). Compiled regexes + early exits beat a full
+    11-regex vectorized pass because most cells resolve in 2-3 probes."""
+    c = content.strip()
+    if _C_HYPER.match(c):
+        return _ID_HYPER
+    if _C_SYMBOL.match(c):
+        return _ID_PUNCT
+    if _C_CHARNUM.match(c):
+        if _C_NUMBER.match(c):
+            if _C_LE0.match(c):
+                return _ID_LE0
+            if _C_01.match(c):
+                return _ID_01
+            if _C_GE1.match(c):
+                return _ID_GE1
+            return _ID_NUM
+        if _C_CHINESE.match(c):
+            return _ID_ZH
+        if _C_ENGLISH.match(c):
+            if _C_UPPER.match(c):
+                return _ID_UP
+            if _C_LOWER.match(c):
+                return _ID_LOW
+            return _ID_MIX
+        return _ID_CHAR
+    return _ID_OTHER
+
+
+def classify_batch(contents, has_img) -> np.ndarray:
+    """Batch classification with a per-batch memo (cell contents repeat
+    heavily in real tables: headers, empty cells, serial numbers)."""
+    cache: dict[str, int] = {}
+    out = np.empty(len(contents), dtype=np.int16)
+    for i, (content, img) in enumerate(zip(contents, has_img)):
+        if img:
+            out[i] = _ID_IMG
+            continue
+        key = content if isinstance(content, str) else str(content or "")
+        t = cache.get(key)
+        if t is None:
+            t = _classify_text(key)
+            cache[key] = t
+        out[i] = t
+    return out
+
+
 def classify_series(contents: pd.Series, has_img: np.ndarray) -> np.ndarray:
-    """Classify a flat Series of cell contents -> int16 TYPE_INDEX ids.
-
-    ``has_img`` is a boolean array: cells containing <img> are 图片
-    regardless of text (TableItem.py:66-67).
-    """
-    s = contents.fillna("").astype(str).str.strip()
-    hyper = s.str.match(RE_HYPERLINK).to_numpy()
-    symbol = s.str.match(RE_SYMBOL).to_numpy()
-    charnum = s.str.match(RE_CHARNUM).to_numpy()
-    number = s.str.match(RE_NUMBER).to_numpy() & charnum
-    le0 = s.str.match(RE_NUM_LE0).to_numpy() & number
-    n01 = s.str.match(RE_NUM_0_1).to_numpy() & number
-    ge1 = s.str.match(RE_NUM_GE1).to_numpy() & number
-    chinese = s.str.match(RE_CHINESE).to_numpy() & charnum
-    english = s.str.match(RE_ENGLISH).to_numpy() & charnum
-    upper = s.str.match(RE_ENG_UPPER).to_numpy() & english
-    lower = s.str.match(RE_ENG_LOWER).to_numpy() & english
-
-    img = np.asarray(has_img, dtype=bool)
-    conds = [
-        img,
-        hyper,
-        symbol,
-        le0,
-        n01,
-        ge1,
-        number,
-        chinese,
-        upper,
-        lower,
-        english,
-        charnum,
-    ]
-    choices = [
-        _T["图片"],
-        _T["超链接"],
-        _T["标点类型"],
-        _T["<=0"],
-        _T["0-1"],
-        _T[">=1"],
-        _T["数字类型"],
-        _T["中文"],
-        _T["大写"],
-        _T["小写"],
-        _T["大小写混合"],
-        _T["字符类型"],
-    ]
-    return np.select(conds, choices, default=_T["其他类型"]).astype(np.int16)
+    """Series facade over classify_batch (kept for API stability)."""
+    return classify_batch(
+        contents.fillna("").astype(str).tolist(),
+        np.asarray(has_img, dtype=bool).tolist(),
+    )
 
 
 def classify_one(content: str, has_img: bool = False) -> int:
     """Single-cell convenience wrapper (tests / interactive use)."""
-    return int(classify_series(pd.Series([content]), np.array([has_img]))[0])
+    return int(classify_batch([content], [has_img])[0])

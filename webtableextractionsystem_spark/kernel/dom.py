@@ -17,6 +17,7 @@ removal of \\r \\t \\n, then dropping comments, <script>, <style>,
 from __future__ import annotations
 
 import re
+from bisect import bisect_right
 from html.parser import HTMLParser
 
 VOID_ELEMENTS = frozenset(
@@ -41,9 +42,15 @@ _STRIP_TAGS = frozenset({"script", "style", "article", "code"})
 
 
 class Node:
-    """One element. ``children`` holds Node and str (text) in doc order."""
+    """One element. ``children`` holds Node and str (text) in doc order.
 
-    __slots__ = ("name", "attrs", "children", "parent")
+    ``sid``/``eid`` are pre-order ids assigned by the builder (eid = last
+    descendant's sid), and ``idx`` is the document-wide name->nodes index
+    shared by every node of a parse — subtree ``find_all`` becomes a
+    bisect slice of the index instead of a tree walk.
+    """
+
+    __slots__ = ("name", "attrs", "children", "parent", "sid", "eid", "idx", "dead")
 
     def __init__(self, name: str, attrs: dict[str, str] | None = None,
                  parent: "Node | None" = None):
@@ -51,6 +58,10 @@ class Node:
         self.attrs = attrs or {}
         self.children: list[Node | str] = []
         self.parent = parent
+        self.sid = 0
+        self.eid = 0
+        self.idx: dict[str, list[Node]] | None = None
+        self.dead = False
 
     # -- traversal ---------------------------------------------------------
 
@@ -62,8 +73,34 @@ class Node:
             yield node
             stack.extend(c for c in reversed(node.children) if isinstance(c, Node))
 
+    def _index_range(self, key: str) -> list["Node"]:
+        """Index entries that are strict descendants of self (sid-sorted
+        insertion order + bisect; nodes removed by extract() are marked
+        dead and filtered out)."""
+        lst = self.idx.get(key) if self.idx is not None else None
+        if not lst:
+            return []
+        sids = [n.sid for n in lst]
+        lo = bisect_right(sids, self.sid)
+        hi = bisect_right(sids, self.eid)
+        return [n for n in lst[lo:hi] if not n.dead]
+
     def find_all(self, name: str | None = None,
                  class_re: str | re.Pattern | None = None) -> list["Node"]:
+        if self.idx is not None:
+            if name is not None:
+                cand = self._index_range(name)
+                if class_re is None:
+                    return cand
+                pat = (re.compile(class_re) if isinstance(class_re, str)
+                       else class_re)
+                return [n for n in cand
+                        if pat.search(n.attrs.get("class", ""))]
+            if class_re is not None:
+                pat = (re.compile(class_re) if isinstance(class_re, str)
+                       else class_re)
+                return [n for n in self._index_range("@class")
+                        if pat.search(n.attrs.get("class", ""))]
         pat = re.compile(class_re) if isinstance(class_re, str) else class_re
         out = []
         for node in self.iter_desc():
@@ -75,6 +112,9 @@ class Node:
         return out
 
     def find(self, name: str) -> "Node | None":
+        if self.idx is not None:
+            cand = self._index_range(name)
+            return cand[0] if cand else None
         for node in self.iter_desc():
             if node.name == name:
                 return node
@@ -115,63 +155,107 @@ class Node:
         if self.parent is not None:
             self.parent.children.remove(self)
             self.parent = None
+        self.dead = True
+        for n in self.iter_desc():
+            n.dead = True
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
         return f"<{self.name} {self.attrs}>"
 
 
 class _TreeBuilder(HTMLParser):
-    def __init__(self) -> None:
+    """Tree builder; with ``strip`` set, boilerplate subtrees
+    (script/style/article/code) are skipped DURING tokenization — cheaper
+    than building and then extracting them, and equivalent to
+    htmlPreTreat's removals."""
+
+    def __init__(self, strip: frozenset = frozenset()) -> None:
         super().__init__(convert_charrefs=True)
         self.root = Node("[document]")
         self.stack: list[Node] = [self.root]
+        self._strip = strip
+        self._skip_depth = 0
+        self._skip_tag = ""
+        self._counter = 0
+        self.idx: dict[str, list[Node]] = {}
+        self.root.idx = self.idx
+
+    def _new_node(self, tag: str, attrs) -> Node:
+        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs},
+                    self.stack[-1])
+        self._counter += 1
+        node.sid = node.eid = self._counter
+        node.idx = self.idx
+        self.idx.setdefault(tag, []).append(node)
+        if "class" in node.attrs:
+            self.idx.setdefault("@class", []).append(node)
+        return node
+
+    def _pop(self) -> None:
+        node = self.stack.pop()
+        node.eid = self._counter
 
     # HTMLParser treats <script>/<style> bodies as raw data already.
 
     def handle_starttag(self, tag: str, attrs) -> None:
+        if self._skip_depth:
+            if tag == self._skip_tag and tag not in VOID_ELEMENTS:
+                self._skip_depth += 1
+            return
+        if tag in self._strip:
+            if tag not in VOID_ELEMENTS:
+                self._skip_depth = 1
+                self._skip_tag = tag
+            return
         implied = IMPLIED_CLOSE.get(tag)
         if implied:
             while len(self.stack) > 1 and self.stack[-1].name in implied:
-                self.stack.pop()
-        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs},
-                    self.stack[-1])
+                self._pop()
+        node = self._new_node(tag, attrs)
         self.stack[-1].children.append(node)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
-        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs},
-                    self.stack[-1])
+        if self._skip_depth or tag in self._strip:
+            return
+        node = self._new_node(tag, attrs)
         self.stack[-1].children.append(node)
 
     def handle_endtag(self, tag: str) -> None:
+        if self._skip_depth:
+            if tag == self._skip_tag:
+                self._skip_depth -= 1
+            return
         # pop to the matching open tag; ignore stray end tags
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].name == tag:
-                del self.stack[i:]
+                while len(self.stack) > i:
+                    self._pop()
                 return
 
     def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
         if data:
             self.stack[-1].children.append(data)
 
     # comments, decls, PIs: dropped (htmlPreTreat removes comments anyway)
 
 
-def parse_html(html: str) -> Node:
-    builder = _TreeBuilder()
+def parse_html(html: str, strip: frozenset = frozenset()) -> Node:
+    builder = _TreeBuilder(strip)
     builder.feed(html)
     builder.close()
+    while len(builder.stack) > 1:
+        builder._pop()
+    builder.root.eid = builder._counter
     return builder.root
 
 
 def pre_treat(html: str) -> Node:
     """htmlPreTreat (tableExtractor.py:519-537): strip \\r\\t\\n literally,
-    parse, drop comment/script/style/article/code subtrees."""
+    then parse with comment/script/style/article/code subtrees dropped
+    at tokenization time."""
     html = html.replace("\r", "").replace("\t", "").replace("\n", "")
-    root = parse_html(html)
-    for name in _STRIP_TAGS:
-        for node in root.find_all(name):
-            if node.parent is not None:
-                node.extract()
-    return root
+    return parse_html(html, strip=_STRIP_TAGS)

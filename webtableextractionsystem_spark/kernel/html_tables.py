@@ -58,13 +58,27 @@ def clean_cell_text(text: str) -> str:
     return RE_FOOTNOTE.sub("", text).replace("\xa0", "")
 
 
+def _walk_cell(node: Node, parts: list, href: dict, img: list) -> None:
+    """Single doc-order walk collecting text, <a href> map and <img src>
+    list together (equivalent to the reference's three passes:
+    find_all('a') + find_all('img') + .text, table.py:1196-1214)."""
+    for c in node.children:
+        if isinstance(c, str):
+            parts.append(c)
+            continue
+        if c.name == "a" and "href" in c.attrs:
+            href[c.text] = BAIKE_PREFIX + (c.attrs.get("href") or "")
+        elif c.name == "img" and "src" in c.attrs:
+            img.append(c.attrs["src"])
+        _walk_cell(c, parts, href, img)
+
+
 def _cell_from_tag(tag: Node) -> Cell:
     """changeTag2TableItem (table.py:1188-1218)."""
     href: dict[str, str] = {}
-    for a in tag.find_all("a"):
-        if a.has_attr("href"):
-            href[a.text] = BAIKE_PREFIX + (a.get("href") or "")
-    img = [i.get("src") or "" for i in tag.find_all("img") if i.has_attr("src")]
+    img: list[str] = []
+    parts: list[str] = []
+    _walk_cell(tag, parts, href, img)
 
     def _span(attr: str) -> int:
         v = tag.get(attr)
@@ -75,7 +89,7 @@ def _cell_from_tag(tag: Node) -> Cell:
         except ValueError:
             return 1  # reference would crash on e.g. rowspan="50%"; clamp
 
-    content = clean_cell_text(tag.text)
+    content = clean_cell_text("".join(parts))
     return Cell(content, _span("rowspan"), _span("colspan"), href, img, tag.name)
 
 

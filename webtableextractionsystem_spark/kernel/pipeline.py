@@ -33,7 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .celltype import classify_series
+from .celltype import classify_batch
 from .dom import pre_treat
 from .extract import extract_entity_relationship, table_type
 from .html_tables import (
@@ -228,10 +228,9 @@ def _assign_types(raws: list[RawTable]) -> None:
     cells = [c for raw in raws for row in raw.rows for c in row]
     if not cells:
         return
-    contents = pd.Series([c.content for c in cells], dtype=object)
-    has_img = np.fromiter((len(c.img) > 0 for c in cells), dtype=bool,
-                          count=len(cells))
-    types = classify_series(contents, has_img)
+    types = classify_batch(
+        [c.content for c in cells], [len(c.img) > 0 for c in cells]
+    )
     for c, t in zip(cells, types):
         c.type_idx = int(t)
 
