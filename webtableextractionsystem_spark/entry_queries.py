@@ -91,6 +91,43 @@ def x_doc_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_table_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 projection-to-records (__table2DictList, table.py:658-685) in
+    pure Catalyst: header row becomes the record keys, data rows become
+    (key, value) pairs, empty values filtered (filtration=True).
+    Aggregated per key for a compact pinned oracle."""
+    t = tables_view(_extracted(spark))
+    headers = F.transform(F.element_at("cells", 1),
+                          lambda c: c["content"])
+    data_rows = F.slice(
+        "cells", 2, F.greatest(F.size("cells") - 1, F.lit(0)))
+    pairs = (
+        t.select(
+            "doc_id", "table_idx",
+            F.posexplode(
+                F.transform(
+                    data_rows,
+                    # plain closure over `headers` — adding a default arg
+                    # would flip pyspark's lambda-arity detection
+                    lambda row: F.arrays_zip(
+                        headers.alias("k"),
+                        F.transform(row, lambda c: c["content"]).alias("v"),
+                    ),
+                )
+            ).alias("row_idx", "kvs"),
+        )
+        .select("doc_id", "table_idx", "row_idx",
+                F.explode("kvs").alias("kv"))
+        .select("doc_id", F.col("kv.k").alias("key"),
+                F.col("kv.v").alias("value"))
+        .where(F.trim("value") != "")
+    )
+    return pairs.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("value").alias("n_values"),
+    )
+
+
 def x_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F2 URL classification over the hrefs harvested by extraction."""
     from .operators.urlfilters import classify_urls
@@ -140,6 +177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_triples_by_rel": x_triples_by_rel,
         "x_entities_fused": x_entities_fused,   # + A6 fusion
         "x_doc_totals": x_doc_totals,
+        "x_table_records": x_table_records,     # F10
         "x_url_filter": x_url_filter,           # F1/F2
         "x_media_features": x_media_features,   # multimodal plumbing
         # text analysis over documents

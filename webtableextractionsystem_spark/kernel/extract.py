@@ -220,6 +220,47 @@ def extract_entities(table: Table) -> list[tuple[str, str, dict]]:
     return out
 
 
+def _not_null_append(out: list, a: str, b: str, c: str,
+                     is_name: bool = False) -> None:
+    """_notNullAppend (table.py:55-79): pre-clean empty/length gates, then
+    bracket + punctuation cleaning; post-clean length gate on c when it
+    is a name."""
+    if not a or a.isspace() or not b or b.isspace() or not c or c.isspace():
+        return
+    if len(a) > 7 or len(b) > 7:
+        return
+    a = RE_PUNCT.sub("", RE_BRACKETS.sub("", a))
+    b = RE_PUNCT.sub("", RE_BRACKETS.sub("", b))
+    c = RE_BRACKETS.sub("", c)
+    if is_name:
+        c = RE_PUNCT.sub("", c)
+        if len(c) > 7:
+            return
+    out.append((a, b, c))
+
+
+def extract_entity_triads(table: Table) -> list[tuple[str, str, str]]:
+    """extractEntity(getEntityTriad=True) (table.py:933-943): flat
+    (person, property, value) triads. NOTE this path is dead code in the
+    reference pipeline (always called with the default False,
+    tableExtractor.py:127) — provided for surface completeness. Mutates
+    the table (deletes the person column), and the person-name list keeps
+    its header cell (no removeHeader), exactly like the reference."""
+    triads: list[tuple[str, str, str]] = []
+    cells = person_col_cells(table, delete_col=True)
+    names = clean_person_names([str(c.content) for c in cells])
+    if table.n_cols < 1 or not names:
+        return triads
+    headers = table.headers()
+    for i in range(table.header_rows, table.n_rows):
+        for j in range(table.header_rows - 1, table.n_cols):
+            if i < len(names):
+                _not_null_append(
+                    triads, names[i], headers[j],
+                    str(table.grid[i][j].content))
+    return triads
+
+
 # ---------------------------------------------------------------------------
 # E2: property-relation extraction (table.py:833-868)
 # ---------------------------------------------------------------------------
