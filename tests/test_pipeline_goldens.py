@@ -187,6 +187,29 @@ def test_interleaved_spans_order():
     assert [s["seq"] for s in res["out_spans"]] == list(range(9))
 
 
+def test_h13_docx_table():
+    from webtableextractionsystem_spark.fixtures import H13_DOCX_TABLE
+
+    res = extract_document(
+        "doc-1",
+        [{"kind": "docx", "text": H13_DOCX_TABLE, "media_ref": "",
+          "offset": 0}],
+    )
+    assert span_seq(res) == [
+        ("caption", "家族成员", ""),
+        ("header_cell", "姓名", ""),
+        ("header_cell", "关系", ""),
+        ("cell", "丙某", ""),
+        ("cell", "亲属", ""),
+        ("cell", "丁某", ""),
+        ("cell", "称谓乙", ""),
+    ]
+    assert [(t["rel"], t["obj_name"]) for t in res["triples"]] == [
+        ("亲属", "丙某"), ("称谓乙", "丁某"),
+    ]
+    assert res["tables"][0]["caption"] == "家族成员"
+
+
 def test_mega_doc_h11():
     res = extract_document(
         "doc-m",

@@ -67,6 +67,8 @@ def gen_document(i: int) -> dict:
             add("text", rng.choice(_TEXT_SNIPPETS))
         elif roll < 0.45:
             add("media", media_ref=f"img://{doc_id}/{offset}")
+        elif roll < 0.50:
+            add("docx", FX.H13_DOCX_TABLE)   # S14 second input kind
         else:
             key = rng.choice(_ARCHETYPE_KEYS)
             add("html", FX.ARCHETYPES[key])

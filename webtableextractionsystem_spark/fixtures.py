@@ -129,6 +129,17 @@ H12_TYPE_BATTERY = """
 """
 
 
+# H13: WordprocessingML table (S14 second input kind, span kind='docx')
+H13_DOCX_TABLE = """
+<w:tbl>
+  <w:tr><w:tc><w:p><w:r><w:t>家族成员</w:t></w:r></w:p></w:tc></w:tr>
+  <w:tr><w:tc><w:t>姓名</w:t></w:tc><w:tc><w:t>关系</w:t></w:tc></w:tr>
+  <w:tr><w:tc><w:t>丙某</w:t></w:tc><w:tc><w:t>亲属</w:t></w:tc></w:tr>
+  <w:tr><w:tc><w:t>丁某</w:t></w:tc><w:tc><w:t>称谓乙</w:t></w:tc></w:tr>
+</w:tbl>
+"""
+
+
 def mega_doc_html(n_tables: int) -> str:
     """H11: mega-doc with n copies of H2 (skew tail)."""
     return "<div>" + H2_RELATION_TABLE * n_tables + "</div>"

@@ -306,6 +306,36 @@ def _text_with_br_slash(node: Node) -> str:
 
 
 # ---------------------------------------------------------------------------
+# S14: word-document tables (extractWordTable + changeWordTable2Table,
+# tableExtractor.py:503-516, table.py:1289-1310) — the reference reads
+# .docx via python-docx; the rebuild accepts the underlying
+# WordprocessingML as a second input-span kind ('docx'): <w:tbl> with
+# <w:tr>/<w:tc> rows/cells. Reference semantics: the first row's first
+# cell is the table caption; remaining rows are 1x1 data cells.
+# ---------------------------------------------------------------------------
+
+def extract_docx_tables(root: Node) -> list[RawTable]:
+    out: list[RawTable] = []
+    for tbl in root.find_all("w:tbl"):
+        trs = tbl.find_all("w:tr")
+        if len(trs) < 2:
+            continue
+        caption = ""
+        first_cells = trs[0].find_all("w:tc")
+        if first_cells:
+            caption = clean_cell_text(first_cells[0].text)
+        rows: list[list[Cell]] = []
+        for tr in trs[1:]:
+            rows.append([
+                Cell(clean_cell_text(tc.text), 1, 1, {}, [], "w:tc")
+                for tc in tr.find_all("w:tc")
+            ])
+        if rows:
+            out.append(RawTable(rows, caption=caption or DEFAULT_CAPTION))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # T4: embedded list tables (extractListTable, tableExtractor.py:337-386)
 # ---------------------------------------------------------------------------
 

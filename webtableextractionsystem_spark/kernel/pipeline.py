@@ -152,9 +152,15 @@ def extract_document(doc_id: str, spans: list[dict]) -> dict:
                               "media_ref": span.get("media_ref") or "",
                               "offset": offset})
             seq += 1
-        elif kind == "html":
+        elif kind in ("html", "docx"):
             try:
-                raws = locate_raw_tables(span.get("text") or "", doc_id)
+                if kind == "docx":
+                    from .html_tables import extract_docx_tables
+
+                    raws = extract_docx_tables(
+                        pre_treat(span.get("text") or ""))
+                else:
+                    raws = locate_raw_tables(span.get("text") or "", doc_id)
             except Exception:
                 n_errors += 1
                 continue
