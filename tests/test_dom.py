@@ -74,3 +74,54 @@ def test_find_all_class_regex():
 def test_stray_end_tags_ignored():
     root = parse_html("</p><div>ok</div></table>")
     assert root.find("div").text == "ok"
+
+
+def _tree_repr(node):
+    out = [node.name, sorted(node.attrs.items())]
+    for c in node.children:
+        out.append(c if isinstance(c, str) else _tree_repr(c))
+    return out
+
+
+def test_fast_matches_stdlib():
+    """Differential: the fast tokenizer must build the identical tree to
+    the stdlib-HTMLParser baseline on every archetype + tricky cases."""
+    from webtableextractionsystem_spark.fixtures import ARCHETYPES, H13_DOCX_TABLE, mega_doc_html
+    from webtableextractionsystem_spark.kernel.dom import (
+        _STRIP_TAGS,
+        parse_html_stdlib,
+    )
+
+    cases = list(ARCHETYPES.values()) + [
+        H13_DOCX_TABLE,
+        mega_doc_html(5),
+        "<td rowspan=2 class='x y'>a&amp;b<br><img src=u/></td>",
+        "<table><tr><td>a<td>b<tr><td>c</table>",
+        "<div><p>1<p>2</div><ul><li>x<li>y</ul>",
+        "<a href=/item/unquoted>t</a>",
+        "<!doctype html><?pi ?><!-- c --><b>k</b>",
+        "<script>if (a<b) { x(); }</script><i>v</i>",
+        "text only, no tags & entities &gt; here",
+        "<W:TBL><W:TR><W:TC>X</W:TC></W:TR></W:TBL>",
+        "<broken <div>ok</div>",
+    ]
+    for html in cases:
+        for strip in (frozenset(), _STRIP_TAGS):
+            a = parse_html(html, strip)
+            b = parse_html_stdlib(html, strip)
+            assert _tree_repr(a) == _tree_repr(b), html[:60]
+
+
+def test_fast_index_consistency():
+    from webtableextractionsystem_spark.fixtures import ARCHETYPES
+
+    for html in ARCHETYPES.values():
+        root = parse_html(html)
+        # index-based find_all must agree with a raw tree walk
+        for name in ("table", "tr", "td", "a", "img", "ul", "dl"):
+            via_idx = root.find_all(name)
+            via_walk = [x for x in root.iter_desc() if x.name == name]
+            assert via_idx == via_walk, (name, html[:40])
+        for t in root.find_all("table"):
+            assert t.find_all("td") == [x for x in t.iter_desc()
+                                        if x.name == "td"]

@@ -208,6 +208,40 @@ def test_flip_involution_and_normalize_rectangular(rows, cols, data):
     assert back.direction == "ROW"
 
 
+@settings(max_examples=60, deadline=None)
+@given(rows=st.integers(2, 5), cols=st.integers(2, 5), data=st.data())
+def test_orientation_of_transpose_is_opposite(rows, cols, data):
+    """When the variance rule decides strictly (no tie, no th tags), a
+    table and its transpose must get opposite directions — the score
+    components swap exactly (SURVEY §5.4)."""
+    contents = [
+        [data.draw(st.text(alphabet="abc中文123", min_size=0, max_size=6))
+         for _ in range(cols)]
+        for _ in range(rows)
+    ]
+    import numpy as np
+    from webtableextractionsystem_spark.kernel.celltype import classify_batch
+
+    def build(mat):
+        raw = [[cell(v) for v in r] for r in mat]
+        flat = [c for r in raw for c in r]
+        types = classify_batch([c.content for c in flat],
+                               [False] * len(flat))
+        for c, t in zip(flat, types):
+            c.type_idx = int(t)
+        grid, correct = normalize_grid(raw)
+        return Table(grid, caption="x", correct=correct)
+
+    t = build(contents)
+    tt = build([list(r) for r in zip(*contents)])
+    row_var, col_var = length_character(t.length_matrix())
+    row_t, col_t = type_character(t.type_matrix())
+    row_score = 0.5 * row_var + 0.5 * row_t
+    col_score = 0.5 * col_var + 0.5 * col_t
+    if abs(row_score - col_score) > 1e-9:  # strict decision only
+        assert unfold_direction(t) != unfold_direction(tt)
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     rows=st.integers(2, 4), cols=st.integers(2, 4),

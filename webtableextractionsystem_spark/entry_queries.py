@@ -41,10 +41,20 @@ from .operators.fusion import fuse_entities
 
 N_X_DOCS = 600  # fixed extraction-correctness corpus (2 mega-docs included)
 
+# one extraction pass shared by all x_* queries within a session (the
+# driver runs each query separately; persisting avoids re-running the
+# kernel 8x over the same 600 docs)
+_EXT_CACHE: dict[int, DataFrame] = {}
+
 
 def _extracted(spark: SparkSession) -> DataFrame:
-    docs = gen_documents_df(spark, N_X_DOCS)
-    return extract_all(docs, num_buckets=32)
+    key = id(spark._jsparkSession)
+    df = _EXT_CACHE.get(key)
+    if df is None:
+        docs = gen_documents_df(spark, N_X_DOCS)
+        df = extract_all(docs, num_buckets=32).persist()
+        _EXT_CACHE[key] = df
+    return df
 
 
 # ---------------------------------------------------------------------------

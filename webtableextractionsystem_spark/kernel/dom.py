@@ -243,7 +243,9 @@ class _TreeBuilder(HTMLParser):
     # comments, decls, PIs: dropped (htmlPreTreat removes comments anyway)
 
 
-def parse_html(html: str, strip: frozenset = frozenset()) -> Node:
+def parse_html_stdlib(html: str, strip: frozenset = frozenset()) -> Node:
+    """Reference tokenizer path (stdlib HTMLParser); kept as the
+    differential-testing baseline for the fast tokenizer below."""
     builder = _TreeBuilder(strip)
     builder.feed(html)
     builder.close()
@@ -251,6 +253,155 @@ def parse_html(html: str, strip: frozenset = frozenset()) -> Node:
         builder._pop()
     builder.root.eid = builder._counter
     return builder.root
+
+
+# ---------------------------------------------------------------------------
+# Fast tokenizer: one regex-driven scan, same tree/index semantics as the
+# stdlib path (verified by tests/test_dom.py::test_fast_matches_stdlib
+# over every fixture archetype + the generated corpus). ~2x the
+# tokenization throughput of html.parser for the table-heavy pages this
+# engine processes.
+# ---------------------------------------------------------------------------
+
+_TAG_RE = re.compile(
+    r"<([a-zA-Z][^\s/>]*)"                                   # name
+    r"((?:\s+[^\s/>=]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"
+    r"\s*(/?)>"
+)
+_ATTR_RE = re.compile(
+    r"([^\s/>=]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
+)
+_RAWTEXT = frozenset({"script", "style", "textarea", "title"})
+_RAW_CLOSE = {name: re.compile(f"</{name}", re.I) for name in _RAWTEXT}
+
+
+def parse_html(html: str, strip: frozenset = frozenset()) -> Node:
+    from html import unescape
+
+    counter = 0
+    idx: dict[str, list[Node]] = {}
+    root = Node("[document]")
+    root.idx = idx
+    stack = [root]
+    skip_depth = 0
+    skip_tag = ""
+    n = len(html)
+    pos = 0
+    find = html.find
+
+    def emit_data(s: str) -> None:
+        if skip_depth or not s:
+            return
+        if "&" in s:
+            s = unescape(s)
+        stack[-1].children.append(s)
+
+    while pos < n:
+        lt = find("<", pos)
+        if lt == -1:
+            emit_data(html[pos:])
+            break
+        if lt > pos:
+            emit_data(html[pos:lt])
+        nxt = html[lt + 1] if lt + 1 < n else ""
+        if nxt == "!":
+            if html.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                pos = n if end == -1 else end + 3
+            else:
+                end = find(">", lt)
+                pos = n if end == -1 else end + 1
+            continue
+        if nxt == "/":
+            end = find(">", lt)
+            if end == -1:
+                pos = n
+                continue
+            name = html[lt + 2:end].strip().lower()
+            name = name.split()[0] if name else ""
+            pos = end + 1
+            if skip_depth:
+                if name == skip_tag:
+                    skip_depth -= 1
+                continue
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].name == name:
+                    while len(stack) > i:
+                        node = stack.pop()
+                        node.eid = counter
+                    break
+            continue
+        if nxt == "?":
+            end = find(">", lt)
+            pos = n if end == -1 else end + 1
+            continue
+        m = _TAG_RE.match(html, lt)
+        if m is None:
+            emit_data("<")
+            pos = lt + 1
+            continue
+        pos = m.end()
+        name = m.group(1).lower()
+        self_closing = m.group(3) == "/"
+        if skip_depth:
+            if name == skip_tag and not self_closing \
+                    and name not in VOID_ELEMENTS:
+                skip_depth += 1
+            continue
+        if name in strip:
+            if name in _RAWTEXT:
+                cm = _RAW_CLOSE[name].search(html, pos)
+                if cm is None:
+                    break
+                gt = find(">", cm.end())
+                pos = n if gt == -1 else gt + 1
+            elif not self_closing and name not in VOID_ELEMENTS:
+                skip_depth = 1
+                skip_tag = name
+            continue
+        attrs: dict[str, str] = {}
+        raw_attrs = m.group(2)
+        if raw_attrs:
+            for am in _ATTR_RE.finditer(raw_attrs):
+                v = am.group(2) or am.group(3) or am.group(4) or ""
+                if "&" in v:
+                    v = unescape(v)
+                attrs[am.group(1).lower()] = v
+        implied = IMPLIED_CLOSE.get(name)
+        if implied:
+            while len(stack) > 1 and stack[-1].name in implied:
+                node = stack.pop()
+                node.eid = counter
+        node = Node(name, attrs, stack[-1])
+        counter += 1
+        node.sid = node.eid = counter
+        node.idx = idx
+        idx.setdefault(name, []).append(node)
+        if "class" in attrs:
+            idx.setdefault("@class", []).append(node)
+        stack[-1].children.append(node)
+        if self_closing or name in VOID_ELEMENTS:
+            continue
+        if name in _RAWTEXT:
+            # CDATA semantics: no entity conversion inside raw-text
+            # elements (matches HTMLParser's convert_charrefs behavior)
+            cm = _RAW_CLOSE[name].search(html, pos)
+            end = cm.start() if cm else n
+            if end > pos:
+                node.children.append(html[pos:end])
+            node.eid = counter
+            if cm is None:
+                break
+            gt = find(">", cm.end())
+            pos = n if gt == -1 else gt + 1
+            continue
+        stack.append(node)
+
+    while len(stack) > 1:
+        node = stack.pop()
+        node.eid = counter
+    root.eid = counter
+    return root
 
 
 def pre_treat(html: str) -> Node:
