@@ -195,6 +195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_quality": TS.quality_stats,
         "q_doc_lang_id": TS.lang_id,
         "q_doc_fingerprint": TS.fingerprints,
+        "q_doc_bpe_tokens": TS.bpe_token_stats,
+        "q_doc_rolling_hash": TS.rolling_fingerprints,
         # dedup family (F3 at scale)
         "q_doc_exact_dedup": DD.exact_dedup,
         "q_doc_minhash": DD.minhash_signatures,
@@ -226,6 +228,8 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_quality": TS.QUALITY_SQL,
         "q_doc_lang_id": TS.LANG_ID_SQL,
         "q_doc_fingerprint": TS.FINGERPRINT_SQL,
+        "q_doc_bpe_tokens": TS.BPE_TOKENS_SQL,
+        "q_doc_rolling_hash": TS.ROLLING_SQL,
         "q_doc_exact_dedup": DD.EXACT_DEDUP_SQL,
         "q_doc_minhash": DD.minhash_sql(),
         "q_doc_lsh_bands": DD.lsh_band_keys_sql(),

@@ -124,6 +124,73 @@ FROM (SELECT doc_id, text, lang, regexp_split_to_array(trim(text), '\s+') AS tok
 
 
 # ---------------------------------------------------------------------------
+# BPE-ish subword token count (GPT-2-style pre-tokenizer pattern; both
+# Java regex and DuckDB's RE2 support \p{L}/\p{N} identically here)
+# ---------------------------------------------------------------------------
+
+BPE_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pieces = F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)
+    return load_documents(spark, sf_dir).select(
+        "doc_id",
+        F.size(pieces).alias("n_bpe_pieces"),
+        F.size(F.filter(pieces, lambda p: p.rlike(r"^ ?\p{N}+$")))
+        .alias("n_number_pieces"),
+    )
+
+
+BPE_TOKENS_SQL = rf"""
+SELECT doc_id,
+       CAST(len(pieces) AS INTEGER) AS n_bpe_pieces,
+       CAST(len([p FOR p IN pieces IF regexp_matches(p, '^ ?\p{{N}}+$')])
+            AS INTEGER) AS n_number_pieces
+FROM (SELECT doc_id,
+             regexp_extract_all(text,
+               '''s|''t|''re|''ve|''m|''ll|''d| ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+|\s+'
+             ) AS pieces
+      FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash fingerprint (Karp-Rabin fold over md5-derived token hashes;
+# DuckDB list_reduce uses the first element as the accumulator, mirrored
+# on the Spark side)
+# ---------------------------------------------------------------------------
+
+ROLL_MOD = 2147483647
+
+
+def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens()
+    hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    rolled = F.aggregate(
+        F.slice(hashes, 2, F.greatest(F.size(hashes) - 1, F.lit(0))),
+        F.element_at(hashes, 1),
+        lambda acc, x: (acc * 31 + x) % ROLL_MOD,
+    )
+    return load_documents(spark, sf_dir).select(
+        "doc_id", rolled.alias("rolling_hash")
+    )
+
+
+ROLLING_SQL = rf"""
+SELECT doc_id,
+       list_reduce([CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT)
+                    FOR t IN regexp_split_to_array(trim(text), '\s+')],
+                   (acc, x) -> (acc * 31 + x) % {ROLL_MOD}) AS rolling_hash
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # document fingerprint (normalized-content hash)
 # ---------------------------------------------------------------------------
 
