@@ -27,6 +27,9 @@ def _bootstrap(spark: SparkSession) -> None:
         spark.sparkContext.addPyFile(package_zip())
     except Exception:
         pass  # already added in this session
+    # timestamp-formatting oracles assume UTC; a harness-built session on
+    # a non-UTC host would otherwise format event times in local time
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -104,6 +104,13 @@ def test_fast_matches_stdlib():
         "text only, no tags & entities &gt; here",
         "<W:TBL><W:TR><W:TC>X</W:TC></W:TR></W:TBL>",
         "<broken <div>ok</div>",
+        # review-found divergence cases, now pinned:
+        "<title>a &amp; b</title>",                 # title is NOT CDATA
+        "<textarea><div>x</div></textarea>",        # textarea is NOT CDATA
+        "<table><tr><td>a<td/>b</td></tr></table>",  # self-closing: no implied close
+        "<p>one<p/>two</p>",
+        "<article>x<script>hide </article> me</script>y</article><b>z</b>",
+        "<script/><em>after self-closing script</em>",
     ]
     for html in cases:
         for strip in (frozenset(), _STRIP_TAGS):

@@ -48,15 +48,14 @@ class CheckpointRunner:
     # -- checkpoint table ---------------------------------------------------
 
     def checkpoint_df(self) -> DataFrame:
-        # existence check avoids a noisy AnalysisException round-trip on
-        # cold start; works for local paths (cluster: swap for a catalog
-        # table / Iceberg existence probe)
+        # existence check distinguishes a cold start (empty checkpoint)
+        # from a CORRUPT checkpoint: the latter must surface, not be
+        # silently treated as "nothing done" (which would trigger an
+        # unexplained full recompute of a 100TB input). Cluster: swap for
+        # a catalog table / Iceberg existence probe.
         if not os.path.isdir(self.ckpt_dir):
             return self.spark.createDataFrame([], CHECKPOINT)
-        try:
-            return self.spark.read.parquet(self.ckpt_dir)
-        except Exception:
-            return self.spark.createDataFrame([], CHECKPOINT)
+        return self.spark.read.parquet(self.ckpt_dir)
 
     def done_buckets(self, stage: str = STAGE_EXTRACT) -> DataFrame:
         return (

@@ -41,14 +41,15 @@ from .operators.fusion import fuse_entities
 
 N_X_DOCS = 600  # fixed extraction-correctness corpus (2 mega-docs included)
 
-# one extraction pass shared by all x_* queries within a session (the
-# driver runs each query separately; persisting avoids re-running the
-# kernel 8x over the same 600 docs)
-_EXT_CACHE: dict[int, DataFrame] = {}
+# one extraction pass shared by all x_* queries within a Spark context
+# (the driver runs each query separately; persisting avoids re-running
+# the kernel 8x over the same 600 docs). Keyed by applicationId: unique
+# per SparkContext lifetime, no id()-reuse aliasing across sessions.
+_EXT_CACHE: dict[str, DataFrame] = {}
 
 
 def _extracted(spark: SparkSession) -> DataFrame:
-    key = id(spark._jsparkSession)
+    key = spark.sparkContext.applicationId
     df = _EXT_CACHE.get(key)
     if df is None:
         docs = gen_documents_df(spark, N_X_DOCS)

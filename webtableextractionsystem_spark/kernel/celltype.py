@@ -1,10 +1,13 @@
-"""Vectorized cell micro-type classifier (the reference's TypeTree leaf
+"""Batched cell micro-type classifier (the reference's TypeTree leaf
 assignment, /root/reference/src/tableExtract/TableItem.py:47-96).
 
-The reference classifies one cell at a time with a 10-regex battery; here
-classification runs ONCE per Arrow batch over a flat pandas Series holding
-every cell of every table of every document in the batch (batched
-tokenize+classify per the north star).
+The reference classifies one cell at a time with a fresh 10-regex battery;
+here classification runs once over ALL cells of a document's tables via
+``classify_batch``: short-circuiting module-compiled regexes (most cells
+resolve in 2-3 probes) plus a per-batch memo dict (cell contents repeat
+heavily — headers, serials, empties). This outperformed a fully
+"vectorized" pandas ``str.match`` pipeline ~8x, because pandas string
+matching is itself a per-element Python loop plus Series overhead.
 
 Bug-compatible notes (pinned by tests/test_celltype.py):
 

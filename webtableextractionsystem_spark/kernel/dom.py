@@ -271,7 +271,10 @@ _TAG_RE = re.compile(
 _ATTR_RE = re.compile(
     r"([^\s/>=]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
 )
-_RAWTEXT = frozenset({"script", "style", "textarea", "title"})
+# CDATA elements exactly as the stdlib baseline treats them (HTMLParser
+# CDATA_CONTENT_ELEMENTS = script, style; title/textarea are ordinary
+# elements there and must stay so here for differential equivalence)
+_RAWTEXT = frozenset({"script", "style"})
 _RAW_CLOSE = {name: re.compile(f"</{name}", re.I) for name in _RAWTEXT}
 
 
@@ -344,18 +347,31 @@ def parse_html(html: str, strip: frozenset = frozenset()) -> Node:
         name = m.group(1).lower()
         self_closing = m.group(3) == "/"
         if skip_depth:
+            if name in _RAWTEXT and not self_closing:
+                # CDATA content inside a skipped subtree: jump past the
+                # raw close so e.g. "</article>" INSIDE a script body
+                # cannot terminate the skip early (stdlib parity)
+                cm = _RAW_CLOSE[name].search(html, pos)
+                if cm is None:
+                    pos = n
+                    continue
+                gt = find(">", cm.end())
+                pos = n if gt == -1 else gt + 1
+                continue
             if name == skip_tag and not self_closing \
                     and name not in VOID_ELEMENTS:
                 skip_depth += 1
             continue
         if name in strip:
+            if self_closing or name in VOID_ELEMENTS:
+                continue  # stdlib: startendtag never enters CDATA/skip
             if name in _RAWTEXT:
                 cm = _RAW_CLOSE[name].search(html, pos)
                 if cm is None:
                     break
                 gt = find(">", cm.end())
                 pos = n if gt == -1 else gt + 1
-            elif not self_closing and name not in VOID_ELEMENTS:
+            else:
                 skip_depth = 1
                 skip_tag = name
             continue
@@ -367,7 +383,9 @@ def parse_html(html: str, strip: frozenset = frozenset()) -> Node:
                 if "&" in v:
                     v = unescape(v)
                 attrs[am.group(1).lower()] = v
-        implied = IMPLIED_CLOSE.get(name)
+        # stdlib parity: handle_startendtag does NOT apply implied-close,
+        # so self-closing tags must not pop open cells/items here either
+        implied = None if self_closing else IMPLIED_CLOSE.get(name)
         if implied:
             while len(stack) > 1 and stack[-1].name in implied:
                 node = stack.pop()

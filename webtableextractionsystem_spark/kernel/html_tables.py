@@ -39,7 +39,7 @@ class RawTable:
     """Pre-normalization table: ragged rows of raw cells + metadata."""
 
     __slots__ = ("rows", "caption", "direction", "table_type", "href_map",
-                 "source_offset", "col_len_list")
+                 "source_offset")
 
     def __init__(self, rows: list[list[Cell]], caption: str = DEFAULT_CAPTION,
                  direction: str | None = None, table_type: str | None = None,
@@ -50,7 +50,6 @@ class RawTable:
         self.table_type = table_type
         self.href_map = href_map if href_map is not None else {}
         self.source_offset = 0
-        self.col_len_list = [sum(max(1, c.colspan) for c in r) for r in rows]
 
 
 def clean_cell_text(text: str) -> str:

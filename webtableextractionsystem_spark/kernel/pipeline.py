@@ -22,10 +22,11 @@ Identity model: the reference derives the page entity name from the URL
 (tableExtractor.py:98-99). The rebuild's input table has no URL, so
 ``prefix = doc_id`` and the synthetic page URL is ``doc://<doc_id>``.
 
-Vectorization: cell micro-typing runs as ONE vectorized pandas pass over
-all cells of a document's tables (celltype.classify_series); table
-features are numpy matrix ops against the precomputed TypeTree distance
-matrix. No per-cell Python regex dispatch.
+Batching: cell micro-typing runs as one memoized pass over all cells of
+a document's tables (celltype.classify_batch); table features are numpy
+matrix ops against the precomputed TypeTree distance matrix; the whole
+per-document kernel executes inside a single Arrow-batched mapInPandas
+stage (no per-row Python visible to Spark).
 """
 
 from __future__ import annotations

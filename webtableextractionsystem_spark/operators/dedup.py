@@ -140,8 +140,15 @@ def lsh_band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    return sig.select("doc_id", F.explode(bands).alias("bk")) \
-              .select("doc_id", "bk.band", "bk.band_key")
+    # docs with < SHINGLE_K tokens have NULL signatures (empty shingle
+    # set); they must emit NO bands — otherwise concat_ws collapses the
+    # NULLs into a shared md5('') band key and every short doc becomes a
+    # spurious near-dup candidate of every other
+    return (
+        sig.where(F.col("mh0").isNotNull())
+        .select("doc_id", F.explode(bands).alias("bk"))
+        .select("doc_id", "bk.band", "bk.band_key")
+    )
 
 
 def lsh_band_keys_sql() -> str:
@@ -152,7 +159,8 @@ def lsh_band_keys_sql() -> str:
             f"mh{b * BAND_ROWS + r}" for r in range(BAND_ROWS)
         )
         rows.append(
-            f"SELECT doc_id, {b} AS band, md5({concat}) AS band_key FROM sig"
+            f"SELECT doc_id, {b} AS band, md5({concat}) AS band_key "
+            f"FROM sig WHERE mh0 IS NOT NULL"
         )
     return (
         "WITH sig AS (" + minhash_sql() + ")\n" + "\nUNION ALL\n".join(rows)

@@ -51,6 +51,7 @@ def extract_all(docs: DataFrame, num_buckets: int = DEFAULT_BUCKETS,
                     {"kind": s["kind"], "text": s["text"],
                      "media_ref": s["media_ref"], "offset": s["offset"]}
                     for s in (spans if spans is not None else [])
+                    if s is not None  # null struct elements must not kill the task
                 ]
                 for spans in pdf["spans"]
             ]

@@ -39,8 +39,10 @@ def is_possible_item_url(url: Column) -> Column:
 
 def person_url_relevance(url: Column) -> Column:
     """F1 proxy: 1 when the decoded last segment looks like a CJK person
-    name, else 0 (threshold 0.8 keeps only relevance 1)."""
-    decoded = F.url_decode(last_segment(url))
+    name, else 0 (threshold 0.8 keeps only relevance 1). try_url_decode:
+    a malformed percent-escape in one href must classify as irrelevant,
+    not fail the job."""
+    decoded = F.try_url_decode(last_segment(url))
     return F.when(decoded.rlike(RE_PERSON_NAME), F.lit(1)).otherwise(F.lit(0))
 
 
