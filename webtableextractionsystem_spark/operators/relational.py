@@ -225,6 +225,70 @@ FROM events GROUP BY user_id
 """
 
 
+# --- events: gap-based sessionization (lag + cumulative sum) -----------------
+
+SESSION_GAP_MIN = 30
+
+
+def _epoch_s():
+    # parquet timestamps load as TIMESTAMP_NTZ, which cannot cast to long
+    # directly; route through timestamp (session tz is pinned UTC)
+    return F.col("ts").cast("timestamp").cast("long")
+
+
+def event_sessions(spark, sf_dir):
+    """Sessions split on >30-min inactivity gaps: classic lag + running
+    sum of gap flags. Per-user windows — shuffle on user_id only."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        _epoch_s()
+        - F.lag(_epoch_s(), 1).over(w)
+        > SESSION_GAP_MIN * 60,
+        1,
+    ).otherwise(0)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    sessions = (
+        e.withColumn("new_sess", gap)
+        .withColumn("session_id",
+                    F.sum("new_sess").over(
+                        w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), fmt).alias("session_start"),
+            (F.max(_epoch_s())
+             - F.min(_epoch_s())).alias("duration_s"),
+        )
+    )
+    return sessions
+
+
+EVENT_SESSIONS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
 # --- rollup (grouping sets) ---------------------------------------------------
 
 def lineitem_rollup(spark, sf_dir):
