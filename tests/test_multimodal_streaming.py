@@ -86,6 +86,36 @@ def test_incremental_extract_exactly_once(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == 70
 
 
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState online dedup: duplicates suppressed within
+    a batch, across batches, and across availableNow restarts (state
+    store persistence)."""
+    from webtableextractionsystem_spark.streaming.stateful import streaming_dedup
+
+    in_dir = str(tmp_path / "sin")
+    out_dir = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sck")
+    os.makedirs(in_dir)
+
+    docs = gen_documents_df(spark, 30).cache()
+    # wave 1: docs 0-29 plus duplicated CONTENT under different ids
+    dup = docs.where(F.col("doc_id") < "doc-00000005") \
+        .withColumn("doc_id", F.concat(F.lit("copy-"), "doc_id"))
+    docs.unionByName(dup).coalesce(1).write.mode("append").parquet(in_dir)
+    streaming_dedup(spark, in_dir, out_dir, ckpt)
+    out1 = spark.read.parquet(out_dir)
+    n1 = out1.count()
+    assert n1 == out1.select("fp").distinct().count()  # one doc per fp
+    assert n1 <= 30  # the 5 copies were deduped
+
+    # wave 2 (restart): resend everything -> nothing new may pass
+    docs.coalesce(1).write.mode("append").parquet(in_dir)
+    streaming_dedup(spark, in_dir, out_dir, ckpt)
+    out2 = spark.read.parquet(out_dir)
+    assert out2.count() == n1
+    assert out2.select("fp").distinct().count() == n1
+
+
 def test_windowed_event_counts_matches_batch(spark, tmp_path):
     out_dir = str(tmp_path / "agg")
     ckpt = str(tmp_path / "ckpt2")

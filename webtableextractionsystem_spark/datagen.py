@@ -37,6 +37,50 @@ _TEXT_SNIPPETS = [
     "相关研究文献综述。",
 ]
 
+# cell-content pools for the randomized-table generator (every TypeTree
+# branch represented so orientation/typing paths get fuzzed at scale)
+_CELL_POOL = [
+    "张伟", "王芳", "李娜", "数据条目", "说明文字", "ABC", "xyz", "MiXd",
+    "42", "7", "0", "-3", "0.5", "15%", "￥120", "5万",
+    "http://ex.example.com/a", "，。", "", "混合mix12", "参考内容[4]",
+]
+_HEADER_POOL = ["姓名", "关系", "备注", "名称", "数值", "类别", "日期",
+                "地点", "人员", "序号"]
+
+
+def random_table_html(rng: random.Random) -> str:
+    """Seeded random <table>: random size, optional th header, random
+    cell types, occasional row/colspans, links and images. No hand
+    golden — covered by the spark-vs-kernel self-oracle test."""
+    rows = rng.randint(2, 6)
+    cols = rng.randint(2, 5)
+    use_th = rng.random() < 0.6
+    parts = ["<table>"]
+    if rng.random() < 0.3:
+        parts.append(f"<caption>{rng.choice(['家族成员','成员列表','数据表'])}</caption>")
+    for r in range(rows):
+        parts.append("<tr>")
+        c = 0
+        while c < cols:
+            tag = "th" if (r == 0 and use_th) else "td"
+            span = ""
+            if r > 0 and c < cols - 1 and rng.random() < 0.12:
+                span = ' colspan="2"'
+                c += 1
+            elif 0 < r < rows - 1 and rng.random() < 0.08:
+                span = ' rowspan="2"'
+            content = (rng.choice(_HEADER_POOL) if tag == "th"
+                       else rng.choice(_CELL_POOL))
+            if tag == "td" and rng.random() < 0.15:
+                content = f'<a href="/item/{rng.randint(1, 999)}">{content}</a>'
+            elif tag == "td" and rng.random() < 0.08:
+                content = f'<img src="img://r/{rng.randint(1, 99)}"/>{content}'
+            parts.append(f"<{tag}{span}>{content}</{tag}>")
+            c += 1
+        parts.append("</tr>")
+    parts.append("</table>")
+    return "".join(parts)
+
 
 def doc_id_of(i: int) -> str:
     return f"doc-{i:08d}"
@@ -69,6 +113,8 @@ def gen_document(i: int) -> dict:
             add("media", media_ref=f"img://{doc_id}/{offset}")
         elif roll < 0.50:
             add("docx", FX.H13_DOCX_TABLE)   # S14 second input kind
+        elif roll < 0.62:
+            add("html", random_table_html(rng))  # fuzzed table shapes
         else:
             key = rng.choice(_ARCHETYPE_KEYS)
             add("html", FX.ARCHETYPES[key])

@@ -1,0 +1,82 @@
+"""Custom stateful streaming operator: online exact-dedup with
+``applyInPandasWithState``.
+
+The reference's Bloom-filter crawl dedup (F3,
+/root/reference/src/spider/WebSpider.py:34,251-262) is a mutable
+in-process set — lost on crash, single-machine. The streaming-native
+version keeps seen-fingerprint state in Spark's state store (persisted
+with the streaming checkpoint, partitioned by key, survives restarts):
+first occurrence of a fingerprint passes through, later occurrences —
+within a batch, across batches, or across availableNow restarts — are
+suppressed.
+
+State value: (n_seen, first_doc_id). Keys are the fingerprints
+themselves, so state is hash-partitioned and scales horizontally.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..schemas import DOCUMENTS
+
+OUTPUT_SCHEMA = "fp string, doc_id string, n_dupes_seen int"
+STATE_SCHEMA = "n_seen int, first_doc_id string"
+
+
+def _dedup_fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
+              state: GroupState) -> Iterator[pd.DataFrame]:
+    (fp,) = key
+    if state.exists:
+        n_seen, first_doc = state.get
+    else:
+        n_seen, first_doc = 0, None
+    emit = []
+    for pdf in pdfs:
+        for doc_id in sorted(pdf["doc_id"]):
+            if n_seen == 0:
+                first_doc = doc_id
+                emit.append((fp, doc_id, 0))
+            n_seen += 1
+    state.update((n_seen, first_doc))
+    if emit:
+        yield pd.DataFrame(emit, columns=["fp", "doc_id", "n_dupes_seen"])
+
+
+def streaming_dedup(spark: SparkSession, input_dir: str, output_dir: str,
+                    stream_ckpt_dir: str) -> None:
+    """Stream documents from ``input_dir``; append ONLY first-seen
+    fingerprints to ``output_dir``. Fingerprint = md5 of the doc's span
+    texts (computed JVM-side before the stateful operator)."""
+    stream = (
+        spark.readStream.schema(DOCUMENTS).parquet(input_dir)
+        .withColumn(
+            "fp",
+            F.md5(F.concat_ws(
+                "\x01",
+                F.transform("spans", lambda s: s["text"]))),
+        )
+        .select("fp", "doc_id")
+    )
+    dedup = stream.groupBy("fp").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    (
+        dedup.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", stream_ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
