@@ -119,6 +119,43 @@ def test_fast_matches_stdlib():
             assert _tree_repr(a) == _tree_repr(b), html[:60]
 
 
+def test_fast_matches_stdlib_on_random_tag_soup():
+    """Hypothesis fuzz: arbitrary tag soup must parse identically under
+    the fast tokenizer and the stdlib baseline."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from webtableextractionsystem_spark.kernel.dom import (
+        _STRIP_TAGS,
+        parse_html_stdlib,
+    )
+
+    tokens = st.sampled_from([
+        "<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>", "<th>",
+        "<div>", "</div>", "<p>", "<li>", "</li>", "<ul>", "</ul>",
+        "<dl>", "<dt>", "<dd>", "<br>", "<img src='u'>", "<a href='/x'>",
+        "</a>", "<span class='c d'>", "</span>", "<caption>", "</caption>",
+        "<script>", "</script>", "<style>", "</style>", "<article>",
+        "</article>", "<!-- c -->", "<td rowspan='2'>", "text", "甲乙",
+        "a&amp;b", "&nbsp;", "1<2", "x > y", "< ", ">",
+        # NOTE: a bare "<" directly before letter-initial text would form
+        # garbage like "<a&amp;b</span>", where CPython's tolerant tag
+        # regexes fabricate elements with '&'/'<' inside the NAME — outside
+        # the equivalence contract (see dom.py fast-tokenizer note)
+    ])
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(tokens, min_size=0, max_size=25))
+    def check(parts):
+        html = "".join(parts)
+        for strip in (frozenset(), _STRIP_TAGS):
+            a = parse_html(html, strip)
+            b = parse_html_stdlib(html, strip)
+            assert _tree_repr(a) == _tree_repr(b), html
+
+    check()
+
+
 def test_fast_index_consistency():
     from webtableextractionsystem_spark.fixtures import ARCHETYPES
 

@@ -258,9 +258,16 @@ def parse_html_stdlib(html: str, strip: frozenset = frozenset()) -> Node:
 # ---------------------------------------------------------------------------
 # Fast tokenizer: one regex-driven scan, same tree/index semantics as the
 # stdlib path (verified by tests/test_dom.py::test_fast_matches_stdlib
-# over every fixture archetype + the generated corpus). ~2x the
-# tokenization throughput of html.parser for the table-heavy pages this
-# engine processes.
+# over every fixture archetype, curated tricky cases, and hypothesis tag
+# soup). ~2x the tokenization throughput of html.parser for the
+# table-heavy pages this engine processes.
+#
+# Contract limit: equivalence is guaranteed when '<'+letter sequences are
+# actual tags. On pathological soup like '<a&amp;b</span>' CPython's
+# tolerant tag regexes fabricate an element whose NAME contains '&' and
+# '<'; the fast path treats the '<' as text instead. Both outputs are
+# garbage-in-garbage-out; extraction semantics are unaffected (such
+# fragments can't form tables either way).
 # ---------------------------------------------------------------------------
 
 _TAG_RE = re.compile(
@@ -402,14 +409,14 @@ def parse_html(html: str, strip: frozenset = frozenset()) -> Node:
             continue
         if name in _RAWTEXT:
             # CDATA semantics: no entity conversion inside raw-text
-            # elements (matches HTMLParser's convert_charrefs behavior)
+            # elements; UNCLOSED CDATA content is dropped entirely
+            # (HTMLParser buffers it forever waiting for the close tag)
             cm = _RAW_CLOSE[name].search(html, pos)
-            end = cm.start() if cm else n
-            if end > pos:
-                node.children.append(html[pos:end])
             node.eid = counter
             if cm is None:
                 break
+            if cm.start() > pos:
+                node.children.append(html[pos:cm.start()])
             gt = find(">", cm.end())
             pos = n if gt == -1 else gt + 1
             continue
