@@ -165,8 +165,9 @@ def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # queries deliberately WITHOUT an oracle (driver records the weaker
-# rows-only check): numpy-seeded fake media decode isn't SQL-expressible
-ROWS_ONLY = frozenset({"x_media_features"})
+# rows-only check): numpy-seeded fake media decode and k-means
+# clustering aren't SQL-expressible
+ROWS_ONLY = frozenset({"x_media_features", "q_emb_ivf_topk"})
 
 # pinned-literal oracles, regenerated via tools/pin_extraction_oracles.py
 # (deterministic: datagen seed 42, N_X_DOCS=600)
@@ -209,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_emb_topk_cosine": SIM.topk_bruteforce,
         "q_emb_lsh_buckets": SIM.lsh_buckets,
         "q_emb_neardup_pairs": SIM.neardup_pairs,
+        "q_emb_ivf_topk": SIM.ivf_topk,
         # relational surface (S3/S9 -> queue_batch, F3 -> anti-join, union)
         "q_rel_pricing_summary": REL.pricing_summary,
         "q_rel_revenue_by_nation": REL.revenue_by_nation,

@@ -157,6 +157,78 @@ WHERE round(list_dot_product(a.emb, c.emb)
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + per-cell exact search
+# ---------------------------------------------------------------------------
+
+IVF_K = 16
+IVF_NPROBE = 2
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str,
+                    k: int = IVF_K) -> tuple[DataFrame, DataFrame]:
+    """(assignments(vec_id, cell), centroids(cell, centroid array<double>)).
+
+    Coarse quantizer = seeded pyspark.ml KMeans. At 100 TB the model is
+    trained on a sample and broadcast; assignment is a narrow map. No SQL
+    oracle (k-means isn't SQL-expressible) — IVF queries are rows-only;
+    the LSH variant carries the oracle-checked path."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>"))
+        .alias("features"))
+    model = KMeans(k=k, seed=42, maxIter=20).fit(emb)
+    assigned = model.transform(emb).select(
+        "vec_id", F.col("prediction").alias("cell"))
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str, k_cells: int = IVF_K,
+             n_probe: int = IVF_NPROBE, top_k: int = TOP_K) -> DataFrame:
+    """ANN search: route each query to its n_probe nearest centroids
+    (tiny broadcast cross join), then exact cosine only within those
+    cells — the candidate set shrinks ~k/n_probe-fold vs brute force
+    while the plan stays broadcast + one equi-join on cell."""
+    assigned, centroids = ivf_assignments(spark, sf_dir, k_cells)
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    q = emb.where(F.col("vec_id") < N_QUERIES) \
+           .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"))
+    qsim = _dot(F.col("qe"), F.col("centroid")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        * F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("csim"), F.asc("cell"))
+    probes = (
+        F.broadcast(q).crossJoin(F.broadcast(centroids))
+        .select("q_id", "qe", "cell", qsim.alias("csim"))
+        .withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= n_probe)
+        .select("q_id", "qe", "cell")
+    )
+    cand = emb.join(assigned, "vec_id") \
+              .select(F.col("vec_id").alias("nbr_id"),
+                      F.col("e").alias("ce"), "cell")
+    sim = _dot(F.col("qe"), F.col("ce")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("nbr_id"))
+    return (
+        probes.join(cand, "cell")
+        .where(F.col("q_id") != F.col("nbr_id"))
+        .select("q_id", "nbr_id", F.round(sim, 4).alias("sim_r"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )
+
+
 LSH_BUCKETS_SQL = f"""
 WITH planes AS (
   SELECT p.range AS plane, d.range AS dim,
