@@ -106,7 +106,10 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     out1 = spark.read.parquet(out_dir)
     n1 = out1.count()
     assert n1 == out1.select("fp").distinct().count()  # one doc per fp
-    assert n1 <= 30  # the 5 copies were deduped
+    # fingerprint covers (kind, text, media_ref): the 30 originals are all
+    # distinct (media-only docs differ by media_ref), only the 5 renamed
+    # copies dedup away
+    assert n1 == 30
 
     # wave 2 (restart): resend everything -> nothing new may pass
     docs.coalesce(1).write.mode("append").parquet(in_dir)

@@ -7,9 +7,10 @@ Design for 100 TB:
 * Everything is built-in DataFrame expressions (whole-stage codegen) —
   shingling via ``transform``/``sequence``/``slice`` higher-order
   functions, hashing via ``md5`` — no Python UDFs anywhere.
-* MinHash uses md5 hex-string minima so the DuckDB oracle computes the
-  IDENTICAL value (both engines share md5); at cluster scale you'd swap
-  in xxhash64 for speed — the algebra is unchanged.
+* MinHash: one md5-derived 32-bit base hash per shingle (identical in
+  both engines) + per-seed affine permutations mod a >2^32 prime, folded
+  as explode -> groupBy(min); at cluster scale you'd swap the base hash
+  for xxhash64 — the algebra is unchanged.
 * LSH candidate generation is the scale path: band-key equi-join
   (shuffle on band hash) instead of the O(n^2) cross join; the n-gram
   Jaccard verifier runs only on LSH survivors (or a bounded id range in
@@ -94,7 +95,7 @@ FROM (SELECT doc_id,
 # per (seed, shingle), and the explode -> groupBy(min) shape parallelizes
 # regardless of input file count and is immune to CollapseProject
 # re-inlining the hash tree into every output column.
-MINHASH_P = 2147483647
+MINHASH_P = 4294967311  # prime > 2^32: no aliasing of the 32-bit base hashes
 SEED_PARAMS = [(2 * s + 3, 1000003 * (s + 1) % MINHASH_P)
                for s in range(N_SEEDS)]
 
@@ -130,7 +131,7 @@ SELECT doc_id,
        {mh}
 FROM (
   SELECT doc_id,
-         CAST(concat('0x', substring(md5(u.sh), 1, 8)) AS BIGINT) AS h
+         CAST('0x' || substring(md5(u.sh), 1, 8) AS BIGINT) AS h
   FROM (SELECT doc_id, {_shingles_sql()} AS shingles
         FROM (SELECT doc_id, text,
                      regexp_split_to_array(trim(text), '\s+') AS toks
@@ -148,11 +149,10 @@ GROUP BY doc_id
 # ---------------------------------------------------------------------------
 
 def lsh_band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # materialize the signature columns: otherwise CollapseProject inlines
-    # each mh's full array_min(transform(shingles, md5)) tree into every
-    # band struct AND the null gate, multiplying the hashing work ~9x
-    # (at warehouse scale this is a written signatures table)
-    sig = minhash_signatures(spark, sf_dir).persist()
+    # the aggregate in minhash_signatures is itself a projection-collapse
+    # barrier, so band structs reference the materialized mh columns —
+    # no persist needed for the single-consumer band-keys query
+    sig = minhash_signatures(spark, sf_dir)
     n_bands = N_SEEDS // BAND_ROWS
     bands = F.array(
         *[
@@ -199,13 +199,13 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs sharing any band key — the scale path for near-dup candidate
     generation (equi-join on band_key, NOT a cross join).
 
-    The signature stage is materialized (persist) before the self-join:
-    without a boundary Catalyst inlines the full
-    md5(array_min(transform(shingles,...))) expression tree into BOTH
-    join sides and every band struct, multiplying the hashing work ~40x
-    (measured 51s -> 1.5s at sf0.1). At warehouse scale this boundary is
-    a written signatures table, which is exactly how a 100 TB near-dup
-    pass stages anyway."""
+    The band keys are persisted before the self-join so the
+    shingle+hash+aggregate subtree runs once instead of once per side
+    (Spark plans self-joins as two scans of the subtree). At warehouse
+    scale this boundary is a written signatures table, which is how a
+    100 TB near-dup pass stages anyway. The cache is session-scoped: the
+    driver gate runs each query once; long-lived callers doing repeated
+    dedup passes should stage signatures to a table instead."""
     bk = lsh_band_keys(spark, sf_dir).persist()
     a = bk.alias("a")
     b = bk.alias("b")
@@ -235,7 +235,9 @@ N_SIMHASH_BITS = 16
 
 
 def _bit_test(bit: int):
-    # single-arg factory (see _seed_hash note on pyspark lambda arity)
+    # single-arg factory, NOT `lambda t, b=b`: pyspark infers lambda arity
+    # from the signature, and a default arg flips it into the two-arg
+    # (element, index) form with the closure silently shadowed
     def f(t):
         h = F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int")
         return F.shiftright(h, bit).bitwiseAND(1) == 1

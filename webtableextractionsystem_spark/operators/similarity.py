@@ -174,7 +174,7 @@ def ivf_assignments(spark: SparkSession, sf_dir: str,
     oracle (k-means isn't SQL-expressible) — IVF queries are rows-only;
     the LSH variant carries the oracle-checked path."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>"))

@@ -10,7 +10,7 @@ first occurrence of a fingerprint passes through, later occurrences —
 within a batch, across batches, or across availableNow restarts — are
 suppressed.
 
-State value: (n_seen, first_doc_id). Keys are the fingerprints
+State value: n_seen per fingerprint. Keys are the fingerprints
 themselves, so state is hash-partitioned and scales horizontally.
 """
 
@@ -19,47 +19,49 @@ from __future__ import annotations
 from typing import Iterator, Tuple
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..schemas import DOCUMENTS
 
-OUTPUT_SCHEMA = "fp string, doc_id string, n_dupes_seen int"
-STATE_SCHEMA = "n_seen int, first_doc_id string"
+OUTPUT_SCHEMA = "fp string, doc_id string"
+STATE_SCHEMA = "n_seen int"
 
 
 def _dedup_fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
               state: GroupState) -> Iterator[pd.DataFrame]:
     (fp,) = key
-    if state.exists:
-        n_seen, first_doc = state.get
-    else:
-        n_seen, first_doc = 0, None
+    n_seen = state.get[0] if state.exists else 0
     emit = []
     for pdf in pdfs:
         for doc_id in sorted(pdf["doc_id"]):
             if n_seen == 0:
-                first_doc = doc_id
-                emit.append((fp, doc_id, 0))
+                emit.append((fp, doc_id))
             n_seen += 1
-    state.update((n_seen, first_doc))
+    state.update((n_seen,))
     if emit:
-        yield pd.DataFrame(emit, columns=["fp", "doc_id", "n_dupes_seen"])
+        yield pd.DataFrame(emit, columns=["fp", "doc_id"])
 
 
 def streaming_dedup(spark: SparkSession, input_dir: str, output_dir: str,
                     stream_ckpt_dir: str) -> None:
     """Stream documents from ``input_dir``; append ONLY first-seen
-    fingerprints to ``output_dir``. Fingerprint = md5 of the doc's span
-    texts (computed JVM-side before the stateful operator)."""
+    fingerprints to ``output_dir``. Fingerprint = md5 over every span's
+    (kind, text, media_ref) — media-only documents must NOT collide on
+    their empty text vectors — computed JVM-side before the stateful
+    operator."""
     stream = (
         spark.readStream.schema(DOCUMENTS).parquet(input_dir)
         .withColumn(
             "fp",
             F.md5(F.concat_ws(
                 "\x01",
-                F.transform("spans", lambda s: s["text"]))),
+                F.transform(
+                    "spans",
+                    lambda s: F.concat_ws(
+                        "\x02", s["kind"], s["text"], s["media_ref"]),
+                ))),
         )
         .select("fp", "doc_id")
     )
