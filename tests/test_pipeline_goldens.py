@@ -224,3 +224,31 @@ def test_mega_doc_h11():
         [{"kind": "html", "text": mega_doc_html(50), "media_ref": "", "offset": 0}],
     )
     assert json.dumps(res, sort_keys=True) == json.dumps(res2, sort_keys=True)
+
+
+def test_nested_table_double_extraction():
+    """A table inside a cell: the outer cell's text absorbs the inner
+    table (tag.text semantics) AND the inner table is extracted
+    standalone — both faithful to the reference's find_all('table')
+    descent (tableExtractor.py:153) and Rule2's dead nested-table check."""
+    html = (
+        "<table><tr><th>姓名</th><th>详情</th></tr>"
+        "<tr><td>甲某</td><td>"
+        "<table><tr><th>年份</th><th>事件</th></tr>"
+        "<tr><td>1990</td><td>出生</td></tr></table>"
+        "</td></tr></table>"
+    )
+    res = run(html)
+    assert len(res["tables"]) == 2
+    texts = [s["text"] for s in res["out_spans"]]
+    assert texts == [
+        "姓名", "详情", "甲某", "年份事件1990出生",   # outer (absorbed text)
+        "年份", "事件", "1990", "出生",               # inner, standalone
+    ]
+
+
+def test_empty_and_spanless_documents():
+    assert extract_document("e1", [])["out_spans"] == []
+    res = extract_document(
+        "e2", [{"kind": "html", "text": "", "media_ref": "", "offset": 0}])
+    assert res["out_spans"] == [] and res["n_errors"] == 0
