@@ -182,6 +182,19 @@ def normalize_grid(rows: list[list[Cell]]) -> tuple[list[list[Cell]], bool]:
     """
     if not rows:
         return [], False
+    # fast path: rectangular, span-free tables (the common case) need no
+    # occupancy bookkeeping or cell copies — assign positions in place
+    width0 = len(rows[0])
+    if width0 and all(
+        len(r) == width0
+        and all(c.rowspan == 1 and c.colspan == 1 for c in r)
+        for r in rows
+    ):
+        for i, r in enumerate(rows):
+            for j, c in enumerate(r):
+                c.abs_row = i
+                c.abs_col = j
+        return rows, True
     n_rows = len(rows)
     # width = max over rows of (claimed-by-spans + own colspans); grow lazily
     grid: list[list[Cell | None]] = [[] for _ in range(n_rows)]
