@@ -122,7 +122,16 @@ Raw JSON:
 ```
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # NOTE: this tool owns BENCH/BASELINE.md up to the Raw JSON block;
+    # hand-maintained sections BELOW that marker are preserved
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    extra = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        marker = "\n## Large-scale stability"
+        if marker in old:
+            extra = marker + old.split(marker, 1)[1]
+    md += extra
     with open(path, "w") as f:
         f.write(md)
     print(md)
