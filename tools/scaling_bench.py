@@ -128,9 +128,13 @@ Raw JSON:
     extra = ""
     if os.path.exists(path):
         old = open(path).read()
-        marker = "\n## Large-scale stability"
-        if marker in old:
-            extra = marker + old.split(marker, 1)[1]
+        # preserve from the FIRST hand-maintained section onward
+        cut = min((old.find(m) for m in
+                   ("\n## Final round-1", "\n## Large-scale stability",
+                    "\n## Tuning evidence") if old.find(m) != -1),
+                  default=-1)
+        if cut != -1:
+            extra = old[cut:]
     md += extra
     with open(path, "w") as f:
         f.write(md)
