@@ -54,6 +54,20 @@ def test_resume_after_partial_completion(spark, docs, tmp_path):
     assert out.select("doc_id").distinct().count() == N_DOCS  # no dupes
 
 
+def test_resume_with_different_num_buckets_fails_fast(spark, docs, tmp_path):
+    """pmod(xxhash64, N) bucket ids are only comparable for equal N: a
+    resume with a different num_buckets must refuse to run rather than
+    silently skip unprocessed documents."""
+    runner = CheckpointRunner(spark, str(tmp_path), num_buckets=8)
+    runner.run(docs)
+    bad = CheckpointRunner(spark, str(tmp_path), num_buckets=16)
+    with pytest.raises(ValueError, match="num_buckets=8"):
+        bad.run(docs)
+    # same num_buckets still resumes fine
+    ok = CheckpointRunner(spark, str(tmp_path), num_buckets=8)
+    assert ok.run(docs)["docs"] == 0
+
+
 def test_checkpoint_schema_and_lineage(spark, docs, tmp_path):
     runner = CheckpointRunner(spark, str(tmp_path), num_buckets=8)
     runner.run(docs)

@@ -77,6 +77,62 @@ def test_property_relation_ranked_column_deletion():
     assert t.headers() == ["姓名"]
 
 
+def test_property_relation_three_headers_stale_position_raises():
+    """3 relation-bearing headers: the reference looks positions up in the
+    STALE pre-deletion header list (table.py:853-856). Deletion order is
+    lexicon rank (关系 kept, then 称谓, then 辈分); after 称谓@2 is removed
+    the stale position of 辈分 (3) exceeds the 3-column table and
+    deleteOneCol raises — reproduced as TableError."""
+    t = make([
+        [cell("姓名"), cell("关系"), cell("称谓"), cell("辈分")],
+        [cell("甲某"), cell("兄弟"), cell("兄长"), cell("长辈")],
+    ])
+    import pytest
+
+    from webtableextractionsystem_spark.kernel.table_model import TableError
+
+    with pytest.raises(TableError):
+        extract_property_relationships(t)
+    # the first ranked deletion landed before the raise
+    assert t.headers() == ["姓名", "关系", "辈分"]
+
+
+def test_property_relation_stale_position_deletes_shifted_column():
+    """Column order 称谓|关系|辈分|姓名: deleting 称谓@0 shifts everything
+    left, so 辈分's stale position 2 now points at 姓名 — the reference
+    deletes the person column by mistake and extraction yields nothing
+    (no person column left to resolve hrefs from)."""
+    t = make([
+        [cell("称谓"), cell("关系"), cell("辈分"), cell("姓名")],
+        [cell("兄长"), cell("兄弟"), cell("长辈"), cell("甲某")],
+    ])
+    got = extract_property_relationships(t)
+    assert got == []
+    # 称谓 deleted, then stale pos 2 removed 姓名, then the 关系 column
+    assert t.headers() == ["辈分"]
+
+
+def test_caption_count_is_per_header_token_pair():
+    """儿女 contains BOTH 儿 and 女, so the reference's count loop
+    (table.py:741-746) adds 2 for that single header; 2 > 3/2 classifies
+    this as 属性关系表 even though only 1 of 3 headers matches at all."""
+    t = make(
+        [
+            [cell("儿女"), cell("备注甲"), cell("备注乙")],
+            [cell("甲娘", {"甲娘": "u1"}), cell("乙娘"), cell("丙娘")],
+        ],
+        caption="家族成员",
+    )
+    assert table_type(t) == "property_rel"
+    # same pair-counting drives the caption-rel header fallback
+    got = extract_caption_relationships(t)
+    assert got == [
+        ("主人公", "", "儿女", "甲娘", "u1"),
+        ("主人公", "", "备注甲", "乙娘", ""),
+        ("主人公", "", "备注乙", "丙娘", ""),
+    ]
+
+
 def test_property_relation_prefix_href_resolution():
     t = make(
         [

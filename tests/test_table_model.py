@@ -8,6 +8,7 @@ from hypothesis import strategies as st
 from webtableextractionsystem_spark.kernel.table_model import (
     Cell,
     Table,
+    cell_word_type,
     clear_table,
     discriminate_header_lines,
     length_character,
@@ -16,8 +17,9 @@ from webtableextractionsystem_spark.kernel.table_model import (
     type_character,
     type_header_lines,
     unfold_direction,
+    word_type_character,
 )
-from webtableextractionsystem_spark.lexicons import TYPE_INDEX
+from webtableextractionsystem_spark.lexicons import TYPE_INDEX, WORD_MAP
 
 
 def cell(content="x", rowspan=1, colspan=1, tag="td", type_name=None):
@@ -131,6 +133,60 @@ def test_length_character_normalization():
 def test_type_character_uniform_is_zero():
     types = np.full((3, 3), TYPE_INDEX["中文"], dtype=np.int16)
     assert type_character(types) == (0.0, 0.0)
+
+
+# -- T12: POS-weight tie-break (table.py:347-354, TableItem.py:98-117) -------
+
+def test_cell_word_type_proxy_weights():
+    # digit run = one 'm' token, ASCII run = one 'nx' token
+    assert cell_word_type("abc123") == WORD_MAP["nx"] + WORD_MAP["m"]
+    # CJK function characters hit the static lexicon; other CJK default 'n'
+    assert cell_word_type("的") == WORD_MAP["ude1"]
+    assert cell_word_type("名字") == 2 * WORD_MAP["n"]
+    # non-CJK punctuation (。 is U+3002, outside the unified block) -> 'w'
+    assert cell_word_type("。") == WORD_MAP["w"]
+    # whitespace skipped
+    assert cell_word_type(" a  b ") == 2 * WORD_MAP["nx"]
+    assert cell_word_type("") == 0
+
+
+def test_word_type_character_normalization():
+    wt = np.array([[70, 205], [70, 205]])
+    assert word_type_character(wt) == (1.0, 0.0)
+    assert word_type_character(np.array([[5, 5], [5, 5]])) == (0.0, 0.0)
+
+
+def test_direction_pos_tiebreak_col():
+    """Golden tie fixture: all cells same length (2) and same cell type, so
+    the length and type characters are both (0,0) and Row == Col exactly —
+    the POS tie-break fires (table.py:347-354). Column 1 is function words
+    (的了: ude1+ule = 98+107), column 0 is nouns; the within-row word-type
+    variance dominates, so rowWordTypeVarianceMean > col -> COL. The
+    reference's HanLP weighting agrees: 名字 -> n(35), 的了 -> ude1+ule(205);
+    row-std > 0, col-std = 0 -> COL either way."""
+    t = make_table([
+        [cell("名字", type_name="中文"), cell("的了", type_name="中文")],
+        [cell("名字", type_name="中文"), cell("的了", type_name="中文")],
+    ])
+    assert unfold_direction(t) == "COL"
+
+
+def test_direction_pos_tiebreak_row_when_transposed():
+    t = make_table([
+        [cell("名字", type_name="中文"), cell("名字", type_name="中文")],
+        [cell("的了", type_name="中文"), cell("的了", type_name="中文")],
+    ])
+    assert unfold_direction(t) == "ROW"
+
+
+def test_direction_double_tie_defaults_row():
+    # identical cells everywhere: length, type AND word-type characters all
+    # tie -> the reference's final fallback "ROW" (table.py:354)
+    t = make_table([
+        [cell("名字", type_name="中文"), cell("名字", type_name="中文")],
+        [cell("名字", type_name="中文"), cell("名字", type_name="中文")],
+    ])
+    assert unfold_direction(t) == "ROW"
 
 
 # -- T14-T16: header discriminators (standalone ops; pipeline pins 1) ------

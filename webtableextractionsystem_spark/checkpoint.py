@@ -44,6 +44,26 @@ class CheckpointRunner:
         self.num_buckets = num_buckets
         self.data_dir = os.path.join(base_dir, "extracted")
         self.ckpt_dir = os.path.join(base_dir, "checkpoint")
+        self.meta_path = os.path.join(base_dir, "_NUM_BUCKETS")
+
+    def _validate_num_buckets(self) -> None:
+        """Fail fast when resuming with a different num_buckets: bucket ids
+        are pmod(xxhash64(doc_id), num_buckets), so a mismatch silently
+        misaligns completed bucket ids with the new assignment — documents
+        would be skipped while the run reports success."""
+        if os.path.exists(self.meta_path):
+            with open(self.meta_path) as f:
+                recorded = int(f.read().strip())
+            if recorded != self.num_buckets:
+                raise ValueError(
+                    f"checkpoint at {self.base_dir} was written with "
+                    f"num_buckets={recorded}; refusing to resume with "
+                    f"num_buckets={self.num_buckets}"
+                )
+        else:
+            os.makedirs(self.base_dir, exist_ok=True)
+            with open(self.meta_path, "w") as f:
+                f.write(str(self.num_buckets))
 
     # -- checkpoint table ---------------------------------------------------
 
@@ -70,6 +90,7 @@ class CheckpointRunner:
     def run(self, docs: DataFrame, run_id: str | None = None) -> dict:
         """Process all not-yet-done buckets; returns run metrics."""
         run_id = run_id or uuid.uuid4().hex[:12]
+        self._validate_num_buckets()
         t0 = time.monotonic()
         docs = with_bucket(docs, self.num_buckets)
         pending = docs.join(

@@ -27,6 +27,14 @@ from .table_model import Table, TableError
 # 去除括号 (table.py:29; the first alternative really is ASCII parens with
 # 0-or-1 chars inside) + 去除符号 (table.py:30)
 RE_BRACKETS = re.compile(r"\(.?\)|（.*?）|\{.*?}|\[.*?]|【.*?】|<.*?>")
+# The bracket regexes at table.py:71 (_notNullAppend) and :457
+# (__clearPersonNameList) contain a doubled ``||`` — an EMPTY alternative
+# before ``\<.*?\>`` that always matches first, so those two cleaners never
+# strip angle brackets (only _clearNameOrRel at :28, with a single ``|``,
+# does). Reproduced here with a regex that simply omits the unreachable
+# alternative (observably identical: the empty alternative substitutes ""
+# for "" — a no-op).
+RE_BRACKETS_NO_ANGLE = re.compile(r"\(.?\)|（.*?）|\{.*?}|\[.*?]|【.*?】")
 RE_PUNCT = re.compile(
     "[\\s+\\.\\!\\/_,$%^*(+\"\']+|[+——！，。？?、~@#￥%……&*（）]+"
 )
@@ -47,11 +55,12 @@ def clean_name_or_rel(s: str) -> str:
 
 
 def clean_person_names(names: list[str]) -> list[str]:
-    """__clearPersonNameList (table.py:449-461): brackets, split('/')[0],
+    """__clearPersonNameList (table.py:449-461): brackets (angle brackets
+    NOT stripped — see RE_BRACKETS_NO_ANGLE note), split('/')[0],
     punctuation."""
     out = []
     for n in names:
-        n = RE_BRACKETS.sub("", n)
+        n = RE_BRACKETS_NO_ANGLE.sub("", n)
         n = str(n).split("/")[0]
         out.append(RE_PUNCT.sub("", n))
     return out
@@ -95,14 +104,21 @@ def _is_person_info(table: Table) -> bool:
     return proportion >= 0.5
 
 
+def _caption_token_count(headers: list[str]) -> int:
+    """The reference's count loop (table.py:741-746 and :884-889) increments
+    once per MATCHING (header, token) PAIR — the inner ``continue`` only
+    skips to the next token — so a header containing two tokens (儿女
+    contains both 儿 and 女) counts 2, not 1."""
+    return sum(1 for h in headers for tok in CAPTION_RELATIONSHIP if tok in h)
+
+
 def _is_property_rel(table: Table) -> bool:
     """__isPropertyRelationShipTable (table.py:725-749)."""
     headers = table.headers()
     for h in headers:
         if _contains_any(h, PROPERTY_RELATIONSHIP):
             return True
-    count = sum(1 for h in headers if _contains_any(h, CAPTION_RELATIONSHIP))
-    return count > len(headers) / 2
+    return _caption_token_count(headers) > len(headers) / 2
 
 
 def _is_caption_rel(table: Table) -> bool:
@@ -223,15 +239,17 @@ def extract_entities(table: Table) -> list[tuple[str, str, dict]]:
 def _not_null_append(out: list, a: str, b: str, c: str,
                      is_name: bool = False) -> None:
     """_notNullAppend (table.py:55-79): pre-clean empty/length gates, then
-    bracket + punctuation cleaning; post-clean length gate on c when it
-    is a name."""
+    bracket + punctuation cleaning (angle brackets NOT stripped — the
+    reference regex at table.py:71 has the unreachable ``||\\<.*?\\>``
+    alternative, see RE_BRACKETS_NO_ANGLE); post-clean length gate on c
+    when it is a name."""
     if not a or a.isspace() or not b or b.isspace() or not c or c.isspace():
         return
     if len(a) > 7 or len(b) > 7:
         return
-    a = RE_PUNCT.sub("", RE_BRACKETS.sub("", a))
-    b = RE_PUNCT.sub("", RE_BRACKETS.sub("", b))
-    c = RE_BRACKETS.sub("", c)
+    a = RE_PUNCT.sub("", RE_BRACKETS_NO_ANGLE.sub("", a))
+    b = RE_PUNCT.sub("", RE_BRACKETS_NO_ANGLE.sub("", b))
+    c = RE_BRACKETS_NO_ANGLE.sub("", c)
     if is_name:
         c = RE_PUNCT.sub("", c)
         if len(c) > 7:
@@ -299,10 +317,18 @@ def extract_property_relationships(table: Table):
     ranked = _ranked_property_relationships(table)
     if not ranked:
         return triples
+    # Reference quirk (table.py:853-856): listFindPosition is evaluated
+    # against the STALE pre-deletion propertyNameList for every iteration —
+    # the list is refreshed only AFTER the loop — so with 3+ relation-bearing
+    # headers the second deletion targets a SHIFTED column, and a token whose
+    # header was already removed yields position -1, which deleteOneCol
+    # raises on (our delete_col raises TableError; the dispatch guard
+    # degrades to triples=[], the documented deviation from the reference's
+    # page-killing crash). Bug-compatible: positions from the stale list.
     for tok in ranked[1:]:
         pos = _find_containing(headers, tok)
         table.delete_col(pos)
-        headers = table.headers()
+    headers = table.headers()
     person_cells = person_col_cells(table)
     hrefs = person_href_list(table, person_cells)
     idx = _find_containing(headers, ranked[0])
@@ -327,8 +353,7 @@ def extract_caption_relationships(table: Table):
     prefix = [table.prefix, table.href_map.get(table.prefix, "")]
     if not person_cells:
         headers = table.headers()
-        count = sum(1 for h in headers if _contains_any(h, CAPTION_RELATIONSHIP))
-        if count > len(headers) / 2:
+        if _caption_token_count(headers) > len(headers) / 2:
             for j in range(table.n_cols):
                 cell = table.grid[1][j]
                 content = str(cell.content)

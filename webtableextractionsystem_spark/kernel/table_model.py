@@ -14,8 +14,10 @@ fixtures pin the corrected semantics:
 * **Orientation** (getUnfoldDirection table.py:313-358): the aspect-ratio
   rule at :331-335 stores into ``unfoldDirection`` but is unconditionally
   overwritten at :357 — a dead store; we omit it to match the effective
-  behavior. The HanLP POS tie-break at :347-354 is replaced by the pinned
-  default "ROW" (same value the reference falls back to at :354).
+  behavior. The POS tie-break at :347-354 IS implemented (cell_word_type /
+  word_type_character below) with the reference's WordMap.pkl weights; the
+  HanLP segmenter, unavailable here, is replaced by a documented
+  deterministic character-class proxy (see cell_word_type).
 * **Header line count** (discriminatePropertyLineNum table.py:535-549):
   ``propertyLineNum`` is initialized to 1 (:112) so the discriminator
   short-circuits at :541 and ALWAYS returns 1 in the reference pipeline.
@@ -28,12 +30,14 @@ from __future__ import annotations
 import numpy as np
 
 from ..lexicons import (
+    CJK_CHAR_POS,
     PUNCT_TYPE_ID,
     REFERENCE_ROW_MARK,
     SERIAL_HEADERS,
     TYPE_DISTANCE,
     TYPE_NAMES,
     CHARACTER_TYPE_IDS,
+    WORD_MAP,
 )
 
 
@@ -166,6 +170,14 @@ class Table:
         return np.array([[len(str(c.content)) for c in r] for r in self.grid],
                         dtype=np.int64)
 
+    def word_type_matrix(self) -> np.ndarray:
+        """T12 feature matrix (initialTableItemWordType, table.py:265-273);
+        computed lazily — only the exact-tie path of unfold_direction
+        consumes it."""
+        return np.array(
+            [[cell_word_type(str(c.content)) for c in r] for r in self.grid],
+            dtype=np.int64)
+
 
 # ---------------------------------------------------------------------------
 # T5/T6: occupancy-grid span normalization
@@ -276,14 +288,72 @@ def type_character(types: np.ndarray) -> tuple[float, float]:
     return row_char / s, col_char / s
 
 
+_ASCII_ALPHA = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+
+def cell_word_type(content: str) -> int:
+    """T12 cell word-type weight: TableItem.getTableItemWordType
+    (TableItem.py:98-117) sums ``WordMap[nature]`` over the HanLP
+    segmentation of the cell text. HanLP is not available (SURVEY §7), so
+    segmentation + tagging use a deterministic character-class proxy:
+
+    * digit runs  -> one token tagged ``m``   (HanLP: numeral)
+    * ASCII-letter runs -> one token tagged ``nx`` (HanLP: letter string)
+    * CJK characters -> one token EACH, tagged from the static
+      CJK_CHAR_POS function-word lexicon, default ``n`` (common noun)
+    * whitespace skipped; any other character tagged ``w`` (punctuation)
+
+    The proxy's absolute sums differ from HanLP's (it over-segments CJK
+    words), but the tie-break consumes only the normalized row/column
+    standard deviations of these sums, where the systematic signal —
+    function-word/numeral/letter columns versus noun columns — survives.
+    """
+    total = 0
+    i = 0
+    s = str(content)
+    n = len(s)
+    while i < n:
+        ch = s[i]
+        if ch.isspace():
+            i += 1
+        elif "0" <= ch <= "9":
+            while i < n and "0" <= s[i] <= "9":
+                i += 1
+            total += 31                      # WORD_MAP["m"]
+        elif ch in _ASCII_ALPHA:
+            while i < n and s[i] in _ASCII_ALPHA:
+                i += 1
+            total += 71                      # WORD_MAP["nx"]
+        elif "一" <= ch <= "鿿":
+            total += WORD_MAP[CJK_CHAR_POS.get(ch, "n")]
+            i += 1
+        else:
+            total += 126                     # WORD_MAP["w"]
+            i += 1
+    return total
+
+
+def word_type_character(word_types: np.ndarray) -> tuple[float, float]:
+    """getTableItemWordTypeCharacter (table.py:260-280): normalized mean of
+    per-row std (axis=1) and per-column std (axis=0) of the cell word-type
+    weights — same normalization shape as length_character."""
+    col_var = float(np.mean(np.std(word_types, axis=0)))
+    row_var = float(np.mean(np.std(word_types, axis=1)))
+    s = row_var + col_var
+    if s == 0:
+        return row_var, col_var
+    return row_var / s, col_var / s
+
+
 def unfold_direction(table: Table) -> str:
     """getUnfoldDirection (table.py:313-358), effective semantics.
 
     1. tag vote: first row all-<th> -> ROW; first col all-<th> -> COL.
     2. (aspect rule :331-335 omitted — dead store in the reference)
     3. weighted score 0.5*length-variance + 0.5*type-distance; smaller
-       wins; tie -> "ROW" (HanLP POS tie-break replaced by the pinned
-       reference fallback at :354).
+       wins; on an EXACT tie the POS-weight tie-break (:347-354) compares
+       word-type variance the same way; a second tie -> "ROW" (:354).
     """
     if table.direction:
         return table.direction
@@ -300,7 +370,13 @@ def unfold_direction(table: Table) -> str:
     row_t, col_t = type_character(table.type_matrix())
     row_score = 0.5 * row_var + 0.5 * row_t
     col_score = 0.5 * col_var + 0.5 * col_t
-    table.direction = "ROW" if row_score <= col_score else "COL"
+    if row_score < col_score:
+        table.direction = "ROW"
+    elif row_score == col_score:
+        row_w, col_w = word_type_character(table.word_type_matrix())
+        table.direction = "ROW" if row_w <= col_w else "COL"
+    else:
+        table.direction = "COL"
     return table.direction
 
 

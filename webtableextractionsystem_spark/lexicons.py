@@ -49,6 +49,54 @@ SERIAL_HEADERS = frozenset({"序号", "序"})      # table.py:1022 clearSet
 REFERENCE_ROW_MARK = "参考资料"                  # table.py:1042
 DEFAULT_CAPTION = "未命名表格"                   # table.py:87, tableExtractor.py:459
 
+# --- T12: POS-weight lexicon (WordMap) ---------------------------------------
+#
+# The reference's orientation tie-break (getUnfoldDirection table.py:347-354)
+# sums, per cell, an integer weight per HanLP POS tag of the cell's tokens
+# (TableItem.getTableItemWordType, TableItem.py:98-117). The weights come
+# from file/configuration/other/WordMap.pkl — decoded, it is simply the
+# alphabetical index (1-based) of each of the 148 HanLP nature tags. Pinned
+# here as data (it is configuration, not code).
+WORD_MAP: dict[str, int] = {
+    "a": 1, "ad": 2, "ag": 3, "al": 4, "an": 5, "b": 6, "begin": 7, "bg": 8,
+    "bl": 9, "c": 10, "cc": 11, "d": 12, "dg": 13, "dl": 14, "e": 15,
+    "end": 16, "f": 17, "g": 18, "gb": 19, "gbc": 20, "gc": 21, "gg": 22,
+    "gi": 23, "gm": 24, "gp": 25, "h": 26, "i": 27, "j": 28, "k": 29,
+    "l": 30, "m": 31, "mg": 32, "Mg": 33, "mq": 34, "n": 35, "nb": 36,
+    "nba": 37, "nbc": 38, "nbp": 39, "nf": 40, "ng": 41, "nh": 42,
+    "nhd": 43, "nhm": 44, "ni": 45, "nic": 46, "nis": 47, "nit": 48,
+    "nl": 49, "nm": 50, "nmc": 51, "nn": 52, "nnd": 53, "nnt": 54,
+    "nr": 55, "nr1": 56, "nr2": 57, "nrf": 58, "nrj": 59, "ns": 60,
+    "nsf": 61, "nt": 62, "ntc": 63, "ntcb": 64, "ntcf": 65, "ntch": 66,
+    "nth": 67, "nto": 68, "nts": 69, "ntu": 70, "nx": 71, "nz": 72,
+    "o": 73, "p": 74, "pba": 75, "pbei": 76, "q": 77, "qg": 78, "qt": 79,
+    "qv": 80, "r": 81, "rg": 82, "Rg": 83, "rr": 84, "ry": 85, "rys": 86,
+    "ryt": 87, "ryv": 88, "rz": 89, "rzs": 90, "rzt": 91, "rzv": 92,
+    "s": 93, "t": 94, "tg": 95, "u": 96, "ud": 97, "ude1": 98, "ude2": 99,
+    "ude3": 100, "udeng": 101, "udh": 102, "ug": 103, "uguo": 104,
+    "uj": 105, "ul": 106, "ule": 107, "ulian": 108, "uls": 109,
+    "usuo": 110, "uv": 111, "uyy": 112, "uz": 113, "uzhe": 114,
+    "uzhi": 115, "v": 116, "vd": 117, "vf": 118, "vg": 119, "vi": 120,
+    "vl": 121, "vn": 122, "vshi": 123, "vx": 124, "vyou": 125, "w": 126,
+    "wb": 127, "wd": 128, "wf": 129, "wh": 130, "wj": 131, "wky": 132,
+    "wkz": 133, "wm": 134, "wn": 135, "wp": 136, "ws": 137, "wt": 138,
+    "ww": 139, "wyy": 140, "wyz": 141, "x": 142, "xu": 143, "xx": 144,
+    "y": 145, "yg": 146, "z": 147, "zg": 148,
+}
+
+# Deterministic HanLP-segmentation proxy for CJK FUNCTION characters: the
+# unambiguous single-character particles/copulas HanLP tags with a dedicated
+# nature. Everything else CJK defaults to "n" (common noun) — HanLP's
+# majority tag for Baike table content. Small by design: the tie-break only
+# compares VARIANCE of the weight sums across rows vs columns, so only
+# systematic per-axis differences matter.
+CJK_CHAR_POS: dict[str, str] = {
+    "的": "ude1", "地": "ude2", "得": "ude3", "了": "ule", "着": "uzhe",
+    "之": "uzhi", "是": "vshi", "有": "vyou", "和": "cc", "与": "cc",
+    "或": "c", "在": "p", "把": "pba", "被": "pbei", "等": "udeng",
+    "们": "k", "不": "d", "很": "d", "呢": "y", "吗": "y", "吧": "y",
+}
+
 # --- TypeTree ---------------------------------------------------------------
 
 # type name -> parent (root 类型 has parent None); mirrors table.py:1062-1089
