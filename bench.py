@@ -81,7 +81,9 @@ def main() -> None:
             .agg(F.count("*")).collect(),
             "q_doc_lsh_pairs": lambda: DD.lsh_candidate_pairs(spark, sf_dir)
             .agg(F.count("*")).collect(),
-            "q_doc_simhash": lambda: DD.simhash(spark, sf_dir)
+            "q_doc_simhash": lambda: DD.simhash_signatures(spark, sf_dir)
+            .agg(F.count("*")).collect(),
+            "q_doc_neardup_canonical": lambda: DD.neardup_canonical(spark, sf_dir)
             .agg(F.count("*")).collect(),
             "q_emb_topk_cosine": lambda: SIM.topk_bruteforce(spark, sf_dir)
             .agg(F.count("*")).collect(),

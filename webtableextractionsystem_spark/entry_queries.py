@@ -164,10 +164,20 @@ def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# queries deliberately WITHOUT an oracle (driver records the weaker
-# rows-only check): numpy-seeded fake media decode and k-means
-# clustering aren't SQL-expressible
-ROWS_ONLY = frozenset({"x_media_features", "q_emb_ivf_topk"})
+# queries whose oracle is a PINNED LITERAL rather than side-by-side SQL:
+# the x_* extraction corpus has no SQL-reachable input, and fake media
+# decode / k-means clustering aren't SQL-expressible — but all of them
+# are deterministic, so their results are frozen as VALUES clauses by
+# tools/pin_extraction_oracles.py and hash-checked like everything else.
+PINNED = (
+    "x_spans_by_kind", "x_tables_by_type", "x_triples_by_rel",
+    "x_entities_fused", "x_doc_totals", "x_table_records", "x_url_filter",
+    "x_media_features", "q_emb_ivf_topk",
+)
+
+# queries deliberately WITHOUT any oracle (driver records the weaker
+# rows-only check) — none remain as of round 2
+ROWS_ONLY = frozenset()
 
 # pinned-literal oracles, regenerated via tools/pin_extraction_oracles.py
 # (deterministic: datagen seed 42, N_X_DOCS=600)
@@ -204,8 +214,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_minhash": DD.minhash_signatures,
         "q_doc_lsh_bands": DD.lsh_band_keys,
         "q_doc_lsh_pairs": DD.lsh_candidate_pairs,
-        "q_doc_simhash": DD.simhash,
+        "q_doc_simhash": DD.simhash_signatures,
+        "q_doc_simhash_pairs": DD.simhash_neardup_pairs,
         "q_doc_ngram_jaccard": DD.ngram_jaccard_pairs,
+        "q_doc_neardup_canonical": DD.neardup_canonical,
         # embedding similarity
         "q_emb_topk_cosine": SIM.topk_bruteforce,
         "q_emb_lsh_buckets": SIM.lsh_buckets,
@@ -239,7 +251,9 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_lsh_bands": DD.lsh_band_keys_sql(),
         "q_doc_lsh_pairs": DD.lsh_candidate_pairs_sql(),
         "q_doc_simhash": DD.simhash_sql(),
+        "q_doc_simhash_pairs": DD.simhash_neardup_sql(),
         "q_doc_ngram_jaccard": DD.ngram_jaccard_sql(),
+        "q_doc_neardup_canonical": DD.neardup_canonical_sql(),
         "q_emb_topk_cosine": SIM.TOPK_SQL,
         "q_emb_lsh_buckets": SIM.LSH_BUCKETS_SQL,
         "q_emb_neardup_pairs": SIM.neardup_pairs_sql(),

@@ -1,6 +1,7 @@
 """Deduplication family over the documents table: exact (hash-groupBy),
-MinHash+LSH (shingle -> minhash -> band -> bucket-join), SimHash, n-gram
-Jaccard.
+MinHash+LSH (shingle -> minhash -> band -> bucket-join), 64-bit SimHash
+with banded hamming pairs, n-gram Jaccard, and the composed
+LSH -> verify -> canonical near-dup pipeline.
 
 Design for 100 TB:
 
@@ -228,48 +229,137 @@ WHERE a.doc_id < b.doc_id
 
 
 # ---------------------------------------------------------------------------
-# SimHash (16-bit, md5-derived token hashes, frequency-weighted)
+# SimHash (64-bit, hash-once, explode -> 64 conditional-sum partial aggs)
 # ---------------------------------------------------------------------------
+#
+# Each token is md5-hashed ONCE into two 32-bit halves (h1 = hex[1:8],
+# h2 = hex[9:16]); bit b of the signature comes from h1 for b < 32 and h2
+# for b >= 32. The per-bit majority vote is a groupBy(doc_id) with 64
+# conditional SUMs — all JVM-side with map-side partial aggregation, one
+# shuffle, and exactly one md5 per token (the round-1 16-bit version
+# re-hashed every token once per bit inside separate higher-order-function
+# lambdas, which Catalyst does not CSE across).
+#
+# Bit 63 would overflow a signed shift-left in both engines, so the value
+# is assembled as sum(bits 0..62) plus an additive -2^63 offset when bit
+# 63 is set — the resulting BIGINT carries the full 64-bit pattern in
+# two's complement, which xor/bit_count treat identically in Spark and
+# DuckDB (verified: DuckDB >> is arithmetic, bit_count counts the
+# two's-complement pattern).
 
-N_SIMHASH_BITS = 16
+N_SIMHASH_BITS = 64
+_LONG_MIN = -9223372036854775808
+HAMMING_MAX = 3      # near-dup threshold for the banded pair query
+_N_HAM_BANDS = 4     # 4 x 16-bit chunks: hamming<=3 => >=1 identical chunk
 
 
-def _bit_test(bit: int):
-    # single-arg factory, NOT `lambda t, b=b`: pyspark infers lambda arity
-    # from the signature, and a default arg flips it into the two-arg
-    # (element, index) form with the closure silently shadowed
-    def f(t):
-        h = F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int")
-        return F.shiftright(h, bit).bitwiseAND(1) == 1
-
-    return f
-
-
-def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = _tokens()
-    expr = F.lit(0)
-    n = F.size(toks)
-    for b in range(N_SIMHASH_BITS):
-        ones = F.size(F.filter(toks, _bit_test(b)))
-        bit = (ones * 2 > n).cast("int")
-        expr = expr + (bit * (1 << b))
-    return load_documents(spark, sf_dir).select(
-        "doc_id", expr.cast("int").alias("simhash16")
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_documents(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
     )
+    exploded = docs.select(
+        "doc_id", F.explode(_tokens()).alias("t")
+    ).select(
+        "doc_id",
+        # codegen subexpression elimination computes md5(t) once per row
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("t"), 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    aggs = [F.count("*").alias("n")]
+    for b in range(N_SIMHASH_BITS):
+        src, sh = ("h1", b) if b < 32 else ("h2", b - 32)
+        aggs.append(
+            F.sum(F.shiftright(F.col(src), sh).bitwiseAND(1)).alias(f"c{b}")
+        )
+    sig = exploded.groupBy("doc_id").agg(*aggs)
+    value = F.lit(0).cast("long")
+    for b in range(63):
+        value = value + (F.col(f"c{b}") * 2 > F.col("n")).cast("long") * F.lit(1 << b)
+    value = value + F.when(
+        F.col("c63") * 2 > F.col("n"), F.lit(_LONG_MIN)
+    ).otherwise(F.lit(0))
+    return sig.select("doc_id", value.alias("simhash64"))
 
 
 def simhash_sql() -> str:
-    terms = []
-    for b in range(N_SIMHASH_BITS):
-        ones = (
-            rf"len([t FOR t IN toks IF "
-            rf"(CAST(concat('0x', substring(md5(t), 1, 4)) AS INTEGER) >> {b}) & 1 = 1])"
-        )
-        terms.append(f"(CASE WHEN {ones} * 2 > len(toks) THEN {1 << b} ELSE 0 END)")
+    sums = ",\n         ".join(
+        f"sum((h{1 if b < 32 else 2} >> {b if b < 32 else b - 32}) & 1) AS c{b}"
+        for b in range(N_SIMHASH_BITS)
+    )
+    terms = [
+        f"(CASE WHEN c{b} * 2 > n THEN {1 << b} ELSE 0 END)"
+        for b in range(63)
+    ]
+    value = " + ".join(terms) + \
+        " + (CASE WHEN c63 * 2 > n THEN -9223372036854775807 - 1 ELSE 0 END)"
     return rf"""
-SELECT doc_id, CAST({' + '.join(terms)} AS INTEGER) AS simhash16
-FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-      FROM documents)
+SELECT doc_id, CAST({value} AS BIGINT) AS simhash64
+FROM (
+  SELECT doc_id, count(*) AS n,
+         {sums}
+  FROM (
+    SELECT doc_id,
+           CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT) AS h1,
+           CAST(concat('0x', substring(md5(t), 9, 8)) AS BIGINT) AS h2
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+          FROM documents)
+  )
+  GROUP BY doc_id
+)
+"""
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance near-dup pairs WITHOUT an n^2 cross join: split the
+    64-bit signature into 4 disjoint 16-bit chunks; by pigeonhole, two
+    signatures within hamming distance 3 agree exactly on at least one
+    chunk, so an equi-join on (chunk_idx, chunk_value) generates all
+    candidates and bit_count(xor) verifies — the standard scale shape for
+    simhash dedup (shuffle on a bounded key, candidates only where a chunk
+    collides)."""
+    sig = simhash_signatures(spark, sf_dir).persist()
+    chunks = F.array(*[
+        F.struct(
+            F.lit(i).alias("chunk_idx"),
+            F.shiftright("simhash64", 16 * i).bitwiseAND(65535).alias("chunk"),
+        )
+        for i in range(_N_HAM_BANDS)
+    ])
+    keyed = sig.select(
+        "doc_id", "simhash64", F.explode(chunks).alias("c")
+    ).select("doc_id", "simhash64", "c.chunk_idx", "c.chunk")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    dist = F.bit_count(
+        F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64")))
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("hamming"),
+        )
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )
+
+
+def simhash_neardup_sql() -> str:
+    chunk_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash64, {i} AS chunk_idx, "
+        f"(simhash64 >> {16 * i}) & 65535 AS chunk FROM sig"
+        for i in range(_N_HAM_BANDS)
+    )
+    return f"""
+WITH sig AS ({simhash_sql()}),
+keyed AS ({chunk_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash64, b.simhash64)) AS INTEGER) AS hamming
+FROM keyed a JOIN keyed b
+  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash64, b.simhash64)) <= {HAMMING_MAX}
 """
 
 
@@ -311,4 +401,73 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM d a, d b
 WHERE a.doc_id < b.doc_id
   AND len(list_intersect(a.sh, b.sh)) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# composed near-dup pipeline: LSH candidates -> Jaccard verify on survivors
+# -> canonical doc assignment (the end-to-end query a corpus-dedup user
+# runs first; reference analogue: the Bloom-driven frontier dedup loop,
+# WebSpider.py:251-262, recast as set-similarity dedup at corpus scale)
+# ---------------------------------------------------------------------------
+
+JACCARD_PCT = 50  # integer threshold (x100): verify survivors at J >= 0.5
+
+
+def neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup dedup: the n-gram Jaccard verifier consumes ONLY the
+    LSH candidate pairs (equi-join output — no bounded-id crutch, no cross
+    join anywhere), then every doc gets a canonical id = its smallest
+    verified partner (one round of min-propagation; full transitive
+    closure is the iterative extension, see connected_components).
+    Threshold compares with integer cross-multiplication — no float in
+    either engine."""
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id", _shingles().alias("sh"))
+    pairs = lsh_candidate_pairs(spark, sf_dir)
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    verified = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .where(inter * 100 >= union * JACCARD_PCT)
+        .select("doc_a", "doc_b")
+    )
+    return (
+        load_documents(spark, sf_dir).select("doc_id")
+        .join(verified.select(F.col("doc_b").alias("doc_id"), "doc_a"),
+              "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(F.min("doc_a").alias("min_partner"))
+        .select(
+            "doc_id",
+            F.coalesce("min_partner", "doc_id").alias("canonical_id"),
+            F.col("min_partner").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+def neardup_canonical_sql() -> str:
+    return rf"""
+WITH pairs AS ({lsh_candidate_pairs_sql()}),
+d AS (
+  SELECT doc_id, {_shingles_sql()} AS sh
+  FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents)
+),
+verified AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN d a ON a.doc_id = p.doc_a
+  JOIN d b ON b.doc_id = p.doc_b
+  WHERE len(list_intersect(a.sh, b.sh)) * 100 >=
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * {JACCARD_PCT}
+)
+SELECT doc.doc_id,
+       coalesce(min(v.doc_a), doc.doc_id) AS canonical_id,
+       min(v.doc_a) IS NOT NULL AS is_dup
+FROM documents doc
+LEFT JOIN verified v ON v.doc_b = doc.doc_id
+GROUP BY doc.doc_id
 """

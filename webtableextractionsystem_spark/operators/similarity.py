@@ -170,16 +170,22 @@ def ivf_assignments(spark: SparkSession, sf_dir: str,
     """(assignments(vec_id, cell), centroids(cell, centroid array<double>)).
 
     Coarse quantizer = seeded pyspark.ml KMeans. At 100 TB the model is
-    trained on a sample and broadcast; assignment is a narrow map. No SQL
-    oracle (k-means isn't SQL-expressible) — IVF queries are rows-only;
-    the LSH variant carries the oracle-checked path."""
+    trained on a bounded sample and broadcast; assignment is a narrow map.
+    k-means isn't SQL-expressible, so the ivf_topk query is checked
+    against a PINNED-LITERAL oracle (tools/pin_extraction_oracles.py);
+    for that pin to hold under any session parallelism, the fit input is
+    forced to one deterministically-ordered partition — float summation
+    order, and therefore the centroids, no longer depend on the executor
+    count (at scale this corresponds to fitting on a sorted driver-side
+    sample, the standard IVF training shape)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>"))
         .alias("features"))
-    model = KMeans(k=k, seed=42, maxIter=20).fit(emb)
+    fit_input = emb.repartition(1).sortWithinPartitions("vec_id")
+    model = KMeans(k=k, seed=42, maxIter=20).fit(fit_input)
     assigned = model.transform(emb).select(
         "vec_id", F.col("prediction").alias("cell"))
     centroids = spark.createDataFrame(
