@@ -119,6 +119,59 @@ def test_reference_caption_relation_parity_kongzi():
 
 
 @pytest.mark.parametrize("path", sorted(glob.glob(PKL_GLOB)))
+def test_reference_full_page_replay(path):
+    """Replay EVERY pickled table of each golden page (15 tables across
+    the 3 pages) through the pipeline as one document and assert the
+    concatenated entity and triple lists equal the reference's own
+    entityAndRelationshipList (tableExtractor.py:109-135 appends one
+    [entities, rels] entry per table that produced output, in table
+    order). This includes NEGATIVE parity: tables the reference extracted
+    nothing from (孔子's 四科十哲/亲属成员, 瞿颖's award tables) must also
+    produce nothing here — which pins orientation, classification, and
+    person-column decisions against real-page data, not just synthetic
+    fixtures."""
+    import os
+
+    tables, ers = load_golden(path)
+    page = os.path.basename(path).split("2021")[0]
+    parts = []
+    for t in tables:
+        d = t.__dict__
+        if d.get("tableType") == "个人信息表":
+            parts.append(rebuild_basic_info_html(d))
+        else:
+            parts.append(rebuild_table_html(d))
+    res = extract_document(
+        page,
+        [{"kind": "html", "text": "".join(parts), "media_ref": "",
+          "offset": 0}],
+    )
+    assert res["n_errors"] == 0
+
+    # identity model remap: entities resolved to the page's own crawl URL
+    # (e.g. 孔子's basic-info entity 孔丘) carry doc://<page> here
+    # (pipeline.py docstring). The crawl URL is recoverable from the
+    # first golden entity — the basic-info row whose href the reference
+    # seeds with hrefMap[nowName] = nowUrl.
+    page_url = ers[0][0][0][0][1]
+
+    def remap(url):
+        return f"doc://{page}" if url == page_url else url
+
+    want_entities = [(n, remap(u), p)
+                     for ents, _ in ers for (n, u), p in ents]
+    want_triples = [(s[0], r, o[0], o[1])
+                    for _, rels in ers for s, r, o in rels]
+    got_entities = [(e["name"], e["url"], e["props"])
+                    for e in res["entities"]]
+    got_triples = [(t["subj_name"], t["rel"], t["obj_name"], t["obj_url"])
+                   for t in res["triples"]]
+    assert got_entities == want_entities
+    assert got_triples == want_triples
+    assert all(t["subj_url"] == f"doc://{page}" for t in res["triples"])
+
+
+@pytest.mark.parametrize("path", sorted(glob.glob(PKL_GLOB)))
 def test_reference_basic_info_entity_parity(path):
     tables, ers = load_golden(path)
     golden = first_person_info(tables)
