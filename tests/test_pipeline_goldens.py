@@ -247,6 +247,47 @@ def test_nested_table_double_extraction():
     ]
 
 
+def test_h14_multitoken_header_classifies_property_rel():
+    """儿女 carries two caption-relationship tokens, so the per-pair count
+    (2 > 3/2) classifies 属性关系表; no relation or person column exists,
+    so extraction yields nothing — the type is the pinned behavior."""
+    res = run(ARCHETYPES["H14"])
+    assert res["tables"][0]["table_type"] == "property_rel"
+    assert res["entities"] == [] and res["triples"] == []
+
+
+def test_h15_three_relation_headers_stale_raise():
+    """Stale-position ranked deletion: 称谓 removed, 辈分's stale index
+    raises -> triples degrade to [], entities still extracted from the
+    mutated (姓名|关系|辈分) table."""
+    res = run(ARCHETYPES["H15"])
+    assert res["tables"][0]["table_type"] == "property_rel"
+    assert res["triples"] == []
+    assert [(e["name"], e["props"]) for e in res["entities"]] == [
+        ("甲某", {"关系": "兄弟", "辈分": "长辈"}),
+        ("乙某", {"关系": "朋友", "辈分": "平辈"}),
+    ]
+
+
+def test_h16_shifted_deletion_loses_person_column():
+    """称谓@0 deleted, then 辈分's stale position 2 removes 姓名 by
+    mistake -> neither triples nor entities."""
+    res = run(ARCHETYPES["H16"])
+    assert res["tables"][0]["table_type"] == "property_rel"
+    assert res["entities"] == [] and res["triples"] == []
+
+
+def test_h17_pos_tiebreak_direction_col():
+    """Length and type characters tie at (0,0); the T12 word-type
+    tie-break picks COL (function-word column 的了 vs noun column 名字)."""
+    res = run(ARCHETYPES["H17"])
+    assert res["tables"][0]["direction"] == "COL"
+    assert res["tables"][0]["table_type"] == "other"
+    # post-flip emission: 2x2 transposed grid
+    assert [s["text"] for s in res["out_spans"]] == [
+        "名字", "名字", "的了", "的了"]
+
+
 def test_empty_and_spanless_documents():
     assert extract_document("e1", [])["out_spans"] == []
     res = extract_document(

@@ -27,7 +27,8 @@ SEED = 42
 # archetype rotation: weighted toward table-bearing docs, with text/media
 # interleaving; H10/H5 included so rejection paths run at scale
 _ARCHETYPE_KEYS = ["H1", "H2", "H3", "H4", "H5", "H6", "H7", "H8", "H9",
-                   "H10", "H12", "H2", "H1", "H3"]
+                   "H10", "H12", "H2", "H1", "H3",
+                   "H14", "H15", "H16", "H17"]  # round-2 branch pins
 
 _TEXT_SNIPPETS = [
     "早年经历[1]与生平简介。",
@@ -67,14 +68,30 @@ def random_table_html(rng: random.Random) -> str:
             if r > 0 and c < cols - 1 and rng.random() < 0.12:
                 span = ' colspan="2"'
                 c += 1
-            elif 0 < r < rows - 1 and rng.random() < 0.08:
-                span = ' rowspan="2"'
+            elif r > 0 and rng.random() < 0.10:
+                # any row incl. the last (exercises overflow clamping) and
+                # any column incl. non-first (the reference's documented
+                # getAbsolutePosition misplacement path, table.py:360-385 —
+                # we pin the standard occupancy-grid semantics instead);
+                # occasionally combined with a colspan on the same cell
+                span = f' rowspan="{rng.randint(2, 3)}"'
+                if c < cols - 1 and rng.random() < 0.25:
+                    span += ' colspan="2"'
+                    c += 1
             content = (rng.choice(_HEADER_POOL) if tag == "th"
                        else rng.choice(_CELL_POOL))
             if tag == "td" and rng.random() < 0.15:
                 content = f'<a href="/item/{rng.randint(1, 999)}">{content}</a>'
             elif tag == "td" and rng.random() < 0.08:
                 content = f'<img src="img://r/{rng.randint(1, 99)}"/>{content}'
+            elif tag == "td" and rng.random() < 0.04:
+                # deeply-nested table inside a cell: the DOM walk must
+                # surface BOTH tables deterministically (pinned by
+                # test_nested_table_double_extraction)
+                content = (
+                    "<table><tr><td>嵌甲</td><td>嵌乙</td></tr>"
+                    "<tr><td>嵌丙</td><td>嵌丁</td></tr></table>"
+                )
             parts.append(f"<{tag}{span}>{content}</{tag}>")
             c += 1
         parts.append("</tr>")

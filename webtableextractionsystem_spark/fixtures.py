@@ -140,6 +140,54 @@ H13_DOCX_TABLE = """
 """
 
 
+# H14: multi-token caption-relationship header — 儿女 contains BOTH 儿 and
+# 女, so the per-(header,token)-pair count (table.py:741-746) reaches 2 of
+# 3 headers' worth and classifies this 属性关系表 even though only one
+# header matches at all; no relation/person column exists, so extraction
+# yields nothing — the TYPE is the pinned behavior.
+H14_MULTITOKEN_HEADER = """
+<table>
+  <tr><th>儿女</th><th>备注甲</th><th>备注乙</th></tr>
+  <tr><td>甲娘</td><td>乙娘</td><td>丙娘</td></tr>
+</table>
+"""
+
+# H15: THREE relation-bearing headers. Ranked deletion looks positions up
+# in the STALE pre-deletion header list (table.py:853-856): after 称谓@2
+# is deleted, 辈分's stale position 3 exceeds the 3-column table and the
+# delete raises -> relation extraction degrades to [] (dispatch guard),
+# but entity extraction still runs on the mutated table (姓名 + 关系/辈分
+# property bag).
+H15_THREE_RELATION_HEADERS = """
+<table>
+  <tr><th>姓名</th><th>关系</th><th>称谓</th><th>辈分</th></tr>
+  <tr><td>甲某</td><td>兄弟</td><td>兄长</td><td>长辈</td></tr>
+  <tr><td>乙某</td><td>朋友</td><td>同窗</td><td>平辈</td></tr>
+</table>
+"""
+
+# H16: stale-position deletion hits a SHIFTED column: order 称谓|关系|辈分|
+# 姓名 deletes 称谓@0, then 辈分's stale position 2 removes 姓名 by
+# mistake — no person column left, so the table produces nothing at all.
+H16_SHIFTED_DELETION = """
+<table>
+  <tr><th>称谓</th><th>关系</th><th>辈分</th><th>姓名</th></tr>
+  <tr><td>兄长</td><td>兄弟</td><td>长辈</td><td>甲某</td></tr>
+</table>
+"""
+
+# H17: T12 POS-weight orientation tie-break. All cells are 2 chars of the
+# same cell type, so length and type characters tie at (0,0); column 1 is
+# function words (的了 -> ude1+ule weights) versus noun column 0, so the
+# word-type variance tie-break picks COL (table.py:347-354).
+H17_POS_TIEBREAK = """
+<table>
+  <tr><td>名字</td><td>的了</td></tr>
+  <tr><td>名字</td><td>的了</td></tr>
+</table>
+"""
+
+
 def mega_doc_html(n_tables: int) -> str:
     """H11: mega-doc with n copies of H2 (skew tail)."""
     return "<div>" + H2_RELATION_TABLE * n_tables + "</div>"
@@ -157,4 +205,8 @@ ARCHETYPES: dict[str, str] = {
     "H9": H9_BOILERPLATE,
     "H10": H10_DEGENERATE,
     "H12": H12_TYPE_BATTERY,
+    "H14": H14_MULTITOKEN_HEADER,
+    "H15": H15_THREE_RELATION_HEADERS,
+    "H16": H16_SHIFTED_DELETION,
+    "H17": H17_POS_TIEBREAK,
 }
