@@ -36,8 +36,62 @@ def test_media_schema_and_determinism(spark, media):
 
 
 def test_decode_stub_raises_without_fake():
+    # compressed/unknown formats still stub out
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"abc")
+    # magic matched but body malformed -> same stub path, not a crash
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"P6 garbage")
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"BM\x01\x02")
+
+
+def _test_img():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    return rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+
+
+def test_ppm_roundtrip_real_decode():
+    import numpy as np
+
+    img = _test_img()
+    out = MM.decode_image(MM.encode_ppm(img))  # fake NOT set: real path
+    assert np.array_equal(out, img)
+    # header comments + maxval parsing
+    payload = b"P6\n# a comment\n7 5\n255\n" + img.tobytes()
+    assert np.array_equal(MM.decode_image(payload), img)
+
+
+def test_bmp_roundtrip_real_decode():
+    import numpy as np
+
+    img = _test_img()  # width 7 -> stride padding exercised (21 -> 24)
+    out = MM.decode_image(MM.encode_bmp(img))
+    assert np.array_equal(out, img)
+
+
+def test_image_features_on_real_payloads(spark):
+    """End-to-end fake=False: real PPM/BMP payloads through the batched
+    Arrow feature pass — mean channel features must match numpy."""
+    import numpy as np
+
+    img = _test_img()
+    rows = [("m://ppm", "image", bytearray(MM.encode_ppm(img)),
+             {"width": 7, "height": 5, "n_frames": 1, "sample_rate": 0,
+              "mime": "image/x-portable-pixmap"}),
+            ("m://bmp", "image", bytearray(MM.encode_bmp(img)),
+             {"width": 7, "height": 5, "n_frames": 1, "sample_rate": 0,
+              "mime": "image/bmp"})]
+    media = spark.createDataFrame(rows, MM.MEDIA)
+    got = {r["media_ref"]: r for r in
+           MM.image_features(media, fake=False).collect()}
+    want_mean = img.mean(axis=(0, 1)) / 255.0
+    for ref in ("m://ppm", "m://bmp"):
+        r = got[ref]
+        assert (r["width"], r["height"]) == (7, 5)
+        assert np.allclose(r["features"][0:3], want_mean, atol=1e-6)
 
 
 def test_image_features_shape(media):
