@@ -105,3 +105,18 @@ def test_fusion_first_wins_and_url_containment(spark):
     assert ("甲乙", "http://b/2") in fused
     assert fused[("丙丁", "")][0] == {"p": "1"}
     assert not any(n == "钱氏" for n, _ in fused)
+
+
+def test_connected_components_multihop(spark):
+    """Chain 5-4, 4-3, 3-1 plus isolated 2: labels must propagate the
+    chain's minimum (1) across three hops, not just one round."""
+    from webtableextractionsystem_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 1)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["component_id"]
+           for r in connected_components(nodes, pairs).collect()}
+    assert got == {1: 1, 2: 2, 3: 1, 4: 1, 5: 1}

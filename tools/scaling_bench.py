@@ -45,11 +45,43 @@ def _hash_work(n_iter: int) -> int:
 
 
 def raw_ceiling(n_procs: int, total: int = 3_200_000) -> float:
-    """Machine throughput (iterations/sec) with n_procs workers."""
+    """Machine throughput (iterations/sec) with n_procs md5 workers —
+    a COMPUTE-bound probe; kept for transparency but it overstates the
+    ceiling for the memory-bound extraction kernel (see real_ceiling)."""
     with mp.Pool(n_procs) as p:
         t0 = time.monotonic()
         p.map(_hash_work, [total // n_procs] * n_procs)
         return total / (time.monotonic() - t0)
+
+
+def _extract_chunk(chunk) -> int:
+    import sys
+
+    sys.path.insert(0, REPO)
+    from webtableextractionsystem_spark.datagen import gen_document
+    from webtableextractionsystem_spark.kernel.pipeline import extract_document
+
+    total = 0
+    for i in chunk:
+        d = gen_document(int(i))
+        total += extract_document(d["doc_id"], d["spans"])["n_spans"]
+    return total
+
+
+def real_ceiling(n_procs: int, docs: int) -> float:
+    """Machine docs/sec ceiling for the ACTUAL workload: the same
+    gen+extract kernel via a bare multiprocessing pool (no Spark, no
+    Arrow, results reduced to counts), chunked into 256 tasks like the
+    salted-bucket layout. This is the honest upper bound for Spark's
+    scaling on this host — the kernel is memory-bandwidth-bound, so it
+    stops scaling well before the md5 probe does (measured round 2:
+    md5 eff 0.78 at 8->32, real kernel 0.62)."""
+    chunks = [list(range(c, docs, 256)) for c in range(256)]
+    with mp.Pool(n_procs) as p:
+        p.map(_extract_chunk, chunks[:n_procs])  # warm imports
+        t0 = time.monotonic()
+        p.map(_extract_chunk, chunks)
+        return docs / (time.monotonic() - t0)
 
 
 def main() -> None:
@@ -68,11 +100,15 @@ def main() -> None:
         hi = run_level(hi_n, args.docs, args.sf_dir)
         ratio = hi_n / lo_n
         eff = round(hi["docs_per_sec"] / lo["docs_per_sec"] / ratio, 3)
-        raw_lo, raw_hi = raw_ceiling(lo_n), raw_ceiling(hi_n)
-        raw_eff = round(raw_hi / raw_lo / ratio, 3)
+        real_lo = real_ceiling(lo_n, args.docs)
+        real_hi = real_ceiling(hi_n, args.docs)
+        real_eff = round(real_hi / real_lo / ratio, 3)
+        raw_eff = round(raw_ceiling(hi_n) / raw_ceiling(lo_n) / ratio, 3)
         return {"lo_n": lo_n, "hi_n": hi_n, "lo": lo, "hi": hi,
-                "efficiency": eff, "raw_efficiency": raw_eff,
-                "relative": round(eff / raw_eff, 3) if raw_eff else None}
+                "efficiency": eff,
+                "real_ceiling_eff": real_eff,
+                "md5_ceiling_eff": raw_eff,
+                "relative": round(eff / real_eff, 3) if real_eff else None}
 
     main_pair = pair(args.low, args.high)
     alt_pair = pair(*args.also)
@@ -81,8 +117,8 @@ def main() -> None:
         return (
             f"| local[{p['lo_n']}] -> local[{p['hi_n']}] "
             f"| {p['lo']['docs_per_sec']} -> {p['hi']['docs_per_sec']} "
-            f"| **{p['efficiency']}** | {p['raw_efficiency']} "
-            f"| {p['relative']} |"
+            f"| **{p['efficiency']}** | {p['real_ceiling_eff']} "
+            f"| {p['md5_ceiling_eff']} | {p['relative']} |"
         )
 
     md = f"""# BENCH/BASELINE — measured numbers
@@ -95,22 +131,34 @@ extraction-only timing after an unmeasured warmup batch.
 
 ## Scaling: N -> 4N parallelism
 
-| levels | docs/sec | Spark efficiency | machine ceiling* | Spark/ceiling |
-|---|---|---|---|---|
+| levels | docs/sec | Spark efficiency | real-workload ceiling* | md5 ceiling | Spark/real-ceiling |
+|---|---|---|---|---|---|
 {row(main_pair)}
 {row(alt_pair)}
 
 North-rule gate (>= 0.8 from N to 4N): **{main_pair['efficiency']}** at
 N={args.low} -> 4N={args.high}.
 
-*machine ceiling = scaling efficiency of a pure-Python multiprocessing
-md5 workload at the same process counts on this host — the sandbox's
-shared vCPUs stop scaling near linearly above ~8-16 active threads
-(cloud steal / memory bandwidth), which bounds ANY engine. Spark/ceiling
-shows the engine achieves ~all of the machine's available scaling; on a
-real 1000-executor cluster the per-node parallelism stays in the linear
-regime and the bucket-level parallelism (256+ salted buckets, no
-cross-doc dependencies) is embarrassingly parallel.
+*real-workload ceiling = scaling efficiency of the SAME gen+extract
+kernel via a bare multiprocessing pool (no Spark, no Arrow, counts-only
+results) at the same process counts — the honest upper bound for any
+engine on this host. The kernel is memory-bandwidth-bound, so the host
+stops scaling well before 32 threads regardless of engine (the md5
+probe, being compute-bound, overstates the ceiling — kept for
+transparency). Spark/real-ceiling ~1 means the engine captures ~all of
+the machine's available scaling; on a real 1000-executor cluster each
+node stays in its linear regime and the bucket-level parallelism (256+
+salted buckets, no cross-doc dependencies) is embarrassingly parallel.
+
+## Worker-path decomposition (round-2 profile, 2000 docs in-process)
+
+The Python worker's time at local[32] is the KERNEL, not the Arrow
+boundary: input arrow->pandas 15 ms, kernel 1954 ms (94%), results->
+pandas 6 ms, pandas->arrow 100 ms. A mapInArrow rewrite of the
+extraction stage would save the <=6% conversion share at best (a direct
+RecordBatch.from_pylist of the kernel output measures 85 ms vs the 106
+ms pandas route), so mapInPandas stays; the 8->32 residual is the
+machine's memory-bandwidth ceiling, not Python-worker overhead.
 
 Raw JSON:
 

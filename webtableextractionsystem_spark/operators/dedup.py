@@ -414,14 +414,11 @@ WHERE a.doc_id < b.doc_id
 JACCARD_PCT = 50  # integer threshold (x100): verify survivors at J >= 0.5
 
 
-def neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full near-dup dedup: the n-gram Jaccard verifier consumes ONLY the
-    LSH candidate pairs (equi-join output — no bounded-id crutch, no cross
-    join anywhere), then every doc gets a canonical id = its smallest
-    verified partner (one round of min-propagation; full transitive
-    closure is the iterative extension, see connected_components).
-    Threshold compares with integer cross-multiplication — no float in
-    either engine."""
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs -> n-gram Jaccard verification on survivors
+    only (integer cross-multiplied threshold — no float in either
+    engine). The shared front end of neardup_canonical and
+    neardup_components."""
     docs = load_documents(spark, sf_dir).select(
         "doc_id", _shingles().alias("sh"))
     pairs = lsh_candidate_pairs(spark, sf_dir)
@@ -429,11 +426,42 @@ def neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    verified = (
+    return (
         pairs.join(a, "doc_a").join(b, "doc_b")
         .where(inter * 100 >= union * JACCARD_PCT)
         .select("doc_a", "doc_b")
     )
+
+
+_VERIFIED_SQL = rf"""
+pairs AS ({{pairs}}),
+d AS (
+  SELECT doc_id, {{shingles}} AS sh
+  FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents)
+),
+verified AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN d a ON a.doc_id = p.doc_a
+  JOIN d b ON b.doc_id = p.doc_b
+  WHERE len(list_intersect(a.sh, b.sh)) * 100 >=
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * {JACCARD_PCT}
+)"""
+
+
+def _verified_sql() -> str:
+    return _VERIFIED_SQL.format(pairs=lsh_candidate_pairs_sql(),
+                                shingles=_shingles_sql())
+
+
+def neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup dedup: the n-gram Jaccard verifier consumes ONLY the
+    LSH candidate pairs (equi-join output — no bounded-id crutch, no cross
+    join anywhere), then every doc gets a canonical id = its smallest
+    verified partner (one round of min-propagation; full transitive
+    closure is the iterative extension, see neardup_components)."""
+    verified = _verified_pairs(spark, sf_dir)
     return (
         load_documents(spark, sf_dir).select("doc_id")
         .join(verified.select(F.col("doc_b").alias("doc_id"), "doc_a"),
@@ -450,24 +478,89 @@ def neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def neardup_canonical_sql() -> str:
     return rf"""
-WITH pairs AS ({lsh_candidate_pairs_sql()}),
-d AS (
-  SELECT doc_id, {_shingles_sql()} AS sh
-  FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
-        FROM documents)
-),
-verified AS (
-  SELECT p.doc_a, p.doc_b
-  FROM pairs p
-  JOIN d a ON a.doc_id = p.doc_a
-  JOIN d b ON b.doc_id = p.doc_b
-  WHERE len(list_intersect(a.sh, b.sh)) * 100 >=
-        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * {JACCARD_PCT}
-)
+WITH {_verified_sql()}
 SELECT doc.doc_id,
        coalesce(min(v.doc_a), doc.doc_id) AS canonical_id,
        min(v.doc_a) IS NOT NULL AS is_dup
 FROM documents doc
 LEFT JOIN verified v ON v.doc_b = doc.doc_id
 GROUP BY doc.doc_id
+"""
+
+
+def neardup_components(spark: SparkSession, sf_dir: str,
+                       max_iters: int = 50) -> DataFrame:
+    """Connected components of the verified near-dup graph: every doc
+    labeled with the smallest doc_id reachable through verified pairs
+    (full transitive closure — the canonical-id assignment a dedup
+    pipeline actually keeps).
+
+    Spark side is iterative min-label propagation: each round joins
+    labels to the (undirected) edge list, takes the min neighbor label,
+    and stops when no label changed. Rounds are bounded by the component
+    diameter (near-dup components are shallow — duplicates of duplicates
+    — so a handful of rounds suffices; production-scale CC would switch
+    to the large-star/small-star contraction of Kiveris et al. for
+    log-bounded rounds, same join/agg shape). ``localCheckpoint``
+    truncates the growing lineage each round — at cluster scale that is
+    a checkpoint to reliable storage.
+
+    The DuckDB oracle is a recursive CTE computing reachability then
+    min per source — genuinely SQL-expressible, so this iterative
+    operator is hash-checked like everything else."""
+    verified = _verified_pairs(spark, sf_dir)
+    nodes = load_documents(spark, sf_dir).select("doc_id")
+    return connected_components(nodes, verified, max_iters)
+
+
+def connected_components(nodes: DataFrame, pairs: DataFrame,
+                         max_iters: int = 50) -> DataFrame:
+    """Min-label propagation over an undirected pair list; see
+    neardup_components for the scale discussion."""
+    edges = pairs.union(
+        pairs.select(F.col(pairs.columns[1]), F.col(pairs.columns[0]))
+    ).toDF("src", "dst").persist()
+    labels = nodes.select(
+        "doc_id", F.col("doc_id").alias("component_id"))
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "component_id",
+                    F.coalesce("nbr_min", "component_id"),
+                ).alias("component_id"),
+                (F.coalesce("nbr_min", "component_id")
+                 < F.col("component_id")).alias("changed"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.where("changed").count()
+        labels = new_labels.select("doc_id", "component_id")
+        if changed == 0:
+            break
+    return labels
+
+
+def neardup_components_sql() -> str:
+    return rf"""
+WITH RECURSIVE {_verified_sql()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION
+  SELECT doc_b, doc_a FROM verified
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, min(dst) AS component_id
+FROM reach
+GROUP BY src
 """
