@@ -85,3 +85,16 @@ def test_checkpoint_schema_and_lineage(spark, docs, tmp_path):
     }
     for r in rows:
         assert data_counts[r["bucket"]] == r["doc_count"]
+
+
+def test_pre_metadata_checkpoint_refuses_resume(spark, docs, tmp_path):
+    """A checkpoint dir that predates the _NUM_BUCKETS sidecar must not be
+    silently backfilled with the caller's value (code-review pin)."""
+    import os
+
+    runner = CheckpointRunner(spark, str(tmp_path), num_buckets=8)
+    runner.run(docs)
+    os.remove(runner.meta_path)  # simulate the pre-metadata layout
+    again = CheckpointRunner(spark, str(tmp_path), num_buckets=8)
+    with pytest.raises(ValueError, match="no recorded num_buckets"):
+        again.run(docs)

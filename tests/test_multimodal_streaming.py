@@ -39,11 +39,15 @@ def test_decode_stub_raises_without_fake():
     # compressed/unknown formats still stub out
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"abc")
-    # magic matched but body malformed -> same stub path, not a crash
-    with pytest.raises(NotImplementedError):
+    # corrupt file of a SUPPORTED format: distinct diagnosis (ValueError),
+    # not a misleading "format unsupported"
+    with pytest.raises(ValueError):
         MM.decode_image(b"P6 garbage")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         MM.decode_image(b"BM\x01\x02")
+    # with fake=True both fall back to the deterministic fake decoder
+    assert MM.decode_image(b"P6 garbage", fake=True).shape[2] == 3
+    assert MM.decode_image(b"abc", fake=True).shape[2] == 3
 
 
 def _test_img():

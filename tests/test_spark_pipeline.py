@@ -120,3 +120,21 @@ def test_connected_components_multihop(spark):
     got = {r["doc_id"]: r["component_id"]
            for r in connected_components(nodes, pairs).collect()}
     assert got == {1: 1, 2: 2, 3: 1, 4: 1, 5: 1}
+
+
+def test_fusion_null_props_in_run_does_not_null_fold(spark):
+    """A NULL props bag inside a consecutive same-(name,url) run must act
+    as {} — map_concat(acc, NULL) would otherwise null the whole run's
+    property union (code-review regression pin)."""
+    rows = [
+        ("d1", 0, "甲乙", "http://a/1", {"k": "v1"}),
+        ("d1", 1, "甲乙", "http://a/1", None),           # same run, NULL bag
+        ("d1", 2, "甲乙", "http://a/1", {"j": "w"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, seq int, name string, url string, "
+              "props map<string,string>")
+    out = fuse_entities(df).collect()
+    assert len(out) == 1
+    assert out[0]["props"] == {"k": "v1", "j": "w"}
+    assert out[0]["n_sources"] == 3

@@ -77,8 +77,10 @@ def real_ceiling(n_procs: int, docs: int) -> float:
     stops scaling well before the md5 probe does (measured round 2:
     md5 eff 0.78 at 8->32, real kernel 0.62)."""
     chunks = [list(range(c, docs, 256)) for c in range(256)]
-    with mp.Pool(n_procs) as p:
-        p.map(_extract_chunk, chunks[:n_procs])  # warm imports
+    # initializer guarantees EVERY worker pays the import cost before the
+    # timed region (a warm-up map can leave a greedy-scheduling straggler
+    # cold, biasing the low-N side of the efficiency ratio)
+    with mp.Pool(n_procs, initializer=_extract_chunk, initargs=([0],)) as p:
         t0 = time.monotonic()
         p.map(_extract_chunk, chunks)
         return docs / (time.monotonic() - t0)

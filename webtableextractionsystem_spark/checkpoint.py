@@ -60,6 +60,17 @@ class CheckpointRunner:
                     f"num_buckets={recorded}; refusing to resume with "
                     f"num_buckets={self.num_buckets}"
                 )
+        elif os.path.isdir(self.ckpt_dir):
+            # a checkpoint exists but predates the meta file: backfilling
+            # the CURRENT num_buckets would legitimize exactly the
+            # misalignment this guard exists to prevent — refuse and make
+            # the operator state the original value explicitly
+            raise ValueError(
+                f"checkpoint at {self.base_dir} has no recorded "
+                f"num_buckets (pre-metadata layout); create the sidecar "
+                f"{self.meta_path} with the original bucket count before "
+                f"resuming"
+            )
         else:
             os.makedirs(self.base_dir, exist_ok=True)
             with open(self.meta_path, "w") as f:

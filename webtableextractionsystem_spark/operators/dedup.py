@@ -543,8 +543,15 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         changed = new_labels.where("changed").count()
         labels = new_labels.select("doc_id", "component_id")
         if changed == 0:
-            break
-    return labels
+            return labels
+    # exhausting max_iters with changes pending would silently return
+    # partial components (and fail the recursive-CTE oracle with no hint
+    # why) — fail loudly instead
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        f"({changed} labels still changing); raise max_iters or switch "
+        f"to large-star/small-star contraction"
+    )
 
 
 def neardup_components_sql() -> str:

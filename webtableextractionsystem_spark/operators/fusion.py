@@ -90,11 +90,13 @@ def _precombine_runs(entities: DataFrame) -> DataFrame:
         )
 
     def _first_wins(acc, x):
+        # coalesce: a NULL props bag must act as {} (the pandas stage's
+        # contract), not null out the whole fold via map_concat(acc, NULL)
+        props = F.coalesce(x["props"], F.expr("map()").cast(
+            "map<string,string>"))
         return F.map_concat(
             acc,
-            F.map_filter(
-                x["props"], lambda k, v: ~F.map_contains_key(acc, k)
-            ),
+            F.map_filter(props, lambda k, v: ~F.map_contains_key(acc, k)),
         )
 
     return runs.groupBy("name", "run_id").agg(

@@ -191,9 +191,13 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         if payload[:2] == b"BM":
             return _decode_bmp(payload)
     except ValueError:
-        # magic matched but the body didn't parse (possible for random
-        # synthetic payloads): treat like an unsupported format below
-        pass
+        # magic matched but the body didn't parse. With fake=True this is
+        # expected for random synthetic payloads and falls through to the
+        # fake decoder (keeps x_media_features deterministic); with
+        # fake=False it is a CORRUPT file of a supported format — re-raise
+        # as such rather than claiming the format is unsupported.
+        if not fake:
+            raise
     if not fake:
         raise NotImplementedError(
             "only PPM(P6) and 24-bit BMP are decodable without image "

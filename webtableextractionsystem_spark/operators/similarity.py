@@ -163,6 +163,8 @@ WHERE round(list_dot_product(a.emb, c.emb)
 
 IVF_K = 16
 IVF_NPROBE = 2
+IVF_FIT_SAMPLE = 4096  # quantizer training sample (sf0.01 has 500 vecs,
+                       # so the pinned oracle is unaffected by the bound)
 
 
 def ivf_assignments(spark: SparkSession, sf_dir: str,
@@ -174,17 +176,19 @@ def ivf_assignments(spark: SparkSession, sf_dir: str,
     k-means isn't SQL-expressible, so the ivf_topk query is checked
     against a PINNED-LITERAL oracle (tools/pin_extraction_oracles.py);
     for that pin to hold under any session parallelism, the fit input is
-    forced to one deterministically-ordered partition — float summation
-    order, and therefore the centroids, no longer depend on the executor
-    count (at scale this corresponds to fitting on a sorted driver-side
-    sample, the standard IVF training shape)."""
+    a BOUNDED deterministic sample (lowest IVF_FIT_SAMPLE vec_ids) forced
+    into one ordered partition — float summation order, and therefore the
+    centroids, depend on neither executor count nor corpus size beyond
+    the sample. This is the standard IVF training shape: quantizers are
+    fit on a small sample, never the full table."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>"))
         .alias("features"))
-    fit_input = emb.repartition(1).sortWithinPartitions("vec_id")
+    fit_input = (emb.orderBy("vec_id").limit(IVF_FIT_SAMPLE)
+                 .repartition(1).sortWithinPartitions("vec_id"))
     model = KMeans(k=k, seed=42, maxIter=20).fit(fit_input)
     assigned = model.transform(emb).select(
         "vec_id", F.col("prediction").alias("cell"))
