@@ -59,3 +59,76 @@ def test_bucketed_parquet_roundtrip(spark, tmp_path):
     plan = back.where(F.col("bucket") == 2)._jdf.queryExecution() \
         .executedPlan().toString()
     assert back.where(F.col("bucket") == 2).count() == 25
+
+
+def test_docx_render_parse_roundtrip():
+    """S13 render -> S14 parse closes the loop: cell contents and caption
+    survive a render->parse cycle, escaping included."""
+    from webtableextractionsystem_spark.kernel.dom import pre_treat
+    from webtableextractionsystem_spark.kernel.html_tables import (
+        extract_docx_tables,
+        render_table_docx,
+    )
+
+    rows = [["姓名", "备注 & <tag>"], ["甲某", "a>b"]]
+    xml = render_table_docx("家族成员", rows)
+    tables = extract_docx_tables(pre_treat(xml))
+    assert len(tables) == 1
+    assert tables[0].caption == "家族成员"
+    assert [[c.content for c in r] for r in tables[0].rows] == rows
+
+
+def test_docx_catalyst_matches_kernel(spark):
+    """The pure-Catalyst tables_docx must emit byte-identical XML to the
+    kernel render for real pipeline output."""
+    from webtableextractionsystem_spark.datagen import gen_documents_df
+    from webtableextractionsystem_spark.io_sinks import tables_docx
+    from webtableextractionsystem_spark.kernel.html_tables import (
+        render_table_docx,
+    )
+    from webtableextractionsystem_spark.operators.extraction import (
+        extract_all,
+        tables_view,
+    )
+
+    tv = tables_view(extract_all(gen_documents_df(spark, 40), 8))
+    got = {(r["doc_id"], r["table_idx"]): r["docx"]
+           for r in tables_docx(tv).collect()}
+    assert got
+    for r in tv.collect():
+        want = render_table_docx(
+            r["caption"], [[c["content"] for c in row] for row in r["cells"]])
+        assert got[(r["doc_id"], r["table_idx"])] == want
+
+
+def test_er_graph_json_dedup_and_link_remap(spark):
+    """S15 graph semantics: node dedup url-first then name, link endpoint
+    names remapped through the url->name dict (writeER2Chart,
+    tableExtractor.py:566-608)."""
+    import json
+
+    from webtableextractionsystem_spark.io_sinks import er_graph_json
+
+    ents = spark.createDataFrame(
+        [
+            ("d1", 0, "甲某", "http://a/1", {"k": "v"}),
+            ("d1", 1, "甲某别名", "http://a/1", {}),   # same url -> skipped
+            ("d1", 2, "甲某", "http://b/2", {}),       # same name -> skipped
+            ("d1", 3, "乙某", "", {"p": "q"}),
+        ],
+        "doc_id string, seq int, name string, url string, "
+        "props map<string,string>",
+    )
+    trs = spark.createDataFrame(
+        [("d1", 0, "主人公", "http://a/1", "兄弟", "乙某", "")],
+        "doc_id string, seq int, subj_name string, subj_url string, "
+        "rel string, obj_name string, obj_url string",
+    )
+    out = er_graph_json(ents, trs).collect()
+    assert len(out) == 1
+    g = json.loads(out[0]["graph"])
+    assert [n["name"] for n in g["nodes"]] == ["甲某", "乙某"]
+    assert g["nodes"][0]["value"] == ["k:v\n"]
+    # subj url http://a/1 belongs to 甲某 -> link source remapped
+    assert g["links"] == [{"source": "甲某", "target": "乙某",
+                           "value": "兄弟"}]

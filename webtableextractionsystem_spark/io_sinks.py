@@ -55,3 +55,112 @@ def write_bucketed_parquet(df: DataFrame, path: str,
 
 def read_parquet(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# S15: ECharts relation-graph sink — data layer
+# ---------------------------------------------------------------------------
+
+def er_graph_json(entities: DataFrame, triples: DataFrame) -> DataFrame:
+    """Per-document relation-graph JSON: the nodes/links data the
+    reference feeds pyecharts (writeER2Chart,
+    /root/reference/src/tableExtract/tableExtractor.py:540-643). The
+    HTML/JS shell is a rendering detail; this emits the same graph —
+    node dedup by url-then-name (first-wins, sequential in extraction
+    order, :566-582), node value = "k:v" lines (:558-562), link
+    endpoint names remapped through the url->name dict (:600-608).
+    One JSON row per doc_id; per-page graphs are small, so the
+    sequential dedup runs in a per-doc applyInPandas group."""
+    import json
+
+    import pandas as pd
+
+    def build_full(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_id = pdf["doc_id"].iloc[0]
+        url2name: dict[str, str] = {}
+        names = set()
+        nodes = []
+        for r in pdf[pdf["kind"] == "e"].sort_values("seq").itertuples():
+            url = r.a_url or ""
+            if url.strip() and url in url2name:
+                continue
+            if r.a_name in names:
+                continue
+            names.add(r.a_name)
+            props = dict(r.props) if r.props is not None else {}
+            value = "".join(f"{k}:{v}\n" for k, v in props.items())
+            nodes.append({"name": r.a_name, "symbol_size": 30,
+                          "value": [value]})
+            url2name[url] = r.a_name
+        links = []
+        for r in pdf[pdf["kind"] == "t"].sort_values("seq").itertuples():
+            n1, u1 = str(r.a_name), str(r.a_url or "")
+            n2, u2 = str(r.b_name), str(r.b_url or "")
+            if u1.strip() and u1 in url2name:
+                n1 = url2name[u1]
+            if u2.strip() and u2 in url2name:
+                n2 = url2name[u2]
+            links.append({"source": n1, "target": n2, "value": r.rel})
+            url2name[u1] = n1
+            url2name[u2] = n2
+        return pd.DataFrame({"doc_id": [doc_id], "graph": [json.dumps(
+            {"nodes": nodes, "links": links}, ensure_ascii=False)]})
+
+    ents2 = entities.select(
+        "doc_id", "seq", F.lit("e").alias("kind"),
+        F.col("name").alias("a_name"), F.col("url").alias("a_url"),
+        "props",
+        F.lit(None).cast("string").alias("b_name"),
+        F.lit(None).cast("string").alias("b_url"),
+        F.lit(None).cast("string").alias("rel"),
+    )
+    trs2 = triples.select(
+        "doc_id",
+        (F.col("seq") + 1_000_000).alias("seq"),  # links after nodes
+        F.lit("t").alias("kind"),
+        F.col("subj_name").alias("a_name"), F.col("subj_url").alias("a_url"),
+        F.create_map().cast("map<string,string>").alias("props"),
+        F.col("obj_name").alias("b_name"), F.col("obj_url").alias("b_url"),
+        "rel",
+    )
+    return (
+        ents2.unionByName(trs2)
+        .groupBy("doc_id")
+        .applyInPandas(build_full, schema="doc_id string, graph string")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S13: Word-document table sink — data layer (pure Catalyst)
+# ---------------------------------------------------------------------------
+
+def tables_docx(tables: DataFrame) -> DataFrame:
+    """(doc_id, table_idx, docx) — each normalized table rendered as the
+    WordprocessingML the reference's writeTable2Doc produces through
+    python-docx (caption row first, then the grid; table.py:609-647).
+    Pure Catalyst string building; kernel twin render_table_docx is the
+    unit-test surface and the two are asserted equal."""
+    def esc(col):
+        c = F.regexp_replace(col, "&", "&amp;")
+        c = F.regexp_replace(c, "<", "&lt;")
+        return F.regexp_replace(c, ">", "&gt;")
+
+    def tc(text_col):
+        return F.concat(F.lit("<w:tc><w:p><w:r><w:t>"), esc(text_col),
+                        F.lit("</w:t></w:r></w:p></w:tc>"))
+
+    def tr(cells_col):
+        return F.concat(F.lit("<w:tr>"), F.array_join(cells_col, ""),
+                        F.lit("</w:tr>"))
+
+    body = F.array_join(
+        F.transform(
+            "cells", lambda row: tr(F.transform(row, lambda c: tc(c["content"])))
+        ),
+        "",
+    )
+    docx = F.concat(
+        F.lit("<w:tbl>"), tr(F.array(tc(F.col("caption")))), body,
+        F.lit("</w:tbl>"),
+    )
+    return tables.select("doc_id", "table_idx", docx.alias("docx"))

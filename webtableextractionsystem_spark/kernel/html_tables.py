@@ -368,3 +368,23 @@ def extract_list_tables(tag: Node) -> list[RawTable]:
             continue  # reference would crash on max([]) (tableExtractor.py:384)
         out.append(RawTable(rows, caption=str(caption)))
     return out
+
+
+def render_table_docx(caption: str, rows: list[list[str]]) -> str:
+    """S13 Word-table sink (writeTable2Doc, table.py:609-647), data
+    layer: the reference renders a python-docx "Table Grid" whose first
+    row is the caption merged across all columns, followed by the
+    normalized grid. Emitted here as WordprocessingML — the same <w:tbl>
+    dialect extract_docx_tables parses, so render->parse round-trips."""
+    def esc(s: str) -> str:
+        return (str(s).replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;"))
+
+    def tc(text: str) -> str:
+        return f"<w:tc><w:p><w:r><w:t>{esc(text)}</w:t></w:r></w:p></w:tc>"
+
+    parts = ["<w:tbl>", f"<w:tr>{tc(caption)}</w:tr>"]
+    for row in rows:
+        parts.append("<w:tr>" + "".join(tc(c) for c in row) + "</w:tr>")
+    parts.append("</w:tbl>")
+    return "".join(parts)
