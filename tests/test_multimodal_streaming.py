@@ -200,3 +200,63 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path):
     assert emitted.agg(F.sum("n")).first()[0] == batch.agg(F.sum("n")).first()[0]
     assert emitted.count() == batch.count()
     assert got.count() >= batch.count()
+
+
+def test_row_minhash_matches_aggregate_form(spark):
+    """Per-row array_min minhash must equal the explode->groupBy(min)
+    signatures for every doc (same algebra, different plan shape)."""
+    from webtableextractionsystem_spark.operators import dedup as DD
+
+    sf = "/root/testdata/sf0.001"
+    agg = {r["doc_id"]: tuple(r[f"mh{s}"] for s in range(DD.N_SEEDS))
+           for r in DD.minhash_signatures(spark, sf).collect()}
+    row = {r["doc_id"]: tuple(r[f"mh{s}"] for s in range(DD.N_SEEDS))
+           for r in DD.row_minhash(
+               DD.load_documents(spark, sf)).select(
+               "doc_id", *[f"mh{s}" for s in range(DD.N_SEEDS)]).collect()}
+    assert agg == row
+
+
+def test_streaming_neardup_online_and_restart(spark, tmp_path):
+    """Online near-dup: a later near-identical document is flagged
+    against the bucket owner from an EARLIER batch (state survives the
+    availableNow restart), and every flagged pair is a batch LSH
+    candidate pair on the combined corpus."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from webtableextractionsystem_spark.operators import dedup as DD
+    from webtableextractionsystem_spark.streaming.stateful import (
+        streaming_neardup,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").where(F.col("doc_id") < 100)
+    docs.write.mode("overwrite").parquet(in_dir)
+    streaming_neardup(spark, in_dir, out_dir, ck_dir)
+
+    # batch 2: a near-copy of doc 0 (same text) with a fresh id
+    copy = docs.where(F.col("doc_id") == 0) \
+        .select(F.lit(999999).cast("long").alias("doc_id"), "text")
+    copy.write.mode("append").parquet(in_dir)
+    streaming_neardup(spark, in_dir, out_dir, ck_dir)
+
+    out = spark.read.parquet(out_dir)
+    hits = out.where(F.col("owner_id") != F.col("doc_id")) \
+        .select("doc_id", "owner_id").distinct().collect()
+    flagged = {(min(r["doc_id"], r["owner_id"]), max(r["doc_id"], r["owner_id"]))
+               for r in hits}
+    assert (0, 999999) in flagged  # cross-batch: owner from batch 1
+
+    # soundness: streaming pairs are a subset of batch LSH candidates
+    combined_dir = str(tmp_path / "combined")
+    os.makedirs(combined_dir, exist_ok=True)
+    docs.unionByName(copy).write.mode("overwrite") \
+        .parquet(f"{combined_dir}/documents.parquet")
+    batch_pairs = {(r["doc_a"], r["doc_b"]) for r in
+                   DD.lsh_candidate_pairs(spark, combined_dir).collect()}
+    assert flagged <= batch_pairs

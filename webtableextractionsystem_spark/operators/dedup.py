@@ -101,6 +101,55 @@ SEED_PARAMS = [(2 * s + 3, 1000003 * (s + 1) % MINHASH_P)
                for s in range(N_SEEDS)]
 
 
+def _affine(a: int, b: int):
+    # factory, NOT `lambda h, a=a, b=b`: a default arg flips pyspark's
+    # lambda-arity detection into the (element, index) form
+    def f(h):
+        return (h * F.lit(a) + F.lit(b)) % MINHASH_P
+
+    return f
+
+
+def row_minhash(docs: DataFrame) -> DataFrame:
+    """Per-ROW minhash signature: mh_s = array_min over the shingle hash
+    array under each affine permutation — no explode, no aggregation.
+    Same algebra (and same values, differential-tested) as
+    minhash_signatures; this form is required where aggregations can't
+    precede a stateful operator (Structured Streaming append mode) and
+    is also the narrow-map shape for signature backfill jobs."""
+    hs = F.transform(
+        _shingles(),
+        lambda sh: F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long"),
+    )
+    out = docs.withColumn("_hs", hs)
+    for s, (a, b) in enumerate(SEED_PARAMS):
+        out = out.withColumn(
+            f"mh{s}", F.array_min(F.transform("_hs", _affine(a, b))))
+    return out.drop("_hs")
+
+
+def band_structs():
+    """The LSH band array (band index + md5 over its BAND_ROWS signature
+    columns) — shared by the batch band-keys query and the streaming
+    online near-dup operator."""
+    n_bands = N_SEEDS // BAND_ROWS
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"mh{b * BAND_ROWS + r}")
+                          for r in range(BAND_ROWS)],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_documents(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism
@@ -154,21 +203,7 @@ def lsh_band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     # barrier, so band structs reference the materialized mh columns —
     # no persist needed for the single-consumer band-keys query
     sig = minhash_signatures(spark, sf_dir)
-    n_bands = N_SEEDS // BAND_ROWS
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)],
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
+    bands = band_structs()
     # docs with < SHINGLE_K tokens have NULL signatures (empty shingle
     # set); they must emit NO bands — otherwise concat_ws collapses the
     # NULLs into a shared md5('') band key and every short doc becomes a

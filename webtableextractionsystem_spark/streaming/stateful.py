@@ -82,3 +82,76 @@ def streaming_dedup(spark: SparkSession, input_dir: str, output_dir: str,
         .start()
         .awaitTermination()
     )
+
+
+# ---------------------------------------------------------------------------
+# Online NEAR-dup: stateful LSH banding at ingest
+# ---------------------------------------------------------------------------
+#
+# The batch near-dup pass (operators/dedup.py) compares a corpus against
+# itself; at ingest time the question is "is this NEW document a near-dup
+# of anything already accepted?". Streaming-native answer: compute the
+# per-row minhash signature (row_minhash — no aggregation, so it is legal
+# before a stateful operator in append mode), explode the LSH bands, and
+# keep ONE state entry per (band, band_key) bucket: the first document
+# that claimed the bucket. Every later document hitting the bucket is
+# emitted against that owner. State is keyed by band bucket, so it is
+# hash-partitioned and horizontally scalable, and it survives restarts
+# with the streaming checkpoint (same guarantees as streaming_dedup).
+# Docs too short to shingle have NULL signatures and emit no bands.
+
+NEARDUP_OUTPUT = "band int, band_key string, doc_id long, owner_id long"
+NEARDUP_STATE = "owner long"
+
+
+def _neardup_fn(key: Tuple[int, str], pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+    band, band_key = key
+    owner = state.get[0] if state.exists else None
+    rows = []
+    for pdf in pdfs:
+        for doc_id in sorted(int(d) for d in pdf["doc_id"]):
+            if owner is None:
+                owner = doc_id
+            rows.append((band, band_key, doc_id, owner))
+    state.update((owner,))
+    if rows:
+        yield pd.DataFrame(
+            rows, columns=["band", "band_key", "doc_id", "owner_id"])
+
+
+def streaming_neardup(spark: SparkSession, input_dir: str, output_dir: str,
+                      stream_ckpt_dir: str) -> None:
+    """Stream (doc_id, text) parquet from ``input_dir``; append one row
+    per (document, LSH band) to ``output_dir`` carrying the band
+    bucket's owner. A document is an online near-dup candidate iff any
+    of its rows has owner_id != doc_id; candidates then go to the exact
+    verifier (n-gram Jaccard against the owner), exactly like the batch
+    pipeline's verify stage."""
+    from ..operators.dedup import band_structs, row_minhash
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string").parquet(input_dir)
+    banded = (
+        row_minhash(stream)
+        .where(F.col("mh0").isNotNull())
+        .select("doc_id", F.explode(band_structs()).alias("bk"))
+        .select("doc_id", "bk.band", "bk.band_key")
+    )
+    flagged = banded.groupBy("band", "band_key").applyInPandasWithState(
+        _neardup_fn,
+        outputStructType=NEARDUP_OUTPUT,
+        stateStructType=NEARDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    (
+        flagged.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", stream_ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
