@@ -132,3 +132,27 @@ def test_er_graph_json_dedup_and_link_remap(spark):
     # subj url http://a/1 belongs to 甲某 -> link source remapped
     assert g["links"] == [{"source": "甲某", "target": "乙某",
                            "value": "兄弟"}]
+
+
+def test_seed_frontier_scan(spark, tmp_path):
+    """S2: seed file -> bounded, classified, order-preserving frontier."""
+    from webtableextractionsystem_spark.operators.urlfilters import (
+        seed_frontier,
+    )
+
+    seed = tmp_path / "seeds.txt"
+    seed.write_text(
+        "https://baike.baidu.com/item/%E5%AD%94%E5%AD%90\n"
+        "\n"
+        "https://baike.baidu.com/item/page.html\n"
+        "https://other.example.com/x\n",
+        encoding="utf-8",
+    )
+    rows = seed_frontier(spark, str(seed), capacity=2).collect()
+    # blank dropped, capacity caps at 2, file order preserved via seq
+    assert [r["seq"] for r in rows] == [1, 2]
+    by_url = {r["url"]: r for r in rows}
+    kongzi = by_url["https://baike.baidu.com/item/%E5%AD%94%E5%AD%90"]
+    assert kongzi["possible"] and kongzi["keep"] and kongzi["relevance"] == 1
+    dotted = by_url["https://baike.baidu.com/item/page.html"]
+    assert not dotted["possible"]

@@ -58,3 +58,34 @@ def classify_urls(df, url_col: str = "url"):
         rel.alias("relevance"),
         (possible & (rel >= F.lit(0.8))).alias("keep"),
     )
+
+
+def seed_frontier(spark, seed_path: str, capacity: int = 5000):
+    """S2 seed-file scan -> classified crawl frontier (readSeed,
+    /root/reference/src/spider/WebSpider.py:46-59 + the seedQueue cap at
+    :27): read one URL per line, trim whitespace (the reference's
+    readline keeps the trailing newline; the queue consumer strips it),
+    drop blanks, classify (F1/F2), and keep the first ``capacity`` in
+    file order — the seedQueue.full() bound. Returns
+    (url, possible, relevance, keep, seq); appending it to a parquet
+    queue table replaces the reference's in-process Queue, and
+    queue_batch-style ORDER BY seq LIMIT n is the dequeue."""
+    from pyspark.sql import Window
+
+    lines = spark.read.text(seed_path).select(
+        F.trim(F.col("value")).alias("url"))
+    w = Window.orderBy(F.monotonically_increasing_id())
+    bounded = (
+        lines.where(F.col("url") != "")
+        .withColumn("seq", F.row_number().over(w))
+        .where(F.col("seq") <= capacity)
+    )
+    rel = person_url_relevance(F.col("url"))
+    possible = is_possible_item_url(F.col("url"))
+    return bounded.select(
+        "url",
+        possible.alias("possible"),
+        rel.alias("relevance"),
+        (possible & (rel >= F.lit(0.8))).alias("keep"),
+        "seq",
+    )
