@@ -152,6 +152,39 @@ def x_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
 
 
+def _ordered_digest(df: DataFrame, order_cols: list[str],
+                    payload: str) -> DataFrame:
+    """One-row digest: count + md5 over the payload column concatenated
+    in (order_cols) order — a compact pinned-literal oracle for sinks
+    whose full output would bloat x_oracles.py."""
+    ordered = F.array_sort(
+        F.collect_list(F.struct(*order_cols, payload)))
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.md5(F.concat_ws(
+            "\x01", F.transform(ordered, lambda s: s[payload]))
+        ).alias("digest"),
+    )
+
+
+def x_tables_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 Word-table sink over the extraction corpus, digested."""
+    from .io_sinks import tables_docx
+
+    return _ordered_digest(
+        tables_docx(tables_view(_extracted(spark))),
+        ["doc_id", "table_idx"], "docx")
+
+
+def x_er_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 relation-graph JSON sink over the extraction corpus, digested."""
+    from .io_sinks import er_graph_json
+
+    graphs = er_graph_json(
+        entities_view(_extracted(spark)), triples_view(_extracted(spark)))
+    return _ordered_digest(graphs, ["doc_id"], "graph")
+
+
 def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media plumbing e2e (rows-only check: numpy-seeded fake decode is
     not SQL-expressible): media spans -> payloads -> batched features."""
@@ -172,7 +205,7 @@ def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 PINNED = (
     "x_spans_by_kind", "x_tables_by_type", "x_triples_by_rel",
     "x_entities_fused", "x_doc_totals", "x_table_records", "x_url_filter",
-    "x_media_features", "q_emb_ivf_topk",
+    "x_media_features", "x_tables_docx", "x_er_graph", "q_emb_ivf_topk",
 )
 
 # queries deliberately WITHOUT any oracle (driver records the weaker
@@ -202,6 +235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_table_records": x_table_records,     # F10
         "x_url_filter": x_url_filter,           # F1/F2
         "x_media_features": x_media_features,   # multimodal plumbing
+        "x_tables_docx": x_tables_docx,         # S13 docx sink digest
+        "x_er_graph": x_er_graph,               # S15 graph sink digest
         # text analysis over documents
         "q_doc_token_stats": TS.token_stats,
         "q_doc_quality": TS.quality_stats,
