@@ -111,21 +111,41 @@ def _affine(a: int, b: int):
 
 
 def row_minhash(docs: DataFrame) -> DataFrame:
-    """Per-ROW minhash signature: mh_s = array_min over the shingle hash
-    array under each affine permutation — no explode, no aggregation.
-    Same algebra (and same values, differential-tested) as
-    minhash_signatures; this form is required where aggregations can't
-    precede a stateful operator (Structured Streaming append mode) and
-    is also the narrow-map shape for signature backfill jobs."""
+    """Per-ROW minhash signature: a single higher-order fold carries all
+    N_SEEDS running minima across the shingle hash array — one md5 per
+    shingle (the fold input is evaluated once per row), no explode, no
+    aggregation, no shuffle. Same algebra (and same values,
+    differential-tested) as the explode form this replaced; being
+    aggregation-free it is also legal before stateful streaming
+    operators. Docs too short to shingle get NULL signatures (the
+    MINHASH_P sentinel can never be a real minimum — every permuted
+    hash is strictly below the modulus)."""
     hs = F.transform(
         _shingles(),
         lambda sh: F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long"),
     )
-    out = docs.withColumn("_hs", hs)
-    for s, (a, b) in enumerate(SEED_PARAMS):
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in SEED_PARAMS])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in SEED_PARAMS])
+    minima = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(MINHASH_P).cast("long"), N_SEEDS),
+        lambda acc, h: F.transform(
+            acc,
+            lambda m, i: F.least(
+                m,
+                (h * F.element_at(a_arr, i + 1)
+                 + F.element_at(b_arr, i + 1)) % MINHASH_P,
+            ),
+        ),
+    )
+    out = docs.withColumn("_mh", minima)
+    for s in range(N_SEEDS):
         out = out.withColumn(
-            f"mh{s}", F.array_min(F.transform("_hs", _affine(a, b))))
-    return out.drop("_hs")
+            f"mh{s}",
+            F.when(F.element_at("_mh", s + 1) < MINHASH_P,
+                   F.element_at("_mh", s + 1)),
+        )
+    return out.drop("_mh")
 
 
 def band_structs():
