@@ -18,6 +18,15 @@ Design for 100 TB:
   the oracle-checked query).
 * Exact dedup = window over fingerprint — at scale a groupBy(fp) with
   min(doc_id) broadcast back; the window form keeps one shuffle.
+
+Algorithm provenance (public literature): MinHash k-permutation
+construction per Broder (1997, "On the resemblance and containment of
+documents"); LSH banding per Leskovec/Rajaraman/Ullman, Mining of
+Massive Datasets ch.3; 64-bit SimHash + chunk-table hamming search per
+Charikar (2002) and Manku/Jain/Sarma (WWW'07, "Detecting near-duplicates
+for web crawling"); connected components via min-label propagation with
+the large-star/small-star contraction (Kiveris et al., SoCC'14) noted as
+the log-round production variant.
 """
 
 from __future__ import annotations
