@@ -110,15 +110,6 @@ SEED_PARAMS = [(2 * s + 3, 1000003 * (s + 1) % MINHASH_P)
                for s in range(N_SEEDS)]
 
 
-def _affine(a: int, b: int):
-    # factory, NOT `lambda h, a=a, b=b`: a default arg flips pyspark's
-    # lambda-arity detection into the (element, index) form
-    def f(h):
-        return (h * F.lit(a) + F.lit(b)) % MINHASH_P
-
-    return f
-
-
 def row_minhash(docs: DataFrame) -> DataFrame:
     """Per-ROW minhash signature: a single higher-order fold carries all
     N_SEEDS running minima across the shingle hash array — one md5 per
@@ -324,12 +315,20 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     across tokens, then the majority vote packed into a signed BIGINT.
     Measured ~10x faster than the explode -> groupBy(64 sums) form at
     sf0.1 (0.18s vs 1.72s) with bit-identical output; being
-    aggregation-free it is also legal in streaming pipelines."""
-    docs = load_documents(spark, sf_dir)
+    aggregation-free it is also legal in streaming pipelines.
+
+    NULL-text docs are filtered exactly like the explode form dropped
+    them (explode of a NULL token array emits nothing) — the DuckDB
+    oracle's unnest does the same, so the engines stay row-identical."""
+    docs = load_documents(spark, sf_dir).where(F.col("text").isNotNull())
     toks = _tokens()
-    hs = F.transform(toks, lambda t: F.struct(
-        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("h2"),
+    # inner transform materializes ONE md5 per token; higher-order-function
+    # lambdas are interpreted without codegen subexpression elimination,
+    # so computing md5 separately for each half would hash twice
+    digests = F.transform(toks, lambda t: F.md5(t))
+    hs = F.transform(digests, lambda d: F.struct(
+        F.conv(F.substring(d, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(d, 9, 8), 16, 10).cast("long").alias("h2"),
     ))
     # bit test without shift-by-column (the Python shiftright wrapper
     # only takes literal shift amounts): (h % 2p) >= p with p = 2^i from

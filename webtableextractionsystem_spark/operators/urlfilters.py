@@ -46,9 +46,9 @@ def person_url_relevance(url: Column) -> Column:
     return F.when(decoded.rlike(RE_PERSON_NAME), F.lit(1)).otherwise(F.lit(0))
 
 
-def classify_urls(df, url_col: str = "url"):
-    """(url, possible, relevance, keep) — keep mirrors the reference's
-    'useful' routing: possible AND relevance >= 0.8."""
+def classify_urls(df, url_col: str = "url", extra_cols: tuple = ()):
+    """(url, possible, relevance, keep[, *extra_cols]) — keep mirrors the
+    reference's 'useful' routing: possible AND relevance >= 0.8."""
     url = F.col(url_col)
     rel = person_url_relevance(url)
     possible = is_possible_item_url(url)
@@ -57,18 +57,21 @@ def classify_urls(df, url_col: str = "url"):
         possible.alias("possible"),
         rel.alias("relevance"),
         (possible & (rel >= F.lit(0.8))).alias("keep"),
+        *[F.col(c) for c in extra_cols],
     )
 
 
-def seed_frontier(spark, seed_path: str, capacity: int = 5000):
+def seed_frontier(spark, seed_path: str, capacity: int | None = None):
     """S2 seed-file scan -> classified crawl frontier (readSeed,
-    /root/reference/src/spider/WebSpider.py:46-59 + the seedQueue cap at
-    :27): read one URL per line, trim whitespace (the reference's
-    readline keeps the trailing newline; the queue consumer strips it),
-    drop blanks, classify (F1/F2), and keep the first ``capacity`` in
-    file order — the seedQueue.full() bound. Returns
-    (url, possible, relevance, keep, seq); appending it to a parquet
-    queue table replaces the reference's in-process Queue, and
+    /root/reference/src/spider/WebSpider.py:46-59): read one URL per
+    line, trim whitespace (the reference's readline keeps the trailing
+    newline; the queue consumer strips it), drop blanks, classify
+    (F1/F2). The reference's seedQueue is constructed UNBOUNDED
+    (``Queue()`` with no maxsize, WebSpider.py:38), so its
+    ``full()`` check never fires and every seed is read — capacity here
+    defaults to None to match; pass a value only as an extension.
+    Returns (url, possible, relevance, keep, seq); appending it to a
+    parquet queue table replaces the in-process Queue, and
     queue_batch-style ORDER BY seq LIMIT n is the dequeue."""
     from pyspark.sql import Window
 
@@ -78,14 +81,7 @@ def seed_frontier(spark, seed_path: str, capacity: int = 5000):
     bounded = (
         lines.where(F.col("url") != "")
         .withColumn("seq", F.row_number().over(w))
-        .where(F.col("seq") <= capacity)
     )
-    rel = person_url_relevance(F.col("url"))
-    possible = is_possible_item_url(F.col("url"))
-    return bounded.select(
-        "url",
-        possible.alias("possible"),
-        rel.alias("relevance"),
-        (possible & (rel >= F.lit(0.8))).alias("keep"),
-        "seq",
-    )
+    if capacity is not None:
+        bounded = bounded.where(F.col("seq") <= capacity)
+    return classify_urls(bounded, extra_cols=("seq",))

@@ -108,16 +108,19 @@ def _neardup_fn(key: Tuple[int, str], pdfs: Iterator[pd.DataFrame],
                 state: GroupState) -> Iterator[pd.DataFrame]:
     band, band_key = key
     owner = state.get[0] if state.exists else None
-    rows = []
-    for pdf in pdfs:
-        for doc_id in sorted(int(d) for d in pdf["doc_id"]):
-            if owner is None:
-                owner = doc_id
-            rows.append((band, band_key, doc_id, owner))
+    # drain ALL Arrow chunks before picking the owner: a group can span
+    # chunk boundaries, and taking the first chunk's minimum would make
+    # owner assignment depend on arrow batch sizing / scan order. Within
+    # one microbatch the deterministic "first arrival" is min(doc_id).
+    doc_ids = sorted(
+        int(d) for pdf in pdfs for d in pdf["doc_id"])
+    if owner is None and doc_ids:
+        owner = doc_ids[0]
     state.update((owner,))
-    if rows:
+    if doc_ids:
         yield pd.DataFrame(
-            rows, columns=["band", "band_key", "doc_id", "owner_id"])
+            [(band, band_key, d, owner) for d in doc_ids],
+            columns=["band", "band_key", "doc_id", "owner_id"])
 
 
 def streaming_neardup(spark: SparkSession, input_dir: str, output_dir: str,
