@@ -12,6 +12,16 @@ suppressed.
 
 State value: n_seen per fingerprint. Keys are the fingerprints
 themselves, so state is hash-partitioned and scales horizontally.
+
+State growth at 100 TB: both stateful operators here keep one entry per
+distinct key FOREVER (GroupStateTimeout.NoTimeout) — that is the
+correct semantics for corpus dedup, where "seen five years ago" still
+means duplicate, and the state store (RocksDB-backed on a real cluster)
+is a disk structure, not heap. If the product semantics allow a
+dedup horizon, the eviction knob is ProcessingTimeTimeout +
+state.setTimeoutDuration per key — a deliberate semantic change
+(re-admits old duplicates), not an optimization, so it is not defaulted
+here.
 """
 
 from __future__ import annotations
