@@ -310,3 +310,49 @@ SELECT coalesce(l_returnflag, 'ALL') AS rf,
        count(*) AS n
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
+
+
+def lineitem_cube(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all four grouping combinations
+    in one pass (Expand + single shuffle) — the multi-dimensional
+    superset of lineitem_rollup, which omits the (ALL, ls) slices."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+             .cast("double").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n", "sum_qty",
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def customers_with_open_orders(spark, sf_dir):
+    """EXISTS / left-semi: customers having at least one open ('O')
+    order — the dual of the anti-join, one broadcast semi join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+EXISTS_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+"""
