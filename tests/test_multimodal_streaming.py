@@ -26,13 +26,26 @@ def media(spark):
 def test_media_schema_and_determinism(spark, media):
     row = media.orderBy("media_ref").first()
     assert isinstance(row["payload"], (bytes, bytearray))
-    assert row["meta"]["mime"] == "image/fake"
+    assert row["meta"]["mime"] in (
+        "image/x-portable-pixmap", "image/bmp", "image/png")
     # deterministic: same ref -> same payload across a second build
     docs = gen_documents_df(spark, 60)
     spans = spans_view(extract_all(docs, num_buckets=4))
     m2 = MM.synth_media_for_spans(spans)
     r2 = m2.orderBy("media_ref").first()
     assert bytes(row["payload"]) == bytes(r2["payload"])
+
+
+def test_synth_media_payloads_real_decode(media):
+    """Every synthesized payload decodes through the REAL codec path and
+    matches its declared meta dimensions — no fake fallback anywhere."""
+    rows = media.collect()
+    mimes = set()
+    for r in rows:
+        img = MM.decode_image(bytes(r["payload"]))  # fake NOT set
+        assert img.shape == (r["meta"]["height"], r["meta"]["width"], 3)
+        mimes.add(r["meta"]["mime"])
+    assert mimes == {"image/x-portable-pixmap", "image/bmp", "image/png"}
 
 
 def test_decode_stub_raises_without_fake():
@@ -74,6 +87,52 @@ def test_bmp_roundtrip_real_decode():
     img = _test_img()  # width 7 -> stride padding exercised (21 -> 24)
     out = MM.decode_image(MM.encode_bmp(img))
     assert np.array_equal(out, img)
+
+
+def test_png_roundtrip_all_filters():
+    """RGB PNG through every scanline filter type (None/Sub/Up/Average/
+    Paeth) must un-filter back to the exact pixels."""
+    import numpy as np
+
+    img = _test_img()
+    for ftype in range(5):
+        out = MM.decode_image(MM.encode_png(img, filter_type=ftype))
+        assert np.array_equal(out, img), f"filter {ftype}"
+
+
+def test_png_rgba_and_grayscale():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rgba = rng.integers(0, 256, size=(6, 4, 4), dtype=np.uint8)
+    out = MM.decode_image(MM.encode_png(rgba, filter_type=4))
+    assert np.array_equal(out, rgba[..., :3])  # alpha dropped
+    gray = rng.integers(0, 256, size=(3, 9), dtype=np.uint8)
+    out = MM.decode_image(MM.encode_png(gray, filter_type=1))
+    assert np.array_equal(out, np.repeat(gray[..., None], 3, axis=2))
+
+
+def test_png_corruption_diagnosis():
+    """Bit-flips and truncations are ValueError (corrupt supported
+    format), never NotImplementedError, never a wrong silent decode."""
+    import pytest
+
+    payload = bytearray(MM.encode_png(_test_img(), filter_type=2))
+    flipped = bytearray(payload)
+    flipped[40] ^= 0xFF  # inside IDAT -> CRC mismatch
+    with pytest.raises(ValueError):
+        MM.decode_image(bytes(flipped))
+    with pytest.raises(ValueError):
+        MM.decode_image(bytes(payload[:30]))  # truncated chunk
+    # interlaced flag -> unsupported-variant ValueError (rebuild header
+    # with interlace=1 and a fixed-up CRC so only the variant is wrong)
+    import zlib
+    ihdr = bytearray(payload[16:29])
+    ihdr[12] = 1
+    crc = (zlib.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF).to_bytes(4, "big")
+    interlaced = payload[:16] + bytes(ihdr) + crc + payload[33:]
+    with pytest.raises(ValueError, match="interlace"):
+        MM.decode_image(bytes(interlaced))
 
 
 def test_image_features_on_real_payloads(spark):

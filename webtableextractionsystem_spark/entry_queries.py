@@ -186,19 +186,21 @@ def x_er_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media plumbing e2e (rows-only check: numpy-seeded fake decode is
-    not SQL-expressible): media spans -> payloads -> batched features."""
+    """Media e2e through the REAL codec path (pinned-literal oracle —
+    image decode is not SQL-expressible): media spans -> deterministic
+    encoded PPM/BMP/PNG payloads -> batched decode + features with
+    fake=False, so a codec regression fails the driver gate."""
     from .operators.multimodal import image_features, synth_media_for_spans
 
     spans = spans_view(_extracted(spark))
     media = synth_media_for_spans(spans)
-    return image_features(media, fake=True).select(
+    return image_features(media, fake=False).select(
         "media_ref", "width", "height", F.size("features").alias("n_features")
     )
 
 
 # queries whose oracle is a PINNED LITERAL rather than side-by-side SQL:
-# the x_* extraction corpus has no SQL-reachable input, and fake media
+# the x_* extraction corpus has no SQL-reachable input, and image
 # decode / k-means clustering aren't SQL-expressible — but all of them
 # are deterministic, so their results are frozen as VALUES clauses by
 # tools/pin_extraction_oracles.py and hash-checked like everything else.

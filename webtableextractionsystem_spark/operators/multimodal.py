@@ -21,18 +21,20 @@ Spark-side design (all real and tested):
   spans table by ``pmod(xxhash64(media_ref), n)`` makes the span<->media
   join a local zipper at scale.
 
-Codecs: binary PPM (P6) and uncompressed 24-bit BMP decode FOR REAL in
-pure numpy/stdlib (round-trip tested); compressed formats (PNG/JPEG)
-need image libraries absent from this container and are stubbed —
-``decode_image`` raises NotImplementedError for them unless
-``fake=True``, in which case a deterministic fake decoder (md5-seeded
-pixel stats) stands in. The Spark plumbing — schema, batching,
-partitioning, UDF signatures — is real and tested either way.
+Codecs: binary PPM (P6), uncompressed 24-bit BMP, and non-interlaced
+8-bit gray/RGB/RGBA PNG (stdlib zlib inflate + all five scanline
+filters, CRC-checked) decode FOR REAL in pure numpy/stdlib (round-trip
+tested). JPEG (DCT entropy coding) is the one remaining stub —
+``decode_image`` raises NotImplementedError for it unless ``fake=True``,
+in which case a deterministic fake decoder (md5-seeded pixel stats)
+stands in. The Spark plumbing — schema, batching, partitioning, UDF
+signatures — is real and tested either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -59,25 +61,41 @@ N_IMG_FEATURES = 16
 
 
 def synth_media_for_spans(spans_out: DataFrame) -> DataFrame:
-    """Deterministic media table for every media span: payload bytes and
-    metadata derived from md5(media_ref). Stands in for the real object
-    store; schema and sizes are realistic, content is fake."""
+    """Deterministic media table for every media span: REAL encoded
+    image payloads (PPM / BMP / PNG-RGB / PNG-RGBA, PNG rows cycling
+    through all five scanline filters) with pixels seeded from
+    md5(media_ref). Stands in for the real object store; every payload
+    decodes through the real codec path (``decode_image(fake=False)``)."""
 
     def gen(batches):
         for pdf in batches:
-            refs = pdf["media_ref"].tolist()
             rows = []
-            for ref in refs:
+            for ref in pdf["media_ref"].tolist():
                 h = hashlib.md5(ref.encode()).digest()
-                size = 256 + h[0] * 16
-                payload = (h * ((size // 16) + 1))[:size]
+                rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+                w = 4 + h[1] % 13
+                ht = 4 + h[2] % 13
+                fmt = h[0] % 4
+                img = rng.integers(0, 256, size=(ht, w, 3), dtype=np.uint8)
+                if fmt == 0:
+                    payload, mime = encode_ppm(img), "image/x-portable-pixmap"
+                elif fmt == 1:
+                    payload, mime = encode_bmp(img), "image/bmp"
+                elif fmt == 2:
+                    payload = encode_png(img, filter_type=h[3] % 5)
+                    mime = "image/png"
+                else:
+                    rgba = np.dstack([img, rng.integers(
+                        0, 256, size=(ht, w), dtype=np.uint8)])
+                    payload = encode_png(rgba, filter_type=h[3] % 5)
+                    mime = "image/png"
                 rows.append({
                     "media_ref": ref,
                     "kind": "image",
                     "payload": payload,
-                    "meta": {"width": 16 + h[1] % 64, "height": 16 + h[2] % 64,
+                    "meta": {"width": w, "height": ht,
                              "n_frames": 1, "sample_rate": 0,
-                             "mime": "image/fake"},
+                             "mime": mime},
                 })
             yield pd.DataFrame(rows)
 
@@ -115,10 +133,14 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
     w, h, maxval = tokens
     if not (0 < maxval <= 255 and w > 0 and h > 0):
         raise ValueError(f"unsupported PPM dims/maxval {tokens}")
-    body = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
-                         offset=i + 1)
-    if body.size < w * h * 3:
-        raise ValueError("truncated PPM body")
+    try:
+        body = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                             offset=i + 1)
+    except ValueError as e:
+        # np.frombuffer raises when count exceeds the remaining buffer;
+        # re-raise with the format-level diagnosis (ADVICE r2: the old
+        # post-hoc size check was unreachable)
+        raise ValueError("truncated PPM body") from e
     return body.reshape(h, w, 3).copy()
 
 
@@ -176,32 +198,202 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + dib + raw
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> samples per pixel (8-bit depth only; no palette)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering -> (h, stride) uint8.
+
+    ``raw`` is the inflated IDAT stream: h scanlines, each a 1-byte
+    filter type + ``stride`` filtered bytes. None/Sub/Up are vectorized
+    (Sub is a per-lane cumulative sum mod 256); Average and Paeth keep
+    the sequential left-dependency, so those rows loop per byte — fine
+    for the thumbnail-sized media this pipeline decodes, and the loop is
+    bounded by stride, never the whole image."""
+    if len(raw) != h * (1 + stride):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        base = y * (1 + stride)
+        ftype = raw[base]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                            offset=base + 1).astype(np.int64)
+        if ftype == 0:  # None
+            rec = row
+        elif ftype == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp]
+            rec = np.cumsum(row.reshape(-1, bpp), axis=0).reshape(stride) & 0xFF
+        elif ftype == 2:  # Up
+            rec = (row + prev) & 0xFF
+        elif ftype == 3:  # Average
+            rec = row
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = row
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                upleft = int(prev[x - bpp]) if x >= bpp else 0
+                rec[x] = (rec[x] + _paeth(left, int(prev[x]), upleft)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit gray/RGB/RGBA PNG -> HxWx3 uint8. Pure
+    stdlib: chunk walk + CRC32 verify + zlib inflate + un-filter.
+    Grayscale broadcasts to 3 channels; RGBA drops alpha (features are
+    computed over color planes; compositing policy is the caller's).
+    Palette, 16-bit, and interlaced PNGs raise ValueError (corrupt vs
+    unsupported-variant are both data errors of a supported format)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    n = len(payload)
+    ihdr: bytes | None = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        length = int.from_bytes(payload[pos:pos + 4], "big")
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) < length or pos + 12 + length > n:
+            raise ValueError("truncated PNG chunk")
+        crc = int.from_bytes(payload[pos + 8 + length:pos + 12 + length], "big")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or color not in _PNG_CHANNELS or comp != 0 or filt != 0 \
+            or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color}, "
+            f"interlace={interlace}); only non-interlaced 8-bit "
+            "gray/RGB/RGBA is decodable")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError("corrupt PNG IDAT stream") from e
+    ch = _PNG_CHANNELS[color]
+    px = _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(px, 3, axis=2).copy()
+    return px[..., :3].copy()
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """HxW (gray) / HxWx3 / HxWx4 uint8 -> non-interlaced 8-bit PNG.
+    ``filter_type`` applies that PNG scanline filter (0-4) to every row,
+    so tests can exercise each decoder un-filter path individually."""
+    if img.ndim == 2:
+        color, ch = 0, 1
+        px = img[..., None]
+    elif img.shape[2] == 3:
+        color, ch = 2, 3
+        px = img
+    elif img.shape[2] == 4:
+        color, ch = 6, 4
+        px = img
+    else:
+        raise ValueError(f"unsupported channel count {img.shape[2]}")
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"bad PNG filter type {filter_type}")
+    h, w = px.shape[:2]
+    rows = px.astype(np.int64).reshape(h, w * ch)
+    zero = np.zeros((1, w * ch), dtype=np.int64)
+    up = np.vstack([zero, rows[:-1]])
+    left = np.pad(rows, ((0, 0), (ch, 0)))[:, : w * ch]
+    upleft = np.pad(up, ((0, 0), (ch, 0)))[:, : w * ch]
+    if filter_type == 0:
+        filt = rows
+    elif filter_type == 1:
+        filt = rows - left
+    elif filter_type == 2:
+        filt = rows - up
+    elif filter_type == 3:
+        filt = rows - ((left + up) >> 1)
+    else:  # Paeth (filtering uses recon values, so it vectorizes)
+        p = left + up - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, up, upleft))
+        filt = rows - pred
+    scan = np.hstack([
+        np.full((h, 1), filter_type, dtype=np.uint8),
+        (filt & 0xFF).astype(np.uint8),
+    ]).tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (len(data).to_bytes(4, "big") + ctype + data
+                + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, color, 0, 0, 0]))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan))
+            + chunk(b"IEND", b""))
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
-    REAL formats (pure numpy/stdlib, no external libs): binary PPM (P6)
-    and uncompressed 24-bit BMP — sniffed by magic bytes. Compressed
-    formats (PNG/JPEG) still need an image library absent from this
-    container: those raise NotImplementedError, or fall back to the
-    deterministic md5-seeded fake decoder when ``fake=True`` (which the
-    synthetic pipeline uses so random payloads stay decodable)."""
+    REAL formats (pure numpy/stdlib, no external libs), sniffed by magic
+    bytes: binary PPM (P6), uncompressed 24-bit BMP, and non-interlaced
+    8-bit gray/RGB/RGBA PNG (zlib inflate + un-filter, CRC-checked).
+    JPEG still needs an image library absent from this container: it
+    raises NotImplementedError, or falls back to the deterministic
+    md5-seeded fake decoder when ``fake=True`` (which keeps arbitrary
+    payloads decodable in tests)."""
     try:
         if payload[:2] == b"P6":
             return _decode_ppm(payload)
         if payload[:2] == b"BM":
             return _decode_bmp(payload)
+        if payload[:8] == _PNG_SIG:
+            return _decode_png(payload)
     except ValueError:
         # magic matched but the body didn't parse. With fake=True this is
         # expected for random synthetic payloads and falls through to the
-        # fake decoder (keeps x_media_features deterministic); with
+        # fake decoder (keeps arbitrary test payloads decodable); with
         # fake=False it is a CORRUPT file of a supported format — re-raise
         # as such rather than claiming the format is unsupported.
         if not fake:
             raise
     if not fake:
         raise NotImplementedError(
-            "only PPM(P6) and 24-bit BMP are decodable without image "
-            "libraries; pass fake=True for the deterministic test decoder"
+            "only PPM(P6), 24-bit BMP, and 8-bit PNG are decodable without "
+            "image libraries (JPEG is the remaining stub); pass fake=True "
+            "for the deterministic test decoder"
         )
     h = hashlib.md5(payload).digest()
     rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
