@@ -122,6 +122,54 @@ def test_connected_components_multihop(spark):
     assert got == {1: 1, 2: 2, 3: 1, 4: 1, 5: 1}
 
 
+def test_loground_cc_matches_label_propagation(spark):
+    """large-star/small-star must agree with min-label propagation on a
+    multi-component random graph (differential test of the two CC
+    algorithms over the identical edge list)."""
+    import random
+
+    from webtableextractionsystem_spark.operators.dedup import (
+        connected_components,
+        connected_components_loground,
+    )
+
+    rng = random.Random(42)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    lp = {r["doc_id"]: r["component_id"]
+          for r in connected_components(nodes, pairs, max_iters=100).collect()}
+    ls = {r["doc_id"]: r["component_id"]
+          for r in connected_components_loground(nodes, pairs).collect()}
+    assert lp == ls
+
+
+def test_loground_cc_long_chain_converges_in_log_rounds(spark):
+    """An 80-node path graph: min-label propagation needs O(n) rounds
+    (raises at max_iters=15), large-star/small-star needs O(log n)
+    (converges within the same 15-round budget). This is the 100 TB
+    posture claim, pinned."""
+    import pytest
+
+    from webtableextractionsystem_spark.operators.dedup import (
+        connected_components,
+        connected_components_loground,
+    )
+
+    n = 80
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, pairs, max_iters=15)
+    got = {r["doc_id"]: r["component_id"]
+           for r in connected_components_loground(
+               nodes, pairs, max_iters=15).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_fusion_null_props_in_run_does_not_null_fold(spark):
     """A NULL props bag inside a consecutive same-(name,url) run must act
     as {} — map_concat(acc, NULL) would otherwise null the whole run's

@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_ngram_jaccard": DD.ngram_jaccard_pairs,
         "q_doc_neardup_canonical": DD.neardup_canonical,
         "q_doc_neardup_components": DD.neardup_components,
+        "q_doc_neardup_components_lsss": DD.neardup_components_lsss,
         # embedding similarity
         "q_emb_topk_cosine": SIM.topk_bruteforce,
         "q_emb_lsh_buckets": SIM.lsh_buckets,
@@ -295,6 +296,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_ngram_jaccard": DD.ngram_jaccard_sql(),
         "q_doc_neardup_canonical": DD.neardup_canonical_sql(),
         "q_doc_neardup_components": DD.neardup_components_sql(),
+        "q_doc_neardup_components_lsss": DD.neardup_components_sql(),
         "q_emb_topk_cosine": SIM.TOPK_SQL,
         "q_emb_lsh_buckets": SIM.LSH_BUCKETS_SQL,
         "q_emb_neardup_pairs": SIM.neardup_pairs_sql(),

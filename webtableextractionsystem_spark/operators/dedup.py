@@ -261,7 +261,10 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale this boundary is a written signatures table, which is how a
     100 TB near-dup pass stages anyway. The cache is session-scoped: the
     driver gate runs each query once; long-lived callers doing repeated
-    dedup passes should stage signatures to a table instead."""
+    dedup passes should stage signatures to a table instead. The persist
+    is deliberately left to LRU eviction rather than unpersisted in a
+    finally block — the returned DataFrame is lazy, and an unpersist
+    before the caller materializes it would recompute both join sides."""
     bk = lsh_band_keys(spark, sf_dir).persist()
     a = bk.alias("a")
     b = bk.alias("b")
@@ -395,7 +398,12 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk, so an equi-join on (chunk_idx, chunk_value) generates all
     candidates and bit_count(xor) verifies — the standard scale shape for
     simhash dedup (shuffle on a bounded key, candidates only where a chunk
-    collides)."""
+    collides).
+
+    The signature persist is deliberately left to LRU eviction: the
+    returned DataFrame is lazy (the caller materializes it), so an eager
+    unpersist would force recomputation of both self-join sides. Same
+    staging rationale as lsh_candidate_pairs."""
     sig = simhash_signatures(spark, sf_dir).persist()
     chunks = F.array(*[
         F.struct(
@@ -598,41 +606,141 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     edges = pairs.union(
         pairs.select(F.col(pairs.columns[1]), F.col(pairs.columns[0]))
     ).toDF("src", "dst").persist()
-    labels = nodes.select(
-        "doc_id", F.col("doc_id").alias("component_id"))
-    for _ in range(max_iters):
-        nbr = (
-            edges.join(labels, edges["src"] == labels["doc_id"])
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("component_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    "component_id",
-                    F.coalesce("nbr_min", "component_id"),
-                ).alias("component_id"),
-                (F.coalesce("nbr_min", "component_id")
-                 < F.col("component_id")).alias("changed"),
+    try:
+        labels = nodes.select(
+            "doc_id", F.col("doc_id").alias("component_id"))
+        for _ in range(max_iters):
+            nbr = (
+                edges.join(labels, edges["src"] == labels["doc_id"])
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("component_id").alias("nbr_min"))
             )
-        ).localCheckpoint()
-        changed = new_labels.where("changed").count()
-        labels = new_labels.select("doc_id", "component_id")
-        if changed == 0:
-            return labels
-    # exhausting max_iters with changes pending would silently return
-    # partial components (and fail the recursive-CTE oracle with no hint
-    # why) — fail loudly instead
+            new_labels = (
+                labels.join(nbr, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        "component_id",
+                        F.coalesce("nbr_min", "component_id"),
+                    ).alias("component_id"),
+                    (F.coalesce("nbr_min", "component_id")
+                     < F.col("component_id")).alias("changed"),
+                )
+            ).localCheckpoint()
+            changed = new_labels.where("changed").count()
+            labels = new_labels.select("doc_id", "component_id")
+            if changed == 0:
+                return labels
+        # exhausting max_iters with changes pending would silently return
+        # partial components (and fail the recursive-CTE oracle with no
+        # hint why) — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters or switch "
+            f"to connected_components_loground"
+        )
+    finally:
+        # the returned labels hang off a localCheckpoint, not off edges,
+        # so the cache can be released eagerly (a long-lived session
+        # running many queries would otherwise accumulate cached blocks)
+        edges.unpersist()
+
+
+def neardup_components_lsss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """neardup_components computed by the LOG-ROUND large-star/small-star
+    contraction (Kiveris et al., SoCC'14) instead of min-label
+    propagation — same verified-pair graph, same recursive-CTE oracle,
+    rounds bounded by O(log n) instead of the component diameter. This is
+    the 100 TB form: a long duplication chain (scrape-of-a-scrape-of-a-
+    scrape) gives label propagation O(chain) rounds but this O(log)."""
+    verified = _verified_pairs(spark, sf_dir)
+    nodes = load_documents(spark, sf_dir).select("doc_id")
+    return connected_components_loground(nodes, verified)
+
+
+def connected_components_loground(nodes: DataFrame, pairs: DataFrame,
+                                  max_iters: int = 30) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    SoCC'14 "Connected Components in MapReduce and Beyond", alg. 2):
+
+    * large-star: per node u over its full neighborhood, link every
+      neighbor v > u to m = min(N(u) ∪ {u});
+    * small-star: per node u over its smaller neighbors (edges oriented
+      big -> small), link u and every such neighbor to their minimum.
+
+    Each round is two groupBy/join pairs — the same shuffle shape as one
+    label-propagation round — but the round count is O(log n) in the
+    worst case instead of O(diameter). Edges converge to a star from
+    every non-minimum node to its component minimum. Convergence is
+    detected by an order-independent edge-set digest (count + sum of
+    xxhash64): iteration stops when the edge set reaches a fixed point.
+    ``localCheckpoint`` truncates lineage per round, as in
+    connected_components; differential-tested against it and hash-checked
+    by the same recursive-CTE DuckDB oracle."""
+    edges = (
+        pairs.toDF("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def digest(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count("*").alias("n"),
+            # decimal(38,0) accumulator: a long sum of 64-bit hashes
+            # overflows under ANSI mode after a handful of rows
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        bi = e.union(e.select(F.col("dst").alias("src"),
+                              F.col("src").alias("dst")))
+        m = bi.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m"))
+        return (
+            bi.join(m, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # input oriented src > dst (large_star emits dst = a minimum)
+        m = e.groupBy("src").agg(F.min("dst").alias("m"))
+        linked = e.join(m, "src")
+        to_min = linked.select(F.col("src"), F.col("m").alias("dst")) \
+            .union(linked.where(F.col("dst") != F.col("m"))
+                   .select(F.col("dst").alias("src"), F.col("m").alias("dst")))
+        return to_min.where(F.col("src") != F.col("dst")).distinct()
+
+    prev = digest(edges)
+    for _ in range(max_iters):
+        edges = small_star(large_star(edges)).localCheckpoint()
+        cur = digest(edges)
+        if cur == prev:
+            comp = edges.groupBy(F.col("src").alias("doc_id")) \
+                .agg(F.min("dst").alias("cid"))
+            return (
+                nodes.join(comp, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("cid", "doc_id").alias("component_id"))
+            )
+        prev = cur
     raise RuntimeError(
-        f"connected_components did not converge in {max_iters} rounds "
-        f"({changed} labels still changing); raise max_iters or switch "
-        f"to large-star/small-star contraction"
+        f"connected_components_loground did not converge in {max_iters} "
+        f"rounds — not expected for any graph of < 2^{max_iters} nodes"
     )
 
 
 def neardup_components_sql() -> str:
+    # NOTE oracle cost: the recursive CTE materializes full pairwise
+    # reachability — O(|component|^2) rows per component. Fine at the
+    # sf0.01 gate; a much larger sf with big near-dup components would
+    # make the ORACLE (not the Spark side) look like a hang.
     return rf"""
 WITH RECURSIVE {_verified_sql()},
 edges AS (
