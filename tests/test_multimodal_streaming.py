@@ -319,3 +319,56 @@ def test_streaming_neardup_online_and_restart(spark, tmp_path):
     batch_pairs = {(r["doc_a"], r["doc_b"]) for r in
                    DD.lsh_candidate_pairs(spark, combined_dir).collect()}
     assert flagged <= batch_pairs
+
+
+def test_streaming_neardup_verified_equals_batch(spark, tmp_path):
+    """The composed online pipeline (LSH candidates + in-stream Jaccard
+    verify): after two waves with a restart in between, the online
+    verified-pair set must EQUAL the batch _verified_pairs on the same
+    corpus, and the derived dup set must equal neardup_canonical's."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from webtableextractionsystem_spark.operators import dedup as DD
+    from webtableextractionsystem_spark.streaming.stateful import (
+        streaming_neardup_verified,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    st_dir = str(tmp_path / "state")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").where(F.col("doc_id") < 120).cache()
+
+    # wave 1: ids < 60
+    docs.where(F.col("doc_id") < 60).write.mode("overwrite").parquet(in_dir)
+    streaming_neardup_verified(spark, in_dir, out_dir, ck_dir, st_dir)
+
+    # wave 2 (restart): the rest, plus a near-copy of doc 0 under a new id
+    copy = docs.where(F.col("doc_id") == 0) \
+        .select(F.lit(999999).cast("long").alias("doc_id"), "text")
+    docs.where(F.col("doc_id") >= 60).unionByName(copy) \
+        .write.mode("append").parquet(in_dir)
+    streaming_neardup_verified(spark, in_dir, out_dir, ck_dir, st_dir)
+
+    online = {(r["doc_a"], r["doc_b"])
+              for r in spark.read.parquet(out_dir)
+              .select("doc_a", "doc_b").distinct().collect()}
+
+    combined_dir = str(tmp_path / "combined")
+    os.makedirs(combined_dir, exist_ok=True)
+    docs.unionByName(copy).write.mode("overwrite") \
+        .parquet(f"{combined_dir}/documents.parquet")
+    batch = {(r["doc_a"], r["doc_b"]) for r in
+             DD._verified_pairs(spark, combined_dir).collect()}
+    assert (0, 999999) in online  # cross-restart pair actually verified
+    assert online == batch
+
+    # dup-set equivalence: doc is dup iff some verified partner < doc
+    online_dups = {b for a, b in online}
+    canon = {r["doc_id"] for r in
+             DD.neardup_canonical(spark, combined_dir)
+             .where("is_dup").collect()}
+    assert online_dups == canon

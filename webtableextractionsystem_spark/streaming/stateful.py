@@ -138,9 +138,11 @@ def streaming_neardup(spark: SparkSession, input_dir: str, output_dir: str,
     """Stream (doc_id, text) parquet from ``input_dir``; append one row
     per (document, LSH band) to ``output_dir`` carrying the band
     bucket's owner. A document is an online near-dup candidate iff any
-    of its rows has owner_id != doc_id; candidates then go to the exact
-    verifier (n-gram Jaccard against the owner), exactly like the batch
-    pipeline's verify stage."""
+    of its rows has owner_id != doc_id. This is the CANDIDATE stage only
+    (cheap, state = one owner id per band bucket);
+    ``streaming_neardup_verified`` below composes the n-gram Jaccard
+    verify stage into the stream and is equivalence-tested against the
+    batch pipeline."""
     from ..operators.dedup import band_structs, row_minhash
 
     stream = spark.readStream.schema(
@@ -163,6 +165,105 @@ def streaming_neardup(spark: SparkSession, input_dir: str, output_dir: str,
         .outputMode("append")
         .format("parquet")
         .option("path", output_dir)
+        .option("checkpointLocation", stream_ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Online near-dup WITH the Jaccard verify stage composed in
+# ---------------------------------------------------------------------------
+
+def streaming_neardup_verified(spark: SparkSession, input_dir: str,
+                               output_dir: str, stream_ckpt_dir: str,
+                               state_dir: str) -> None:
+    """The COMPLETE online near-dup pipeline: candidate generation AND
+    the n-gram Jaccard verify stage inside the stream, mirroring the
+    batch ``_verified_pairs`` (operators/dedup.py) exactly.
+
+    Per microbatch (foreachBatch):
+
+    1. new documents get per-row minhash signatures + LSH bands +
+       shingle sets (all JVM-side, no aggregation needed);
+    2. the batch's (doc_id, bands, shingles) rows are staged to
+       ``state_dir/batch=<id>`` — the accumulated corpus state, a plain
+       partitioned parquet table (at warehouse scale: the signatures
+       table every near-dup pass stages anyway);
+    3. new docs' bands equi-join against the ACCUMULATED corpus bands
+       (old + new — so cross-batch and within-batch candidates both
+       surface, never a cross join);
+    4. survivors are verified with the same integer-thresholded n-gram
+       Jaccard as the batch pipeline and appended to
+       ``output_dir/batch=<id>``.
+
+    A pair (lo, hi) is emitted exactly once: in the microbatch where the
+    LATER of the two documents arrives. Hence after any prefix of the
+    stream, the online verified-pair set over the documents seen so far
+    EQUALS the batch ``_verified_pairs`` over the same corpus — the
+    equivalence the restart-survival test pins.
+
+    Exactly-once: both writes for batch B go to a ``batch=B`` partition
+    with overwrite, so a microbatch replay after a crash rewrites the
+    identical rows instead of double-appending. State growth is one row
+    per document (bands + shingles); shingles are stored once per doc,
+    not per band."""
+    from ..operators.dedup import (
+        JACCARD_PCT,
+        _shingles,
+        band_structs,
+        row_minhash,
+    )
+
+    def process_batch(batch, batch_id: int) -> None:
+        sig = row_minhash(batch)
+        staged = sig.select(
+            "doc_id",
+            F.when(F.col("mh0").isNotNull(), band_structs())
+            .otherwise(F.array().cast(
+                "array<struct<band:int,band_key:string>>"))
+            .alias("bands"),
+            _shingles().alias("sh"),
+        )
+        staged.write.mode("overwrite").parquet(
+            f"{state_dir}/batch={batch_id}")
+
+        acc = spark.read.parquet(state_dir)
+        bands = acc.select(
+            "doc_id", "batch", F.explode("bands").alias("bk")
+        ).select("doc_id", "batch", "bk.band", "bk.band_key")
+        new_b = bands.where(F.col("batch") == batch_id).alias("n")
+        all_b = bands.alias("o")
+        cand = (
+            new_b.join(all_b, ["band", "band_key"])
+            .where(F.col("n.doc_id") != F.col("o.doc_id"))
+            .select(
+                F.least("n.doc_id", "o.doc_id").alias("doc_a"),
+                F.greatest("n.doc_id", "o.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        sh = acc.select("doc_id", "sh")
+        a = sh.select(F.col("doc_id").alias("doc_a"),
+                      F.col("sh").alias("sh_a"))
+        b = sh.select(F.col("doc_id").alias("doc_b"),
+                      F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        verified = (
+            cand.join(a, "doc_a").join(b, "doc_b")
+            .where(inter * 100 >= union * JACCARD_PCT)
+            .select("doc_a", "doc_b")
+        )
+        verified.write.mode("overwrite").parquet(
+            f"{output_dir}/batch={batch_id}")
+
+    (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(input_dir)
+        .writeStream
+        .foreachBatch(process_batch)
         .option("checkpointLocation", stream_ckpt_dir)
         .trigger(availableNow=True)
         .start()
