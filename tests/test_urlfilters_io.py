@@ -148,11 +148,15 @@ def test_seed_frontier_scan(spark, tmp_path):
         "https://other.example.com/x\n",
         encoding="utf-8",
     )
-    rows = seed_frontier(spark, str(seed), capacity=2).collect()
-    # blank dropped, capacity caps at 2, file order preserved via seq
-    assert [r["seq"] for r in rows] == [1, 2]
+    rows = seed_frontier(spark, str(seed), capacity=3).collect()
+    # blank KEPT as a keep=false row (the reference enqueues raw lines,
+    # so seq numbering must count blanks); capacity caps at 3; file
+    # order preserved via seq
+    assert [r["seq"] for r in rows] == [1, 2, 3]
     by_url = {r["url"]: r for r in rows}
     kongzi = by_url["https://baike.baidu.com/item/%E5%AD%94%E5%AD%90"]
     assert kongzi["possible"] and kongzi["keep"] and kongzi["relevance"] == 1
+    blank = by_url[""]
+    assert blank["seq"] == 2 and not blank["keep"] and not blank["possible"]
     dotted = by_url["https://baike.baidu.com/item/page.html"]
     assert not dotted["possible"]

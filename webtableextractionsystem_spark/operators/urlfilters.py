@@ -65,23 +65,23 @@ def seed_frontier(spark, seed_path: str, capacity: int | None = None):
     """S2 seed-file scan -> classified crawl frontier (readSeed,
     /root/reference/src/spider/WebSpider.py:46-59): read one URL per
     line, trim whitespace (the reference's readline keeps the trailing
-    newline; the queue consumer strips it), drop blanks, classify
-    (F1/F2). The reference's seedQueue is constructed UNBOUNDED
-    (``Queue()`` with no maxsize, WebSpider.py:38), so its
-    ``full()`` check never fires and every seed is read — capacity here
-    defaults to None to match; pass a value only as an extension.
-    Returns (url, possible, relevance, keep, seq); appending it to a
-    parquet queue table replaces the in-process Queue, and
+    newline; the queue consumer strips it), classify (F1/F2). Blank
+    lines are KEPT as rows (url='', keep=false): the reference enqueues
+    the raw line — including a bare newline — so seq numbering and
+    frontier row counts must match a seed file with blanks
+    (WebSpider.py:46-59 never skips). The reference's seedQueue is
+    constructed UNBOUNDED (``Queue()`` with no maxsize, WebSpider.py:38),
+    so its ``full()`` check never fires and every seed is read —
+    capacity here defaults to None to match; pass a value only as an
+    extension. Returns (url, possible, relevance, keep, seq); appending
+    it to a parquet queue table replaces the in-process Queue, and
     queue_batch-style ORDER BY seq LIMIT n is the dequeue."""
     from pyspark.sql import Window
 
     lines = spark.read.text(seed_path).select(
         F.trim(F.col("value")).alias("url"))
     w = Window.orderBy(F.monotonically_increasing_id())
-    bounded = (
-        lines.where(F.col("url") != "")
-        .withColumn("seq", F.row_number().over(w))
-    )
+    bounded = lines.withColumn("seq", F.row_number().over(w))
     if capacity is not None:
         bounded = bounded.where(F.col("seq") <= capacity)
     return classify_urls(bounded, extra_cols=("seq",))
