@@ -207,3 +207,124 @@ def test_reference_basic_info_entity_parity(path):
     assert [c["content"] for c in tbl["cells"][0]] == [
         str(r[0].__dict__.get("content")) for r in golden["cell"]
     ]
+
+
+# ---------------------------------------------------------------------------
+# ER output-format goldens (赵匡胤 page family): the one reference artifact
+# family previously unused by tests — file/Triad/*.csv and file/json/*.json.
+# These anchor the SINK formats (io_sinks) to reference bytes, independent
+# of the pipeline's own pinned oracles.
+# ---------------------------------------------------------------------------
+
+REL_CSV = "/root/reference/file/Triad/relationship.csv"
+ENT_CSV = "/root/reference/file/Triad/entity.csv"
+ENT_JSON = "/root/reference/file/json/entity.json"
+
+
+def _parse_concat_json(path):
+    """file/json/*.json are APPEND-MODE artifacts: one json.dump per
+    extraction session concatenated in a single file (FileIO.write2Json,
+    FileIO.py:119-131, mode='w+' re-used with append semantics by the
+    caller). Parse every chunk and flatten the entries."""
+    import json
+
+    dec = json.JSONDecoder()
+    with open(path, encoding="utf-8") as f:
+        s = f.read()
+    out, i = [], 0
+    while i < len(s):
+        while i < len(s) and s[i].isspace():
+            i += 1
+        if i >= len(s):
+            break
+        val, i = dec.raw_decode(s, i)
+        out.extend(val)
+    return out
+
+
+def _read_part_lines(out_dir):
+    lines = []
+    for p in sorted(glob.glob(out_dir + "/part-*")):
+        with open(p, encoding="utf-8") as f:
+            lines += [ln.rstrip("\n") for ln in f if ln.strip()]
+    return lines
+
+
+def test_write_triples_csv_bytes_match_reference(spark, tmp_path):
+    """Full-file byte parity for S12/write_triples_csv: reconstruct the
+    triple rows by parsing the reference relationship.csv, write them
+    through the Spark sink, and require multiset equality of the emitted
+    LINES against all 111 golden lines (row order is Spark-partition
+    order; the reference's is crawl order)."""
+    import ast
+    import csv
+    from collections import Counter
+
+    from webtableextractionsystem_spark import io_sinks
+
+    with open(REL_CSV, encoding="utf-8", newline="") as f:
+        golden_lines = [ln for ln in f.read().split("\n") if ln]
+    rows = list(csv.reader(golden_lines))
+    recon = []
+    for subj, rel, obj in rows:
+        sn, su = ast.literal_eval(subj)
+        on, ou = ast.literal_eval(obj)
+        recon.append(("d", 0, sn, su, rel, on, ou))
+    triples = spark.createDataFrame(
+        recon,
+        "doc_id string, seq int, subj_name string, subj_url string, "
+        "rel string, obj_name string, obj_url string")
+    out = str(tmp_path / "rel_csv")
+    io_sinks.write_triples_csv(triples, out)
+    assert Counter(_read_part_lines(out)) == Counter(golden_lines)
+
+
+def test_write_entity_props_csv_lines_match_reference(spark, tmp_path):
+    """entity.csv golden: rebuild the 赵匡胤 entity's property rows from
+    the parsed entity.json and require every emitted line to be
+    byte-identical to a line of the reference entity.csv."""
+    from webtableextractionsystem_spark import io_sinks
+
+    entries = _parse_concat_json(ENT_JSON)
+    (name, url), props = entries[0]
+    assert name == "赵匡胤" and props
+    ents = spark.createDataFrame(
+        [("d", 0, name, url, props)],
+        "doc_id string, seq int, name string, url string, "
+        "props map<string,string>")
+    out = str(tmp_path / "ent_csv")
+    io_sinks.write_entity_props_csv(ents, out)
+    produced = _read_part_lines(out)
+    with open(ENT_CSV, encoding="utf-8", newline="") as f:
+        golden = {ln for ln in f.read().split("\n") if ln}
+    assert len(produced) == len(props)
+    missing = [ln for ln in produced if ln not in golden]
+    # the reference's OWN artifacts disagree on one key: entity.csv
+    # stores 谥号=英武圣文神德皇帝 while entity.json stores
+    # 英武圣文神德皇帝（初谥） (different extraction sessions). Our rows are
+    # rebuilt from the json, so exactly that one line may miss the csv.
+    assert missing == ["赵匡胤,谥号,英武圣文神德皇帝（初谥）"], missing[:3]
+
+
+def test_write_entities_json_entry_matches_reference(spark, tmp_path):
+    """entity.json golden: the sink's line for the reconstructed 赵匡胤
+    row must parse to an entry STRUCTURALLY IDENTICAL to the golden's
+    first entry ([[name, url], {props}] — same shape, same keys, same
+    values; whole-file layout is the reference's append-session artifact,
+    not part of the entry format)."""
+    import json
+
+    from webtableextractionsystem_spark import io_sinks
+
+    entries = _parse_concat_json(ENT_JSON)
+    golden = entries[0]
+    (name, url), props = golden
+    ents = spark.createDataFrame(
+        [("d", 0, name, url, props)],
+        "doc_id string, seq int, name string, url string, "
+        "props map<string,string>")
+    out = str(tmp_path / "ent_json")
+    io_sinks.write_entities_json(ents, out)
+    lines = _read_part_lines(out)
+    assert len(lines) == 1
+    assert json.loads(lines[0]) == golden

@@ -31,11 +31,11 @@ def test_triples_csv_and_entities_json(spark, tmp_path):
         "doc_id string, seq int, subj_name string, subj_url string, "
         "rel string, obj_name string, obj_url string")
     p = str(tmp_path / "triples_csv")
-    io_sinks.write_triples_csv(triples, p)
-    back = spark.read.option("header", True).csv(p).first()
-    assert back["subject"] == "['甲', 'u1']"
-    assert back["relationship"] == "兄弟"
-    assert back["object"] == "['乙', 'u2']"
+    io_sinks.write_triples_csv(triples, p)  # headerless like the golden
+    back = spark.read.csv(p).first()
+    assert back["_c0"] == "['甲', 'u1']"
+    assert back["_c1"] == "兄弟"
+    assert back["_c2"] == "['乙', 'u2']"
 
     ents = spark.createDataFrame(
         [("d1", 0, "甲", "u1", {"k": "v"})],
@@ -43,9 +43,10 @@ def test_triples_csv_and_entities_json(spark, tmp_path):
         "props map<string,string>")
     p2 = str(tmp_path / "ents_json")
     io_sinks.write_entities_json(ents, p2)
+    import json
+
     line = spark.read.text(p2).first()["value"]
-    assert '"who":["甲","u1"]' in line
-    assert '"props":{"k":"v"}' in line
+    assert json.loads(line) == [["甲", "u1"], {"k": "v"}]
 
 
 def test_bucketed_parquet_roundtrip(spark, tmp_path):

@@ -19,8 +19,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def write_triples_csv(triples: DataFrame, path: str) -> None:
-    """Flat triple CSV in the reference's bracket format."""
+def write_triples_csv(triples: DataFrame, path: str,
+                      header: bool = False) -> None:
+    """Flat triple CSV, byte-compatible with the reference's
+    file/Triad/relationship.csv: csv.writer rows of
+    [str([name, url]), rel, str([name, url])] (FileIO.writeTriad2csv,
+    FileIO.py:144-155) — Python str(list) brackets, QUOTE_MINIMAL
+    quoting (Spark's default matches), no header row in the golden.
+    Anchored line-for-line against the 赵匡胤 golden in
+    tests/test_reference_goldens.py. Names containing a single quote
+    would diverge from str(list)'s repr-escaping — absent from the
+    corpus and undocumented in the reference either."""
     flat = triples.select(
         F.concat(F.lit("['"), "subj_name", F.lit("', '"), "subj_url",
                  F.lit("']")).alias("subject"),
@@ -28,20 +37,34 @@ def write_triples_csv(triples: DataFrame, path: str) -> None:
         F.concat(F.lit("['"), "obj_name", F.lit("', '"), "obj_url",
                  F.lit("']")).alias("object"),
     )
-    flat.write.mode("overwrite").option("header", True).csv(path)
+    flat.write.mode("overwrite").option("header", header).csv(path)
 
 
 def write_entities_json(entities: DataFrame, path: str) -> None:
-    """entity.json-shaped lines: [[name, url], {prop: value, ...}]."""
+    """ER entity JSON in the reference's entry shape:
+    ``[[name, url], {prop: value, ...}]`` (the `entity` element dumped at
+    tableExtractor.py:130 and persisted into file/json/entity.json).
+    One entry per line (NDJSON) instead of the reference's append-mode
+    concatenated page arrays — each line parses to an entry structurally
+    equal to the golden's (anchored in tests/test_reference_goldens.py);
+    whole-file layout is the append-session artifact, not the format."""
     shaped = entities.select(
-        F.to_json(
-            F.struct(
-                F.array("name", "url").alias("who"),
-                F.col("props").alias("props"),
-            )
+        F.concat(
+            F.lit("["), F.to_json(F.array("name", "url")),
+            F.lit(", "), F.to_json("props"), F.lit("]"),
         ).alias("value")
     )
     shaped.write.mode("overwrite").text(path)
+
+
+def write_entity_props_csv(entities: DataFrame, path: str) -> None:
+    """Per-property entity CSV, byte-compatible with the reference's
+    file/Triad/entity.csv: one (name, prop, value) csv.writer row per
+    property of each entity (the per-entity triads the reference flattens
+    through FileIO.writeTriad2csv). Anchored against the 赵匡胤 golden."""
+    flat = entities.select(
+        "name", F.explode("props").alias("prop", "value"))
+    flat.write.mode("overwrite").csv(path)
 
 
 def write_json(df: DataFrame, path: str) -> None:
