@@ -210,6 +210,44 @@ def test_h13_docx_table():
     assert res["tables"][0]["caption"] == "家族成员"
 
 
+def test_h18_real_docx_container_matches_raw_xml():
+    """S14 over a REAL .docx binary: zipping H13 into the minimal
+    container (base64 transport on the string span) must extract the
+    exact same spans/triples as the raw WordprocessingML, and the
+    container round-trips through docx_document_xml byte-for-byte."""
+    import base64
+
+    from webtableextractionsystem_spark.fixtures import H13_DOCX_TABLE
+    from webtableextractionsystem_spark.kernel.html_tables import (
+        docx_document_xml,
+        encode_docx,
+    )
+
+    payload = encode_docx(H13_DOCX_TABLE)
+    assert payload[:4] == b"PK\x03\x04"
+    assert H13_DOCX_TABLE in docx_document_xml(payload)  # zip round-trip
+    b64 = base64.b64encode(payload).decode("ascii")
+    raw = extract_document(
+        "doc-1",
+        [{"kind": "docx", "text": H13_DOCX_TABLE, "media_ref": "",
+          "offset": 0}],
+    )
+    zipped = extract_document(
+        "doc-1",
+        [{"kind": "docx", "text": b64, "media_ref": "", "offset": 0}],
+    )
+    assert span_seq(zipped) == span_seq(raw)
+    assert zipped["triples"] == raw["triples"]
+    assert zipped["n_errors"] == 0
+
+    # corrupt container: per-span error, never a raise
+    broken = extract_document(
+        "doc-1",
+        [{"kind": "docx", "text": b64[:40], "media_ref": "", "offset": 0}],
+    )
+    assert broken["n_errors"] == 1 and broken["out_spans"] == []
+
+
 def test_mega_doc_h11():
     res = extract_document(
         "doc-m",

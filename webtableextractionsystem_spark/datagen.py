@@ -30,6 +30,19 @@ _ARCHETYPE_KEYS = ["H1", "H2", "H3", "H4", "H5", "H6", "H7", "H8", "H9",
                    "H10", "H12", "H2", "H1", "H3",
                    "H14", "H15", "H16", "H17"]  # round-2 branch pins
 
+# H18: the SAME H13 WordprocessingML table shipped as a REAL .docx
+# container (base64 of the deterministic stdlib zip) — exercises the
+# S14 binary-container unwrap path at corpus scale
+def _h13_docx_zip_b64() -> str:
+    import base64
+
+    from .kernel.html_tables import encode_docx
+
+    return base64.b64encode(encode_docx(FX.H13_DOCX_TABLE)).decode("ascii")
+
+
+_H13_DOCX_ZIP_B64 = _h13_docx_zip_b64()
+
 _TEXT_SNIPPETS = [
     "早年经历[1]与生平简介。",
     "主要成就概述\xa0包括多个方面。",
@@ -129,7 +142,9 @@ def gen_document(i: int) -> dict:
         elif roll < 0.45:
             add("media", media_ref=f"img://{doc_id}/{offset}")
         elif roll < 0.50:
-            add("docx", FX.H13_DOCX_TABLE)   # S14 second input kind
+            # S14 second input kind: alternate raw WordprocessingML (H13)
+            # and the real zipped .docx container (H18)
+            add("docx", rng.choice([FX.H13_DOCX_TABLE, _H13_DOCX_ZIP_B64]))
         elif roll < 0.62:
             add("html", random_table_html(rng))  # fuzzed table shapes
         else:

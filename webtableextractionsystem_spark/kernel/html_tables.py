@@ -370,6 +370,84 @@ def extract_list_tables(tag: Node) -> list[RawTable]:
     return out
 
 
+_DOCX_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.'
+    'openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/word/document.xml" ContentType="application/'
+    'vnd.openxmlformats-officedocument.wordprocessingml.document.main'
+    '+xml"/></Types>'
+)
+_DOCX_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+    '2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+    'officeDocument/2006/relationships/officeDocument" '
+    'Target="word/document.xml"/></Relationships>'
+)
+# base64 of the ZIP local-file magic PK\x03\x04 — how a binary .docx is
+# sniffed when it rides a STRING span column (parquet strings are UTF-8;
+# raw zip bytes are not, so base64 is the honest transport)
+DOCX_B64_MAGIC = "UEsDB"
+
+
+def encode_docx(body_xml: str) -> bytes:
+    """Wrap WordprocessingML body content (e.g. render_table_docx output)
+    into a REAL minimal .docx container: a deterministic stdlib zip with
+    [Content_Types].xml, _rels/.rels, and word/document.xml — the same
+    three parts python-docx requires to open the file (the reference
+    reads .docx via python-docx, tableExtractor.py:503-516)."""
+    import io
+    import zipfile
+
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>'
+        + body_xml + "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in (
+            ("[Content_Types].xml", _DOCX_CONTENT_TYPES),
+            ("_rels/.rels", _DOCX_RELS),
+            ("word/document.xml", doc),
+        ):
+            # fixed timestamp -> byte-deterministic container (the pinned
+            # corpus embeds these payloads)
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(info, data)
+    return buf.getvalue()
+
+
+def docx_document_xml(payload) -> str:
+    """Unwrap a real .docx container to its word/document.xml string.
+    Accepts the zip bytes themselves or a base64 str of them (the
+    string-span transport). Raises ValueError on a corrupt container —
+    the pipeline counts that as a per-span error, same discipline as a
+    corrupt image payload."""
+    import base64
+    import binascii
+    import io
+    import zipfile
+
+    if isinstance(payload, str):
+        try:
+            payload = base64.b64decode(payload, validate=True)
+        except (binascii.Error, ValueError) as e:
+            raise ValueError("invalid base64 .docx payload") from e
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+            return zf.read("word/document.xml").decode("utf-8")
+    except (zipfile.BadZipFile, KeyError, UnicodeDecodeError) as e:
+        raise ValueError("corrupt .docx container") from e
+
+
 def render_table_docx(caption: str, rows: list[list[str]]) -> str:
     """S13 Word-table sink (writeTable2Doc, table.py:609-647), data
     layer: the reference renders a python-docx "Table Grid" whose first

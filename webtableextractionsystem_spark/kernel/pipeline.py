@@ -156,10 +156,19 @@ def extract_document(doc_id: str, spans: list[dict]) -> dict:
         elif kind in ("html", "docx"):
             try:
                 if kind == "docx":
-                    from .html_tables import extract_docx_tables
+                    from .html_tables import (
+                        DOCX_B64_MAGIC,
+                        docx_document_xml,
+                        extract_docx_tables,
+                    )
 
-                    raws = extract_docx_tables(
-                        pre_treat(span.get("text") or ""))
+                    text = span.get("text") or ""
+                    if text.startswith(DOCX_B64_MAGIC):
+                        # a REAL .docx container (base64 of the zip) —
+                        # unwrap to word/document.xml; raw
+                        # WordprocessingML is accepted as-is
+                        text = docx_document_xml(text)
+                    raws = extract_docx_tables(pre_treat(text))
                 else:
                     raws = locate_raw_tables(span.get("text") or "", doc_id)
             except Exception:
