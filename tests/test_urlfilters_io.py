@@ -135,6 +135,47 @@ def test_er_graph_json_dedup_and_link_remap(spark):
                            "value": "兄弟"}]
 
 
+def test_er_graph_json_mega_doc_bound(spark):
+    """Pin the per-doc Python group's worst case: an H11-scale mega-doc
+    (thousands of mentions in ONE doc_id group) must build a correct
+    graph — first-wins node dedup across the whole run, every link
+    remapped — in one applyInPandas group without distress. This is the
+    documented per-group size bound of er_graph_json."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from webtableextractionsystem_spark.io_sinks import er_graph_json
+
+    n = 4000
+    # 4000 entity mentions over 50 distinct urls (heavy dedup), plus
+    # 2000 links whose endpoints all need remapping
+    ents = spark.range(n).select(
+        F.lit("mega").alias("doc_id"),
+        F.col("id").cast("int").alias("seq"),
+        F.concat(F.lit("名"), (F.col("id") % 50)).alias("name"),
+        F.concat(F.lit("http://u/"), (F.col("id") % 50)).alias("url"),
+        F.create_map(F.lit("k"), F.lit("v")).alias("props"),
+    )
+    trs = spark.range(n // 2).select(
+        F.lit("mega").alias("doc_id"),
+        F.col("id").cast("int").alias("seq"),
+        F.concat(F.lit("别名"), (F.col("id") % 50)).alias("subj_name"),
+        F.concat(F.lit("http://u/"), (F.col("id") % 50)).alias("subj_url"),
+        F.lit("关系").alias("rel"),
+        F.concat(F.lit("名"), ((F.col("id") + 1) % 50)).alias("obj_name"),
+        F.lit("").alias("obj_url"),
+    )
+    out = er_graph_json(ents, trs).collect()
+    assert len(out) == 1
+    g = json.loads(out[0]["graph"])
+    # 50 distinct urls -> exactly 50 nodes survive first-wins dedup
+    assert len(g["nodes"]) == 50
+    assert len(g["links"]) == n // 2
+    # every link source remapped from 别名X to the url owner 名X
+    assert all(lk["source"].startswith("名") for lk in g["links"])
+
+
 def test_seed_frontier_scan(spark, tmp_path):
     """S2: seed file -> bounded, classified, order-preserving frontier."""
     from webtableextractionsystem_spark.operators.urlfilters import (

@@ -91,9 +91,11 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=20000)
     ap.add_argument("--low", type=int, default=2)
     ap.add_argument("--high", type=int, default=8)
-    ap.add_argument("--also", type=int, nargs=2, default=(8, 32),
-                    metavar=("LO", "HI"),
-                    help="secondary pair reported for transparency")
+    ap.add_argument("--also", type=int, nargs=2, action="append",
+                    default=None, metavar=("LO", "HI"),
+                    help="secondary pair(s) reported for transparency; "
+                         "repeatable (default: 4 16 and 8 32 — the mid "
+                         "rung shows the gate isn't a lowest-rung artifact)")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
 
@@ -113,7 +115,7 @@ def main() -> None:
                 "relative": round(eff / real_eff, 3) if real_eff else None}
 
     main_pair = pair(args.low, args.high)
-    alt_pair = pair(*args.also)
+    alt_pairs = [pair(lo, hi) for lo, hi in (args.also or [(4, 16), (8, 32)])]
 
     def row(p):
         return (
@@ -136,7 +138,7 @@ extraction-only timing after an unmeasured warmup batch.
 | levels | docs/sec | Spark efficiency | real-workload ceiling* | md5 ceiling | Spark/real-ceiling |
 |---|---|---|---|---|---|
 {row(main_pair)}
-{row(alt_pair)}
+{chr(10).join(row(p) for p in alt_pairs)}
 
 North-rule gate (>= 0.8 from N to 4N): **{main_pair['efficiency']}** at
 N={args.low} -> 4N={args.high}.
@@ -165,10 +167,8 @@ machine's memory-bandwidth ceiling, not Python-worker overhead.
 Raw JSON:
 
 ```json
-{json.dumps(main_pair['lo'])}
-{json.dumps(main_pair['hi'])}
-{json.dumps(alt_pair['lo'])}
-{json.dumps(alt_pair['hi'])}
+{chr(10).join(json.dumps(p[side]) for p in [main_pair] + alt_pairs
+              for side in ("lo", "hi"))}
 ```
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

@@ -208,6 +208,7 @@ PINNED = (
     "x_spans_by_kind", "x_tables_by_type", "x_triples_by_rel",
     "x_entities_fused", "x_doc_totals", "x_table_records", "x_url_filter",
     "x_media_features", "x_tables_docx", "x_er_graph", "q_emb_ivf_topk",
+    "q_emb_ivf_recall",
 )
 
 # queries deliberately WITHOUT any oracle (driver records the weaker
@@ -262,6 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_emb_lsh_buckets": SIM.lsh_buckets,
         "q_emb_neardup_pairs": SIM.neardup_pairs,
         "q_emb_ivf_topk": SIM.ivf_topk,
+        "q_emb_ivf_recall": SIM.ivf_recall,
         # relational surface (S3/S9 -> queue_batch, F3 -> anti-join, union)
         "q_rel_pricing_summary": REL.pricing_summary,
         "q_rel_revenue_by_nation": REL.revenue_by_nation,

@@ -92,8 +92,19 @@ def er_graph_json(entities: DataFrame, triples: DataFrame) -> DataFrame:
     node dedup by url-then-name (first-wins, sequential in extraction
     order, :566-582), node value = "k:v" lines (:558-562), link
     endpoint names remapped through the url->name dict (:600-608).
-    One JSON row per doc_id; per-page graphs are small, so the
-    sequential dedup runs in a per-doc applyInPandas group."""
+    One JSON row per doc_id.
+
+    Scale bound (same discipline as fusion.py): the sequential
+    url-then-name dedup is arrival-order dependent, so it must run
+    per-doc — one applyInPandas group per doc_id. The group size is
+    bounded by a single PAGE's entity/triple count, NOT the corpus: the
+    worst generated case is the H11 mega-doc (hundreds of tables ->
+    low-thousands of mentions per doc, pinned by the mega-doc graph
+    test), and a page bigger than that fails the reference too (its
+    dedup is the same per-page loop). groupBy(doc_id) is the minimal
+    shuffle key of the semantic; a mega-doc group is one in-memory
+    pandas frame of that bounded size, and AQE spreads residual
+    group-size skew across executors."""
     import json
 
     import pandas as pd

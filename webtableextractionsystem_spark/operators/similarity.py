@@ -239,6 +239,39 @@ def ivf_topk(spark: SparkSession, sf_dir: str, k_cells: int = IVF_K,
     )
 
 
+IVF_RECALL_PROBES = (1, 2, 4)
+
+
+def ivf_recall(spark: SparkSession, sf_dir: str,
+               probes: tuple = IVF_RECALL_PROBES,
+               top_k: int = TOP_K) -> DataFrame:
+    """Recall@top_k of the IVF ANN against exact brute force, one row per
+    n_probe — this gates ANN *quality*, not just determinism: a quantizer
+    or probe-routing regression that still produced deterministic-but-
+    worse neighbors would fail this pin while q_emb_ivf_topk alone might
+    still pass at its fixed n_probe.
+
+    Outputs are integers (n_hits of n_total ground-truth neighbors
+    found), so the pinned-literal oracle is float-free. Everything stays
+    lazy DataFrame algebra (joins + counts), no collect; the n_probe=max
+    row should approach n_total and n_probe=1 bounds the single-cell
+    miss rate — the recall curve is recorded in BENCH/BASELINE.md."""
+    from functools import reduce
+
+    brute = topk_bruteforce(spark, sf_dir).select("q_id", "nbr_id")
+    den = brute.agg(F.count("*").alias("n_total"))
+    rows = []
+    for n_probe in probes:
+        ivf = ivf_topk(spark, sf_dir, n_probe=n_probe) \
+            .select("q_id", "nbr_id")
+        num = brute.join(ivf, ["q_id", "nbr_id"]) \
+            .agg(F.count("*").alias("n_hits"))
+        rows.append(
+            num.crossJoin(den).select(
+                F.lit(n_probe).alias("n_probe"), "n_hits", "n_total"))
+    return reduce(DataFrame.unionByName, rows)
+
+
 LSH_BUCKETS_SQL = f"""
 WITH planes AS (
   SELECT p.range AS plane, d.range AS dim,
