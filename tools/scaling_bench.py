@@ -180,7 +180,8 @@ Raw JSON:
         old = open(path).read()
         # preserve from the FIRST hand-maintained section onward
         cut = min((old.find(m) for m in
-                   ("\n## Round-2 numbers", "\n## Final round-1",
+                   ("\n## Round-3 numbers",
+                    "\n## Round-2 numbers", "\n## Final round-1",
                     "\n## Large-scale stability",
                     "\n## Tuning evidence") if old.find(m) != -1),
                   default=-1)
