@@ -49,6 +49,46 @@ def test_triples_csv_and_entities_json(spark, tmp_path):
     assert json.loads(line) == [["甲", "u1"], {"k": "v"}]
 
 
+def test_entities_json_null_props_acts_as_empty(spark, tmp_path):
+    """A NULL props bag must serialize as {} (same defense as fusion.py)
+    — to_json(NULL) would null the concat and the text writer would emit
+    a blank line, silently dropping the entity."""
+    import json
+
+    ents = spark.createDataFrame(
+        [("d1", 0, "甲", "u1", None)],
+        "doc_id string, seq int, name string, url string, "
+        "props map<string,string>")
+    p = str(tmp_path / "null_props")
+    io_sinks.write_entities_json(ents, p)
+    lines = [r["value"] for r in spark.read.text(p).collect()]
+    assert lines and json.loads(lines[0]) == [["甲", "u1"], {}]
+
+
+def test_csv_quote_escaping_matches_python_csv(spark, tmp_path):
+    """Values containing a double quote must double it ("") like the
+    reference's csv.writer QUOTE_MINIMAL — Spark's default backslash
+    escape would diverge byte-wise."""
+    import csv
+    import glob
+    import io as _io
+
+    triples = spark.createDataFrame(
+        [("d1", 0, '太祖"圣君"', "u1", "兄,弟", "乙", "u2")],
+        "doc_id string, seq int, subj_name string, subj_url string, "
+        "rel string, obj_name string, obj_url string")
+    p = str(tmp_path / "qcsv")
+    io_sinks.write_triples_csv(triples, p)
+    produced = []
+    for part in sorted(glob.glob(p + "/part-*")):
+        with open(part, encoding="utf-8") as f:
+            produced += [ln.rstrip("\n") for ln in f if ln.strip()]
+    buf = _io.StringIO()
+    csv.writer(buf, lineterminator="\n").writerow(
+        ["['太祖\"圣君\"', 'u1']", "兄,弟", "['乙', 'u2']"])
+    assert produced == [buf.getvalue().rstrip("\n")]
+
+
 def test_bucketed_parquet_roundtrip(spark, tmp_path):
     df = spark.range(100).select(
         F.col("id"), (F.col("id") % 4).cast("int").alias("bucket"))

@@ -37,7 +37,11 @@ def write_triples_csv(triples: DataFrame, path: str,
         F.concat(F.lit("['"), "obj_name", F.lit("', '"), "obj_url",
                  F.lit("']")).alias("object"),
     )
-    flat.write.mode("overwrite").option("header", header).csv(path)
+    # escape='"' doubles embedded quotes the way Python csv.writer
+    # (QUOTE_MINIMAL) does; Spark's default backslash escape would
+    # diverge from the reference bytes on any value containing '"'
+    flat.write.mode("overwrite").option("header", header) \
+        .option("escape", '"').csv(path)
 
 
 def write_entities_json(entities: DataFrame, path: str) -> None:
@@ -48,10 +52,14 @@ def write_entities_json(entities: DataFrame, path: str) -> None:
     concatenated page arrays — each line parses to an entry structurally
     equal to the golden's (anchored in tests/test_reference_goldens.py);
     whole-file layout is the append-session artifact, not the format."""
+    # NULL props must act as {} (the same defense fusion.py applies):
+    # to_json(NULL) would null the whole concat and the text writer
+    # would emit a bare newline, silently dropping the entity
+    props = F.expr("coalesce(props, cast(map() as map<string,string>))")
     shaped = entities.select(
         F.concat(
             F.lit("["), F.to_json(F.array("name", "url")),
-            F.lit(", "), F.to_json("props"), F.lit("]"),
+            F.lit(", "), F.to_json(props), F.lit("]"),
         ).alias("value")
     )
     shaped.write.mode("overwrite").text(path)
@@ -64,7 +72,7 @@ def write_entity_props_csv(entities: DataFrame, path: str) -> None:
     through FileIO.writeTriad2csv). Anchored against the 赵匡胤 golden."""
     flat = entities.select(
         "name", F.explode("props").alias("prop", "value"))
-    flat.write.mode("overwrite").csv(path)
+    flat.write.mode("overwrite").option("escape", '"').csv(path)
 
 
 def write_json(df: DataFrame, path: str) -> None:

@@ -435,6 +435,7 @@ def docx_document_xml(payload) -> str:
     import binascii
     import io
     import zipfile
+    import zlib
 
     if isinstance(payload, str):
         try:
@@ -444,7 +445,11 @@ def docx_document_xml(payload) -> str:
     try:
         with zipfile.ZipFile(io.BytesIO(payload)) as zf:
             return zf.read("word/document.xml").decode("utf-8")
-    except (zipfile.BadZipFile, KeyError, UnicodeDecodeError) as e:
+    # zlib.error: intact directory, corrupt deflate stream;
+    # NotImplementedError: unsupported compression method — both are
+    # data errors of the container, honoring the ValueError contract
+    except (zipfile.BadZipFile, KeyError, UnicodeDecodeError,
+            zlib.error, NotImplementedError) as e:
         raise ValueError("corrupt .docx container") from e
 
 

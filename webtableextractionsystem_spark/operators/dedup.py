@@ -500,23 +500,34 @@ WHERE a.doc_id < b.doc_id
 JACCARD_PCT = 50  # integer threshold (x100): verify survivors at J >= 0.5
 
 
-def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs -> n-gram Jaccard verification on survivors
-    only (integer cross-multiplied threshold — no float in either
-    engine). The shared front end of neardup_canonical and
-    neardup_components."""
-    docs = load_documents(spark, sf_dir).select(
-        "doc_id", _shingles().alias("sh"))
-    pairs = lsh_candidate_pairs(spark, sf_dir)
-    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+def jaccard_verified(cand: DataFrame, shingles: DataFrame,
+                     pct: int = JACCARD_PCT) -> DataFrame:
+    """THE near-dup verify expression, shared verbatim by the batch
+    pipeline (_verified_pairs) and the streaming one
+    (streaming_neardup_verified) so the online==batch equivalence holds
+    by construction, not by parallel maintenance. ``cand`` carries
+    (doc_a, doc_b); ``shingles`` carries (doc_id, sh). Integer
+    cross-multiplied threshold — no float in either engine."""
+    a = shingles.select(F.col("doc_id").alias("doc_a"),
+                        F.col("sh").alias("sh_a"))
+    b = shingles.select(F.col("doc_id").alias("doc_b"),
+                        F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        pairs.join(a, "doc_a").join(b, "doc_b")
-        .where(inter * 100 >= union * JACCARD_PCT)
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .where(inter * 100 >= union * pct)
         .select("doc_a", "doc_b")
     )
+
+
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs -> n-gram Jaccard verification on survivors
+    only. The shared front end of neardup_canonical and
+    neardup_components."""
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id", _shingles().alias("sh"))
+    return jaccard_verified(lsh_candidate_pairs(spark, sf_dir), docs)
 
 
 _VERIFIED_SQL = rf"""
@@ -609,6 +620,7 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     try:
         labels = nodes.select(
             "doc_id", F.col("doc_id").alias("component_id"))
+        changed = "unknown (max_iters <= 0: loop never ran)"
         for _ in range(max_iters):
             nbr = (
                 edges.join(labels, edges["src"] == labels["doc_id"])

@@ -200,12 +200,15 @@ def ivf_assignments(spark: SparkSession, sf_dir: str,
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str, k_cells: int = IVF_K,
-             n_probe: int = IVF_NPROBE, top_k: int = TOP_K) -> DataFrame:
+             n_probe: int = IVF_NPROBE, top_k: int = TOP_K,
+             quantizer: tuple | None = None) -> DataFrame:
     """ANN search: route each query to its n_probe nearest centroids
     (tiny broadcast cross join), then exact cosine only within those
     cells — the candidate set shrinks ~k/n_probe-fold vs brute force
-    while the plan stays broadcast + one equi-join on cell."""
-    assigned, centroids = ivf_assignments(spark, sf_dir, k_cells)
+    while the plan stays broadcast + one equi-join on cell.
+    ``quantizer`` lets a caller pass precomputed (assigned, centroids)
+    so multi-probe sweeps (ivf_recall) fit k-means once, not per probe."""
+    assigned, centroids = quantizer or ivf_assignments(spark, sf_dir, k_cells)
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"))
     q = emb.where(F.col("vec_id") < N_QUERIES) \
@@ -258,12 +261,16 @@ def ivf_recall(spark: SparkSession, sf_dir: str,
     miss rate — the recall curve is recorded in BENCH/BASELINE.md."""
     from functools import reduce
 
-    brute = topk_bruteforce(spark, sf_dir).select("q_id", "nbr_id")
+    # the brute-force ground truth is referenced once per probe plus the
+    # denominator — persist it (LRU-evicted like the other query-level
+    # stages); the k-means quantizer is fit ONCE and shared across probes
+    brute = topk_bruteforce(spark, sf_dir).select("q_id", "nbr_id").persist()
+    quantizer = ivf_assignments(spark, sf_dir)
     den = brute.agg(F.count("*").alias("n_total"))
     rows = []
     for n_probe in probes:
-        ivf = ivf_topk(spark, sf_dir, n_probe=n_probe) \
-            .select("q_id", "nbr_id")
+        ivf = ivf_topk(spark, sf_dir, n_probe=n_probe,
+                       quantizer=quantizer).select("q_id", "nbr_id")
         num = brute.join(ivf, ["q_id", "nbr_id"]) \
             .agg(F.count("*").alias("n_hits"))
         rows.append(

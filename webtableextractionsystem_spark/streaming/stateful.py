@@ -210,9 +210,9 @@ def streaming_neardup_verified(spark: SparkSession, input_dir: str,
     per document (bands + shingles); shingles are stored once per doc,
     not per band."""
     from ..operators.dedup import (
-        JACCARD_PCT,
         _shingles,
         band_structs,
+        jaccard_verified,
         row_minhash,
     )
 
@@ -244,18 +244,9 @@ def streaming_neardup_verified(spark: SparkSession, input_dir: str,
             )
             .distinct()
         )
-        sh = acc.select("doc_id", "sh")
-        a = sh.select(F.col("doc_id").alias("doc_a"),
-                      F.col("sh").alias("sh_a"))
-        b = sh.select(F.col("doc_id").alias("doc_b"),
-                      F.col("sh").alias("sh_b"))
-        inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        union = F.size("sh_a") + F.size("sh_b") - inter
-        verified = (
-            cand.join(a, "doc_a").join(b, "doc_b")
-            .where(inter * 100 >= union * JACCARD_PCT)
-            .select("doc_a", "doc_b")
-        )
+        # the SAME verify expression as the batch pipeline (shared
+        # helper — equivalence by construction)
+        verified = jaccard_verified(cand, acc.select("doc_id", "sh"))
         verified.write.mode("overwrite").parquet(
             f"{output_dir}/batch={batch_id}")
 
