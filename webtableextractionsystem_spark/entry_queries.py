@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_fingerprint": TS.fingerprints,
         "q_doc_bpe_tokens": TS.bpe_token_stats,
         "q_doc_rolling_hash": TS.rolling_fingerprints,
+        "q_doc_repetition": TS.repetition_stats,
         # dedup family (F3 at scale)
         "q_doc_exact_dedup": DD.exact_dedup,
         "q_doc_minhash": DD.minhash_signatures,
@@ -258,6 +259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_neardup_canonical": DD.neardup_canonical,
         "q_doc_neardup_components": DD.neardup_components,
         "q_doc_neardup_components_lsss": DD.neardup_components_lsss,
+        "q_doc_decontaminate": DD.decontaminate,
         # embedding similarity
         "q_emb_topk_cosine": SIM.topk_bruteforce,
         "q_emb_lsh_buckets": SIM.lsh_buckets,
@@ -289,6 +291,8 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_fingerprint": TS.FINGERPRINT_SQL,
         "q_doc_bpe_tokens": TS.BPE_TOKENS_SQL,
         "q_doc_rolling_hash": TS.ROLLING_SQL,
+        "q_doc_repetition": TS.REPETITION_SQL,
+        "q_doc_decontaminate": DD.decontaminate_sql(),
         "q_doc_exact_dedup": DD.EXACT_DEDUP_SQL,
         "q_doc_minhash": DD.minhash_sql(),
         "q_doc_lsh_bands": DD.lsh_band_keys_sql(),

@@ -769,3 +769,73 @@ SELECT src AS doc_id, min(dst) AS component_id
 FROM reach
 GROUP BY src
 """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination: flag training documents sharing any K-gram
+# with a held-out evaluation set — the standard test-set-overlap removal
+# op (e.g. GPT-3 appendix C / PaLM-style 8-gram collision) a corpus
+# pipeline runs before training.
+# ---------------------------------------------------------------------------
+
+DECON_K = 8             # consecutive-token overlap window
+DECON_BENCH_MAX_ID = 20  # docs below this id stand in for the eval suite
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_hits, contaminated) for every NON-benchmark document:
+    n_hits = distinct DECON_K-grams shared with any benchmark document.
+
+    Scale shape: grams are md5-hashed, the benchmark side is DISTINCT
+    and broadcast (eval suites are kilobytes; the corpus is the big
+    side), and the probe is an equi-join on the hash — never a cross
+    join, one shuffle for the per-doc count. Docs too short to form a
+    K-gram report 0 hits."""
+    docs = load_documents(spark, sf_dir)
+    grams = docs.select(
+        "doc_id", F.explode(_shingles(DECON_K)).alias("g")
+    ).select("doc_id", F.md5("g").alias("h"))
+    bench = grams.where(F.col("doc_id") < DECON_BENCH_MAX_ID) \
+        .select("h").distinct()
+    hits = (
+        grams.where(F.col("doc_id") >= DECON_BENCH_MAX_ID)
+        .join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id").where(F.col("doc_id") >= DECON_BENCH_MAX_ID)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sql() -> str:
+    return rf"""
+WITH d AS (
+  SELECT doc_id, {_shingles_sql(DECON_K)} AS sh
+  FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents)
+),
+g AS (
+  SELECT doc_id, md5(u.g) AS h
+  FROM d, LATERAL (SELECT unnest(sh) AS g) u
+),
+bench AS (SELECT DISTINCT h FROM g WHERE doc_id < {DECON_BENCH_MAX_ID}),
+hits AS (
+  SELECT g.doc_id, count(DISTINCT g.h) AS n_hits
+  FROM g JOIN bench USING (h)
+  WHERE g.doc_id >= {DECON_BENCH_MAX_ID}
+  GROUP BY g.doc_id
+)
+SELECT doc.doc_id,
+       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(hits.n_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents
+      WHERE doc_id >= {DECON_BENCH_MAX_ID}) doc
+LEFT JOIN hits ON hits.doc_id = doc.doc_id
+"""

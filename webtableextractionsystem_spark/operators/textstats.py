@@ -206,3 +206,78 @@ SELECT doc_id,
        md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# repetition-based quality signals (Gopher-style, Rae et al. 2021 §A1.1:
+# "fraction of tokens in duplicated n-grams" / "top n-gram fraction" —
+# the standard filters a training-data pipeline applies before dedup)
+# ---------------------------------------------------------------------------
+
+def _bigrams():
+    """Token bigram MULTISET (no array_distinct — repetition measurement
+    needs duplicates preserved)."""
+    toks = _tokens()
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals, all integer-valued so the oracle
+    hash is float-free: total/distinct bigram counts, the top bigram's
+    occurrence count, and the number of bigram occurrences belonging to
+    repeated bigrams (the Gopher dup-n-gram numerator; callers divide by
+    n_bigrams for the fraction). Shape at scale: explode -> two
+    partial-aggregated groupBys on doc-local keys — shuffles on
+    (doc_id, bg) then doc_id, no skew beyond document length (bounded by
+    the mega-doc tail the salted extraction already handles)."""
+    docs = load_documents(spark, sf_dir)
+    bi = docs.select("doc_id", F.explode_outer(_bigrams()).alias("bg"))
+    per = bi.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    notnull = F.col("bg").isNotNull()
+    return per.groupBy("doc_id").agg(
+        F.sum(F.when(notnull, F.col("c")).otherwise(0))
+        .cast("long").alias("n_bigrams"),
+        F.count(F.when(notnull, 1)).cast("long").alias("n_distinct_bigrams"),
+        F.max(F.when(notnull, F.col("c")).otherwise(0))
+        .cast("long").alias("top_bigram_count"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .cast("long").alias("n_repeated_bigrams"),
+    )
+
+
+REPETITION_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN [array_to_string(toks[i:i+1], ' ')
+                    FOR i IN range(1, len(toks))]
+              ELSE [] END AS bgs
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents)
+),
+b AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(bgs) = 0 THEN [NULL]::VARCHAR[]
+                     ELSE bgs END) AS bg
+  FROM d
+),
+per AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg)
+SELECT doc_id,
+       CAST(sum(CASE WHEN bg IS NOT NULL THEN c ELSE 0 END) AS BIGINT)
+         AS n_bigrams,
+       CAST(count(CASE WHEN bg IS NOT NULL THEN 1 END) AS BIGINT)
+         AS n_distinct_bigrams,
+       CAST(max(CASE WHEN bg IS NOT NULL THEN c ELSE 0 END) AS BIGINT)
+         AS top_bigram_count,
+       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+         AS n_repeated_bigrams
+FROM per
+GROUP BY doc_id
+"""
