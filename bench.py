@@ -51,6 +51,7 @@ def main() -> None:
     from webtableextractionsystem_spark.operators import dedup as DD
     from webtableextractionsystem_spark.operators import relational as REL
     from webtableextractionsystem_spark.operators import similarity as SIM
+    from webtableextractionsystem_spark.operators import textstats as TS
     from webtableextractionsystem_spark.operators.extraction import extract_all
     from webtableextractionsystem_spark.session import get_spark
 
@@ -94,6 +95,10 @@ def main() -> None:
             "q_rel_revenue_by_nation": lambda: REL.revenue_by_nation(spark, sf_dir)
             .collect(),
             "q_events_hourly": lambda: REL.events_hourly(spark, sf_dir)
+            .agg(F.count("*")).collect(),
+            "q_doc_decontaminate": lambda: DD.decontaminate(spark, sf_dir)
+            .agg(F.count("*")).collect(),
+            "q_doc_repetition": lambda: TS.repetition_stats(spark, sf_dir)
             .agg(F.count("*")).collect(),
         }
         for name, fn in bench_set.items():
