@@ -328,3 +328,25 @@ def test_write_entities_json_entry_matches_reference(spark, tmp_path):
     lines = _read_part_lines(out)
     assert len(lines) == 1
     assert json.loads(lines[0]) == golden
+
+
+def test_seed_frontier_on_reference_seed_file(spark):
+    """S2 over the reference's ACTUAL seed file
+    (file/spider/PersonUrlSeedLink.txt): 3 seeds in file order; the two
+    category pages (中国名人, 文学家 — decoded last segment is 2-4 CJK
+    chars, no dot) classify keep=true, the numeric-suffixed item page
+    does not. Values pinned from an independent re-derivation of the
+    F1/F2 predicates."""
+    from webtableextractionsystem_spark.operators.urlfilters import (
+        seed_frontier,
+    )
+
+    rows = seed_frontier(
+        spark, "/root/reference/file/spider/PersonUrlSeedLink.txt"
+    ).orderBy("seq").collect()
+    assert len(rows) == 3  # trailing newline is not a 4th record
+    assert [r["seq"] for r in rows] == [1, 2, 3]
+    assert [r["keep"] for r in rows] == [True, False, True]
+    assert rows[0]["url"].endswith("%E4%B8%AD%E5%9B%BD%E5%90%8D%E4%BA%BA")
+    assert rows[1]["relevance"] == 0  # last segment '6516750' is not a name
+    assert rows[2]["possible"] and rows[2]["relevance"] == 1
