@@ -112,6 +112,34 @@ def test_png_rgba_and_grayscale():
     assert np.array_equal(out, np.repeat(gray[..., None], 3, axis=2))
 
 
+def test_png_roundtrip_property():
+    """Property test: any uint8 image (1..24 px per side, gray/RGB/RGBA,
+    any filter type) survives encode->decode exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 24), w=st.integers(1, 24),
+        ch=st.sampled_from([0, 3, 4]),
+        ftype=st.integers(0, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, ch, ftype, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if ch == 0 else (h, w, ch)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = MM.decode_image(MM.encode_png(img, filter_type=ftype))
+        if ch == 0:
+            want = np.repeat(img[..., None], 3, axis=2)
+        else:
+            want = img[..., :3]
+        assert np.array_equal(out, want)
+
+    check()
+
+
 def test_png_corruption_diagnosis():
     """Bit-flips and truncations are ValueError (corrupt supported
     format), never NotImplementedError, never a wrong silent decode."""
