@@ -237,16 +237,17 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at scale: the signals are doc-LOCAL, so they are computed as a
     per-row fold over the SORTED bigram array (run-length accumulator
-    struct) — a narrow map with NO shuffle at all, vs the natural
+    struct) — the fold itself needs no shuffle, vs the natural
     explode -> groupBy(doc_id, bg) -> groupBy(doc_id) form that shuffles
     ~n_tokens rows per doc twice. Measured 0.8 s vs 5.1 s at sf0.1/32
     cores, bit-identical output (and the DuckDB oracle IS the grouped
-    form, so the equivalence is hash-checked at every gate run). The
-    repartition only parallelizes single-file local inputs, as in
-    minhash_signatures."""
+    form, so the equivalence is hash-checked at every gate run). The one
+    Exchange in the plan is the round-robin repartition that
+    parallelizes single-file local inputs, as in minhash_signatures —
+    not a key shuffle."""
     docs = load_documents(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism)
-    toks_n = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    toks_n = F.size(_tokens())
     n_bigrams = F.when(toks_n >= 2, toks_n - 1).otherwise(0).cast("long")
     bgs = F.array_sort(_bigrams())
     init = F.struct(
