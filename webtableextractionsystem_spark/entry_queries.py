@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rel_rollup": REL.lineitem_rollup,
         "q_rel_cube": REL.lineitem_cube,
         "q_rel_exists": REL.customers_with_open_orders,
+        "q_rel_region_part_volume": REL.region_part_volume,
         "q_events_hourly": REL.events_hourly,
         "q_events_json_props": REL.events_json_props,
         "q_events_user_profiles": REL.user_profiles,
@@ -315,6 +316,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rel_rollup": REL.ROLLUP_SQL,
         "q_rel_cube": REL.CUBE_SQL,
         "q_rel_exists": REL.EXISTS_SQL,
+        "q_rel_region_part_volume": REL.REGION_PART_VOLUME_SQL,
         "q_events_hourly": REL.EVENTS_HOURLY_SQL,
         "q_events_json_props": REL.EVENTS_JSON_SQL,
         "q_events_user_profiles": REL.USER_PROFILES_SQL,

@@ -356,3 +356,43 @@ FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
 """
+
+
+def region_part_volume(spark, sf_dir):
+    """Five-table star join covering the two remaining TPC-H-ish dims
+    (region, part): the lineitem fact joins supplier -> nation -> region
+    on one side and part on the other, grouped by (region, brand) — the
+    Q5/Q9 plan shape. All four dimension sides are broadcast (regions/
+    nations are tiny by definition; supplier/part are the classic
+    broadcast-able dims), so the only shuffle is the final partial-agg
+    exchange on the grouping key. Money follows the decimal discipline
+    (sum as DECIMAL(18,2), one final cast to double)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("r_name", "p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").alias("volume"),
+        )
+    )
+
+
+REGION_PART_VOLUME_SQL = """
+SELECT r_name, p_brand, count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN part ON l_partkey = p_partkey
+GROUP BY r_name, p_brand
+"""
