@@ -163,6 +163,49 @@ def test_png_corruption_diagnosis():
         MM.decode_image(bytes(interlaced))
 
 
+def test_wav_roundtrip_and_corruption():
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(5)
+    sig = rng.integers(-30000, 30000, size=(100, 2), dtype=np.int16)
+    data, rate = MM.decode_audio(MM.encode_wav(sig, 16000))
+    assert rate == 16000 and np.array_equal(data, sig)
+    mono = rng.integers(-100, 100, size=50, dtype=np.int16)
+    data, rate = MM.decode_audio(MM.encode_wav(mono, 8000))
+    assert data.shape == (50, 1) and np.array_equal(data[:, 0], mono)
+    with pytest.raises(NotImplementedError):
+        MM.decode_audio(b"ID3\x04mp3-ish")  # non-WAV: unsupported codec
+    with pytest.raises(ValueError):
+        MM.decode_audio(MM.encode_wav(mono)[:20])  # corrupt container
+
+
+def test_audio_features_real_decode(spark):
+    """End-to-end audio path: synthesized WAV payloads through the
+    batched Arrow feature pass — values must match a local decode."""
+    import numpy as np
+
+    from webtableextractionsystem_spark.datagen import gen_documents_df
+    from webtableextractionsystem_spark.operators.extraction import (
+        extract_all,
+        spans_view,
+    )
+
+    spans = spans_view(extract_all(gen_documents_df(spark, 40), num_buckets=4))
+    audio = MM.synth_audio_for_spans(spans).cache()
+    feats = {r["media_ref"]: r for r in MM.audio_features(audio).collect()}
+    rows = audio.collect()
+    assert rows and len(feats) == len(rows)
+    for r in rows:
+        data, rate = MM.decode_audio(bytes(r["payload"]))
+        f = feats[r["media_ref"]]
+        assert f["n_samples"] == data.shape[0] == r["meta"]["n_frames"]
+        assert f["sample_rate"] == rate == r["meta"]["sample_rate"]
+        mono = data.mean(axis=1)
+        assert f["rms"] == int(np.sqrt(np.mean(mono ** 2)))
+        assert f["duration_ms"] == data.shape[0] * 1000 // rate
+
+
 def test_image_features_on_real_payloads(spark):
     """End-to-end fake=False: real PPM/BMP payloads through the batched
     Arrow feature pass — mean channel features must match numpy."""

@@ -199,6 +199,16 @@ def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio e2e through the REAL WAV PCM16 codec (pinned-literal
+    oracle): media spans -> deterministic WAV payloads -> batched decode
+    + integer features, so an audio-codec regression fails the gate."""
+    from .operators.multimodal import audio_features, synth_audio_for_spans
+
+    spans = spans_view(_extracted(spark))
+    return audio_features(synth_audio_for_spans(spans))
+
+
 # queries whose oracle is a PINNED LITERAL rather than side-by-side SQL:
 # the x_* extraction corpus has no SQL-reachable input, and image
 # decode / k-means clustering aren't SQL-expressible — but all of them
@@ -207,8 +217,8 @@ def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 PINNED = (
     "x_spans_by_kind", "x_tables_by_type", "x_triples_by_rel",
     "x_entities_fused", "x_doc_totals", "x_table_records", "x_url_filter",
-    "x_media_features", "x_tables_docx", "x_er_graph", "q_emb_ivf_topk",
-    "q_emb_ivf_recall",
+    "x_media_features", "x_audio_features", "x_tables_docx", "x_er_graph",
+    "q_emb_ivf_topk", "q_emb_ivf_recall",
 )
 
 # queries deliberately WITHOUT any oracle (driver records the weaker
@@ -237,7 +247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_doc_totals": x_doc_totals,
         "x_table_records": x_table_records,     # F10
         "x_url_filter": x_url_filter,           # F1/F2
-        "x_media_features": x_media_features,   # multimodal plumbing
+        "x_media_features": x_media_features,   # multimodal image path
+        "x_audio_features": x_audio_features,   # multimodal audio path
         "x_tables_docx": x_tables_docx,         # S13 docx sink digest
         "x_er_graph": x_er_graph,               # S15 graph sink digest
         # text analysis over documents
