@@ -27,7 +27,7 @@ def test_media_schema_and_determinism(spark, media):
     row = media.orderBy("media_ref").first()
     assert isinstance(row["payload"], (bytes, bytearray))
     assert row["meta"]["mime"] in (
-        "image/x-portable-pixmap", "image/bmp", "image/png")
+        "image/x-portable-pixmap", "image/bmp", "image/png", "image/jpeg")
     # deterministic: same ref -> same payload across a second build
     docs = gen_documents_df(spark, 60)
     spans = spans_view(extract_all(docs, num_buckets=4))
@@ -45,7 +45,8 @@ def test_synth_media_payloads_real_decode(media):
         img = MM.decode_image(bytes(r["payload"]))  # fake NOT set
         assert img.shape == (r["meta"]["height"], r["meta"]["width"], 3)
         mimes.add(r["meta"]["mime"])
-    assert mimes == {"image/x-portable-pixmap", "image/bmp", "image/png"}
+    assert mimes == {"image/x-portable-pixmap", "image/bmp", "image/png",
+                     "image/jpeg"}
 
 
 def test_decode_stub_raises_without_fake():
@@ -161,6 +162,44 @@ def test_png_corruption_diagnosis():
     interlaced = payload[:16] + bytes(ihdr) + crc + payload[33:]
     with pytest.raises(ValueError, match="interlace"):
         MM.decode_image(bytes(interlaced))
+
+
+def test_jpeg_roundtrip_and_variants():
+    """Baseline JPEG codec: flat blocks survive exactly (DC-only),
+    textured images round-trip above a PSNR floor, grayscale broadcasts,
+    and unsupported/corrupt variants diagnose correctly."""
+    import numpy as np
+    import pytest
+
+    from webtableextractionsystem_spark.operators import jpeg as J
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 99 if mse == 0 else 10 * np.log10(255 ** 2 / mse)
+
+    rng = np.random.default_rng(3)
+    flat = np.full((16, 16, 3), 120, dtype=np.uint8)
+    assert np.array_equal(J.decode_jpeg(J.encode_jpeg(flat, 85)), flat)
+    noise = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(noise, 95))
+    assert out.shape == noise.shape and psnr(noise, out) > 30
+    g = rng.integers(0, 256, size=(9, 11), dtype=np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(g, 90))
+    assert out.shape == (9, 11, 3)
+    assert psnr(np.repeat(g[..., None], 3, 2), out) > 30
+    # decode_image sniffs the JPEG magic onto the real path
+    assert np.array_equal(MM.decode_image(J.encode_jpeg(flat, 85)), flat)
+
+    payload = bytearray(J.encode_jpeg(noise, 85))
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bytes(payload[:60]))  # truncated pre-scan
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bytes(payload[:-40]))  # truncated entropy stream
+    # progressive (SOF2) names the unsupported feature
+    sof0 = bytes(payload).find(b"\xff\xc0")
+    prog = bytes(payload[:sof0 + 1]) + b"\xc2" + bytes(payload[sof0 + 2:])
+    with pytest.raises(ValueError, match="non-baseline"):
+        J.decode_jpeg(prog)
 
 
 def test_wav_roundtrip_and_corruption():

@@ -1,0 +1,482 @@
+"""Baseline JPEG (JFIF) codec in pure numpy/stdlib — the last media
+format the multimodal family stubbed, now real.
+
+Scope (honest and tested): baseline sequential DCT (SOF0), 8-bit,
+1-component grayscale or 3-component YCbCr WITHOUT chroma subsampling
+(4:4:4 — what the paired encoder emits), optional restart intervals on
+decode. Progressive (SOF2), subsampled, arithmetic-coded, and 12-bit
+streams raise ValueError naming the unsupported feature — corrupt data
+also ValueError; the magic-sniff boundary stays in decode_image.
+
+Everything is from the public standard: ITU-T T.81 — zigzag order
+(§A.3.6), quantization + Huffman tables from Annex K (the "typical"
+tables virtually every encoder ships), byte stuffing (§B.1.1.5), DC
+prediction and (run,size) AC coding (§F.1.2); JFIF YCbCr from the JFIF
+1.02 spec. JPEG is lossy: round-trips assert PSNR bounds, not equality
+(flat images survive near-exactly — DC-only blocks).
+
+DCT as an 8x8 matrix sandwich (T @ B @ T.T) over numpy float64; entropy
+coding is bit-level Python — fine for the thumbnail-scale media the
+pipeline decodes, and it runs inside the same bounded mapInPandas
+batches as every other codec.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# §A.3.6 zigzag scan order: ZIGZAG[i] = raster index of the i-th coef
+ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# Annex K.1/K.2 quantization tables (quality-50 bases)
+QUANT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+QUANT_CHR = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# Annex K.3 "typical" Huffman tables: (bits[1..16], values)
+DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+          list(range(12)))
+DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+          list(range(12)))
+AC_LUM = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+AC_CHR = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    t = np.cos((2 * n + 1) * k * np.pi / 16)
+    t[0] *= np.sqrt(1 / 2)
+    return t / 2  # orthonormal scaling for the 8-point DCT-II
+
+
+_T = _dct_matrix()
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 50 = the Annex K base tables."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality {quality} out of range")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _build_code_table(bits, values):
+    """(bits, values) -> {symbol: (code, length)} per T.81 §C.2."""
+    out = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _build_decode_table(bits, values):
+    """(bits, values) -> {(length, code): symbol}."""
+    out = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = values[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bytes = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.bytes.append(b)
+            if b == 0xFF:
+                self.bytes.append(0x00)  # §B.1.1.5 byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write(0x7F, 8 - self.n)  # pad with 1s per §F.1.2.3
+        return bytes(self.bytes)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos] if self.pos < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                # a real marker inside the scan (EOI / RSTn): the caller
+                # handles markers; reaching here mid-symbol is truncation
+                raise ValueError("unexpected marker in JPEG entropy stream")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self.n = 0
+        self.acc = 0
+
+
+def _encode_value(v: int) -> tuple[int, int]:
+    """v -> (size, size-bit code) per §F.1.2.1 (negatives one-less)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, v if v > 0 else v + (1 << size) - 1
+
+
+def _decode_value(size: int, code: int) -> int:
+    if size == 0:
+        return 0
+    return code if code >= (1 << (size - 1)) else code - (1 << size) + 1
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r, g, b = (img[..., 0].astype(np.float64),
+               img[..., 1].astype(np.float64),
+               img[..., 2].astype(np.float64))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128, ycc[..., 2] - 128
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255)
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+    """HxW (gray) or HxWx3 uint8 -> baseline JFIF JPEG (4:4:4, Annex K
+    tables, no restart markers)."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qlum = _scaled_quant(QUANT_LUM, quality)
+    qchr = _scaled_quant(QUANT_CHR, quality)
+    if gray:
+        planes = [img.astype(np.float64)]
+        quants = [qlum]
+    else:
+        ycc = _rgb_to_ycbcr(img[..., :3])
+        planes = [ycc[..., i] for i in range(3)]
+        quants = [qlum, qchr, qchr]
+
+    # pad to multiples of 8 by edge replication
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    planes = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+              for p in planes]
+
+    dc_tabs = [_build_code_table(*DC_LUM)] + (
+        [] if gray else [_build_code_table(*DC_CHR)] * 2)
+    ac_tabs = [_build_code_table(*AC_LUM)] + (
+        [] if gray else [_build_code_table(*AC_CHR)] * 2)
+
+    bw = _BitWriter()
+    prev_dc = [0] * len(planes)
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, plane in enumerate(planes):
+                block = plane[by:by + 8, bx:bx + 8] - 128.0
+                coefs = _T @ block @ _T.T
+                q = np.round(coefs / quants[ci]).astype(np.int64)
+                zz = q.reshape(-1)[ZIGZAG]
+                diff = int(zz[0]) - prev_dc[ci]
+                prev_dc[ci] = int(zz[0])
+                size, code = _encode_value(diff)
+                hc, hl = dc_tabs[ci][size]
+                bw.write(hc, hl)
+                if size:
+                    bw.write(code, size)
+                run = 0
+                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) \
+                    else 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if k > last_nz:
+                        break
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        hc, hl = ac_tabs[ci][0xF0]  # ZRL
+                        bw.write(hc, hl)
+                        run -= 16
+                    size, code = _encode_value(v)
+                    hc, hl = ac_tabs[ci][(run << 4) | size]
+                    bw.write(hc, hl)
+                    bw.write(code, size)
+                    run = 0
+                if last_nz < 63:
+                    hc, hl = ac_tabs[ci][0x00]  # EOB
+                    bw.write(hc, hl)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    def dqt(tid: int, tbl: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tid])
+                   + bytes(int(x) for x in tbl.reshape(-1)[ZIGZAG]))
+
+    def dht(tclass: int, tid: int, bits, values) -> bytes:
+        return seg(0xC4, bytes([(tclass << 4) | tid]) + bytes(bits)
+                   + bytes(values))
+
+    ncomp = 1 if gray else 3
+    sof_comps = b"".join(
+        bytes([i + 1, 0x11, 0 if i == 0 else 1]) for i in range(ncomp))
+    sos_comps = b"".join(
+        bytes([i + 1, 0x00 if i == 0 else 0x11]) for i in range(ncomp))
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, qlum)
+    if not gray:
+        out += dqt(1, qchr)
+    out += seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+               + bytes([ncomp]) + sof_comps)
+    out += dht(0, 0, *DC_LUM) + dht(1, 0, *AC_LUM)
+    if not gray:
+        out += dht(0, 1, *DC_CHR) + dht(1, 1, *AC_CHR)
+    out += seg(0xDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF JPEG -> HxWx3 uint8 (grayscale broadcast to 3).
+    Unsupported variants (progressive, subsampled, 12-bit, arithmetic)
+    and corrupt streams raise ValueError."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    n = len(payload)
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+
+    def u16(o):
+        return int.from_bytes(payload[o:o + 2], "big")
+
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("JPEG stream has no scan")
+        length = u16(pos)
+        body = payload[pos + 2:pos + length]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = np.frombuffer(
+                    body[i + 1:i + 65], dtype=np.uint8).astype(np.int64)
+                quant[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                values = list(body[i + 17:i + 17 + nv])
+                tab = _build_decode_table(bits, values)
+                (huff_dc if tc == 0 else huff_ac)[th] = tab
+                i += 17 + nv
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"JPEG SOF{marker - 0xC0} (non-baseline) unsupported")
+        elif marker == 0xC0:  # SOF0
+            if body[0] != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            fh, fw, ncomp = u16(pos + 3), u16(pos + 5), body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError("chroma subsampling unsupported")
+                comps.append((cid, tq))
+            frame = (fh, fw, comps)
+        elif marker == 0xDD:  # DRI
+            restart_interval = u16(pos + 2)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ncomp = body[0]
+            scan_tabs = []
+            for c in range(ncomp):
+                td = body[2 + 2 * c] >> 4
+                ta = body[2 + 2 * c] & 0xF
+                scan_tabs.append((td, ta))
+            pos += length
+            return _decode_scan(payload, pos, frame, scan_tabs, quant,
+                                huff_dc, huff_ac, restart_interval)
+        pos += length
+    raise ValueError("truncated JPEG (no SOS reached)")
+
+
+def _decode_scan(payload, pos, frame, scan_tabs, quant, huff_dc, huff_ac,
+                 restart_interval):
+    fh, fw, comps = frame
+    if fh == 0 or fw == 0:
+        raise ValueError("bad JPEG dimensions")
+    ph, pw = (fh + 7) // 8 * 8, (fw + 7) // 8 * 8
+    planes = [np.zeros((ph, pw), dtype=np.float64) for _ in comps]
+    br = _BitReader(payload, pos)
+    prev_dc = [0] * len(comps)
+
+    def read_symbol(table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.bit()
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid JPEG Huffman code")
+
+    mcu = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.align()
+                if payload[br.pos] != 0xFF or not (
+                        0xD0 <= payload[br.pos + 1] <= 0xD7):
+                    raise ValueError("missing JPEG restart marker")
+                br.pos += 2
+                prev_dc = [0] * len(comps)
+            for ci, (cid, tq) in enumerate(comps):
+                td, ta = scan_tabs[ci]
+                if td not in huff_dc or ta not in huff_ac or tq not in quant:
+                    raise ValueError("JPEG references an undefined table")
+                zz = np.zeros(64, dtype=np.int64)
+                size = read_symbol(huff_dc[td])
+                prev_dc[ci] += _decode_value(size, br.bits(size))
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = read_symbol(huff_ac[ta])
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG AC run past block end")
+                    zz[k] = _decode_value(size, br.bits(size))
+                    k += 1
+                coefs = np.zeros(64, dtype=np.float64)
+                coefs[ZIGZAG] = zz
+                block = _T.T @ (coefs.reshape(8, 8) * quant[tq]) @ _T + 128
+                planes[ci][by:by + 8, bx:bx + 8] = block
+            mcu += 1
+
+    if len(planes) == 1:
+        y = np.clip(planes[0][:fh, :fw], 0, 255)
+        return np.repeat(y[..., None], 3, axis=2).astype(np.uint8)
+    ycc = np.stack([p[:fh, :fw] for p in planes], axis=-1)
+    return np.round(_ycbcr_to_rgb(ycc)).astype(np.uint8)

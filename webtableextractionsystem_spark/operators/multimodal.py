@@ -21,14 +21,15 @@ Spark-side design (all real and tested):
   spans table by ``pmod(xxhash64(media_ref), n)`` makes the span<->media
   join a local zipper at scale.
 
-Codecs: binary PPM (P6), uncompressed 24-bit BMP, and non-interlaced
-8-bit gray/RGB/RGBA PNG (stdlib zlib inflate + all five scanline
-filters, CRC-checked) decode FOR REAL in pure numpy/stdlib (round-trip
-tested). JPEG (DCT entropy coding) is the one remaining stub —
-``decode_image`` raises NotImplementedError for it unless ``fake=True``,
-in which case a deterministic fake decoder (md5-seeded pixel stats)
-stands in. The Spark plumbing — schema, batching, partitioning, UDF
-signatures — is real and tested either way.
+Codecs — ALL REAL, pure numpy/stdlib: binary PPM (P6), uncompressed
+24-bit BMP, non-interlaced 8-bit gray/RGB/RGBA PNG (zlib inflate + all
+five scanline filters, CRC-checked), baseline JFIF JPEG (operators/
+jpeg.py — DCT + Annex K tables; lossy, so round-trips assert PSNR), and
+WAV PCM16 audio. Unknown magic raises NotImplementedError unless
+``fake=True``, which substitutes the deterministic md5-seeded decoder
+(kept for tests that need arbitrary payloads to decode). The Spark
+plumbing — schema, batching, partitioning, UDF signatures — is the same
+for every format.
 """
 
 from __future__ import annotations
@@ -75,7 +76,7 @@ def synth_media_for_spans(spans_out: DataFrame) -> DataFrame:
                 rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
                 w = 4 + h[1] % 13
                 ht = 4 + h[2] % 13
-                fmt = h[0] % 4
+                fmt = h[0] % 5
                 img = rng.integers(0, 256, size=(ht, w, 3), dtype=np.uint8)
                 if fmt == 0:
                     payload, mime = encode_ppm(img), "image/x-portable-pixmap"
@@ -84,11 +85,16 @@ def synth_media_for_spans(spans_out: DataFrame) -> DataFrame:
                 elif fmt == 2:
                     payload = encode_png(img, filter_type=h[3] % 5)
                     mime = "image/png"
-                else:
+                elif fmt == 3:
                     rgba = np.dstack([img, rng.integers(
                         0, 256, size=(ht, w), dtype=np.uint8)])
                     payload = encode_png(rgba, filter_type=h[3] % 5)
                     mime = "image/png"
+                else:
+                    from .jpeg import encode_jpeg
+
+                    payload = encode_jpeg(img, quality=75 + h[3] % 21)
+                    mime = "image/jpeg"
                 rows.append({
                     "media_ref": ref,
                     "kind": "image",
@@ -381,6 +387,10 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             return _decode_bmp(payload)
         if payload[:8] == _PNG_SIG:
             return _decode_png(payload)
+        if payload[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
     except ValueError:
         # magic matched but the body didn't parse. With fake=True this is
         # expected for random synthetic payloads and falls through to the
@@ -391,9 +401,9 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             raise
     if not fake:
         raise NotImplementedError(
-            "only PPM(P6), 24-bit BMP, and 8-bit PNG are decodable without "
-            "image libraries (JPEG is the remaining stub); pass fake=True "
-            "for the deterministic test decoder"
+            "unrecognized image magic: PPM(P6), 24-bit BMP, 8-bit PNG, and "
+            "baseline JPEG are the decodable formats; pass fake=True for "
+            "the deterministic test decoder"
         )
     h = hashlib.md5(payload).digest()
     rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
