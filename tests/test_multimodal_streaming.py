@@ -187,6 +187,17 @@ def test_jpeg_roundtrip_and_variants():
     out = J.decode_jpeg(J.encode_jpeg(g, 90))
     assert out.shape == (9, 11, 3)
     assert psnr(np.repeat(g[..., None], 3, 2), out) > 30
+    # flat GRAYSCALE must survive exactly too (the gray path rounds like
+    # the color path — truncation would bias it one LSB low)
+    gflat = np.full((8, 8), 120, dtype=np.uint8)
+    assert np.array_equal(J.decode_jpeg(J.encode_jpeg(gflat, 85)),
+                          np.full((8, 8, 3), 120, dtype=np.uint8))
+    # header-shaped garbage diagnoses as ValueError, and decode_image's
+    # fake fallback therefore still decodes it
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"\xff\xd8\xff\xc0\x00\x04\x08")
+    assert MM.decode_image(b"\xff\xd8\xff\xc0\x00\x04\x08",
+                           fake=True).shape[2] == 3
     # decode_image sniffs the JPEG magic onto the real path
     assert np.array_equal(MM.decode_image(J.encode_jpeg(flat, 85)), flat)
 

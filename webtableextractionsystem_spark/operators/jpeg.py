@@ -116,32 +116,29 @@ def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
 
 
-def _build_code_table(bits, values):
-    """(bits, values) -> {symbol: (code, length)} per T.81 §C.2."""
-    out = {}
+def _canonical_codes(bits, values):
+    """Yield (symbol, code, length) per T.81 §C.2 — the single canonical
+    walk behind both the encode and decode table shapes."""
+    if len(bits) != 16 or sum(bits) != len(values):
+        raise ValueError("malformed JPEG Huffman table definition")
     code = 0
     i = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            out[values[i]] = (code, length)
+            yield values[i], code, length
             code += 1
             i += 1
         code <<= 1
-    return out
+
+
+def _build_code_table(bits, values):
+    return {sym: (code, length)
+            for sym, code, length in _canonical_codes(bits, values)}
 
 
 def _build_decode_table(bits, values):
-    """(bits, values) -> {(length, code): symbol}."""
-    out = {}
-    code = 0
-    i = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            out[(length, code)] = values[i]
-            code += 1
-            i += 1
-        code <<= 1
-    return out
+    return {(length, code): sym
+            for sym, code, length in _canonical_codes(bits, values)}
 
 
 class _BitWriter:
@@ -342,7 +339,15 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JFIF JPEG -> HxWx3 uint8 (grayscale broadcast to 3).
     Unsupported variants (progressive, subsampled, 12-bit, arithmetic)
-    and corrupt streams raise ValueError."""
+    and corrupt streams raise ValueError — including header shapes whose
+    malformation would surface as out-of-range indexing."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except IndexError as e:
+        raise ValueError("truncated JPEG header") from e
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -407,8 +412,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ncomp = body[0]
+            if ncomp != len(frame[2]):
+                raise ValueError(
+                    "non-interleaved (per-component) JPEG scans unsupported")
             scan_tabs = []
             for c in range(ncomp):
+                if body[1 + 2 * c] != frame[2][c][0]:
+                    # positional table pairing is only sound when the
+                    # scan's component selectors match the frame order —
+                    # anything else would be a wrong SILENT decode
+                    raise ValueError(
+                        "JPEG scan component order differs from frame")
                 td = body[2 + 2 * c] >> 4
                 ta = body[2 + 2 * c] & 0xF
                 scan_tabs.append((td, ta))
@@ -476,7 +490,9 @@ def _decode_scan(payload, pos, frame, scan_tabs, quant, huff_dc, huff_ac,
             mcu += 1
 
     if len(planes) == 1:
-        y = np.clip(planes[0][:fh, :fw], 0, 255)
+        # round like the color path — truncation would bias gray decodes
+        # ~0.5 LSB low and break flat-block exactness
+        y = np.round(np.clip(planes[0][:fh, :fw], 0, 255))
         return np.repeat(y[..., None], 3, axis=2).astype(np.uint8)
     ycc = np.stack([p[:fh, :fw] for p in planes], axis=-1)
     return np.round(_ycbcr_to_rgb(ycc)).astype(np.uint8)

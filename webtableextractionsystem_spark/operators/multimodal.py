@@ -63,10 +63,11 @@ N_IMG_FEATURES = 16
 
 def synth_media_for_spans(spans_out: DataFrame) -> DataFrame:
     """Deterministic media table for every media span: REAL encoded
-    image payloads (PPM / BMP / PNG-RGB / PNG-RGBA, PNG rows cycling
-    through all five scanline filters) with pixels seeded from
-    md5(media_ref). Stands in for the real object store; every payload
-    decodes through the real codec path (``decode_image(fake=False)``)."""
+    image payloads (PPM / BMP / PNG-RGB / PNG-RGBA / baseline JPEG, PNG
+    rows cycling through all five scanline filters, JPEG across
+    qualities 75-95) with pixels seeded from md5(media_ref). Stands in
+    for the real object store; every payload decodes through the real
+    codec path (``decode_image(fake=False)``)."""
 
     def gen(batches):
         for pdf in batches:
@@ -374,10 +375,10 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
     REAL formats (pure numpy/stdlib, no external libs), sniffed by magic
-    bytes: binary PPM (P6), uncompressed 24-bit BMP, and non-interlaced
-    8-bit gray/RGB/RGBA PNG (zlib inflate + un-filter, CRC-checked).
-    JPEG still needs an image library absent from this container: it
-    raises NotImplementedError, or falls back to the deterministic
+    bytes: binary PPM (P6), uncompressed 24-bit BMP, non-interlaced
+    8-bit gray/RGB/RGBA PNG (zlib inflate + un-filter, CRC-checked), and
+    baseline JFIF JPEG (operators/jpeg.py). Only UNRECOGNIZED magic
+    raises NotImplementedError — or falls back to the deterministic
     md5-seeded fake decoder when ``fake=True`` (which keeps arbitrary
     payloads decodable in tests)."""
     try:
