@@ -213,6 +213,62 @@ def test_jpeg_roundtrip_and_variants():
         J.decode_jpeg(prog)
 
 
+def test_avi_mjpeg_roundtrip_and_variants():
+    """MJPEG/AVI container: frames round-trip through the real per-frame
+    JPEG decode (PSNR-bounded — flat frames exact), fps survives, and
+    foreign codecs / corrupt containers diagnose correctly."""
+    import numpy as np
+    import pytest
+
+    from webtableextractionsystem_spark.operators import video as V
+
+    frames = [np.full((16, 16, 3), 60 + 20 * i, dtype=np.uint8)
+              for i in range(3)]
+    payload = V.encode_avi_mjpeg(frames, fps=10, quality=85)
+    out, uspf = V.decode_video(payload)
+    assert out.shape == (3, 16, 16, 3) and uspf == 100_000
+    for i in range(3):
+        assert np.array_equal(out[i], frames[i])  # flat frames: exact
+
+    with pytest.raises(NotImplementedError):
+        V.decode_video(b"\x00\x00\x00\x00mp4-ish")  # non-AVI magic
+    with pytest.raises(ValueError):
+        V.decode_video(payload[:60])  # truncated container
+    # foreign codec fourcc -> unsupported, not corrupt
+    foreign = payload.replace(b"vidsMJPG", b"vidsXVID", 1)
+    with pytest.raises(NotImplementedError, match="XVID"):
+        V.decode_video(foreign)
+
+
+def test_video_features_real_decode(spark):
+    """End-to-end video path: synthesized AVI payloads through the
+    batched Arrow feature pass — values must match a local decode."""
+    import numpy as np
+
+    from webtableextractionsystem_spark.datagen import gen_documents_df
+    from webtableextractionsystem_spark.operators.extraction import (
+        extract_all,
+        spans_view,
+    )
+    from webtableextractionsystem_spark.operators.video import decode_video
+
+    spans = spans_view(extract_all(gen_documents_df(spark, 40), num_buckets=4))
+    vids = MM.synth_video_for_spans(spans).cache()
+    feats = {r["media_ref"]: r for r in MM.video_features(vids).collect()}
+    rows = vids.collect()
+    assert rows and len(feats) == len(rows)
+    for r in rows:
+        frames, uspf = decode_video(bytes(r["payload"]))
+        f = feats[r["media_ref"]]
+        assert f["n_frames"] == frames.shape[0] == r["meta"]["n_frames"]
+        assert (f["height"], f["width"]) == frames.shape[1:3]
+        assert f["us_per_frame"] == uspf == 1_000_000 // r["meta"]["sample_rate"]
+        luma = (0.299 * frames[..., 0].astype(float)
+                + 0.587 * frames[..., 1] + 0.114 * frames[..., 2])
+        assert f["mean_luma"] == int(np.mean(luma))
+        assert f["motion"] == int(np.mean(np.abs(np.diff(luma, axis=0))))
+
+
 def test_wav_roundtrip_and_corruption():
     import numpy as np
     import pytest

@@ -209,6 +209,17 @@ def x_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(synth_audio_for_spans(spans))
 
 
+def x_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video e2e through the REAL MJPEG/AVI codec (pinned-literal
+    oracle): media spans -> deterministic AVI payloads -> batched
+    per-frame JPEG decode + integer features, so a container- or
+    frame-codec regression fails the gate."""
+    from .operators.multimodal import synth_video_for_spans, video_features
+
+    spans = spans_view(_extracted(spark))
+    return video_features(synth_video_for_spans(spans))
+
+
 # queries whose oracle is a PINNED LITERAL rather than side-by-side SQL:
 # the x_* extraction corpus has no SQL-reachable input, and image
 # decode / k-means clustering aren't SQL-expressible — but all of them
@@ -217,8 +228,8 @@ def x_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 PINNED = (
     "x_spans_by_kind", "x_tables_by_type", "x_triples_by_rel",
     "x_entities_fused", "x_doc_totals", "x_table_records", "x_url_filter",
-    "x_media_features", "x_audio_features", "x_tables_docx", "x_er_graph",
-    "q_emb_ivf_topk", "q_emb_ivf_recall",
+    "x_media_features", "x_audio_features", "x_video_features",
+    "x_tables_docx", "x_er_graph", "q_emb_ivf_topk", "q_emb_ivf_recall",
 )
 
 # queries deliberately WITHOUT any oracle (driver records the weaker
@@ -249,6 +260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_url_filter": x_url_filter,           # F1/F2
         "x_media_features": x_media_features,   # multimodal image path
         "x_audio_features": x_audio_features,   # multimodal audio path
+        "x_video_features": x_video_features,   # multimodal video path
         "x_tables_docx": x_tables_docx,         # S13 docx sink digest
         "x_er_graph": x_er_graph,               # S15 graph sink digest
         # text analysis over documents

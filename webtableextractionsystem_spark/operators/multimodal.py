@@ -600,3 +600,80 @@ def audio_features(media: DataFrame) -> DataFrame:
                 "sample_rate int, duration_ms int, rms int, "
                 "zero_crossings int"),
     )
+
+
+# ---------------------------------------------------------------------------
+# video: REAL MJPEG/AVI decode (operators/video.py) + batched features
+# ---------------------------------------------------------------------------
+
+def synth_video_for_spans(spans_out: DataFrame) -> DataFrame:
+    """Deterministic video table for every media span: REAL MJPEG AVI
+    payloads (2-5 drifting-gradient frames seeded from md5(media_ref)) —
+    the video twin of synth_media_for_spans / synth_audio_for_spans."""
+    from .video import encode_avi_mjpeg
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for ref in pdf["media_ref"].tolist():
+                h = hashlib.md5(ref.encode()).digest()
+                n_frames = 2 + h[1] % 4
+                w = 8 + 8 * (h[2] % 2)
+                ht = 8 + 8 * (h[3] % 2)
+                fps = (5, 10, 25)[h[4] % 3]
+                base = np.linspace(0, 200, w)[None, :, None]
+                frames = []
+                for i in range(n_frames):
+                    f = np.clip(base + 10 * i + h[5] % 40, 0, 255)
+                    frames.append(np.broadcast_to(
+                        f, (ht, w, 3)).astype(np.uint8))
+                payload = encode_avi_mjpeg(frames, fps=fps,
+                                           quality=80 + h[6] % 16)
+                rows.append({
+                    "media_ref": ref, "kind": "video", "payload": payload,
+                    "meta": {"width": w, "height": ht, "n_frames": n_frames,
+                             "sample_rate": fps, "mime": "video/x-msvideo"},
+                })
+            yield pd.DataFrame(rows)
+
+    refs = spans_out.where(F.col("kind") == "media") \
+        .select("media_ref").distinct()
+    return refs.mapInPandas(gen, schema=MEDIA)
+
+
+def video_features(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """(media_ref, n_frames, width, height, us_per_frame, mean_luma,
+    motion) via one batched mapInPandas pass over the REAL MJPEG decode:
+    frames are sampled every ``every_n``, mean_luma is the integer mean
+    of the BT.601 luma over sampled frames, motion the integer mean
+    absolute inter-frame luma difference. Integer outputs only, so the
+    pinned oracle is float-free; narrow (no shuffle), bounded batches —
+    the same partition-local shape as image/audio_features."""
+    from .video import decode_video
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("media_ref", "n_frames", "width",
+                                   "height", "us_per_frame", "mean_luma",
+                                   "motion")}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                frames, uspf = decode_video(bytes(payload))
+                sampled = frames[::every_n].astype(np.float64)
+                luma = (0.299 * sampled[..., 0] + 0.587 * sampled[..., 1]
+                        + 0.114 * sampled[..., 2])
+                motion = (int(np.mean(np.abs(np.diff(luma, axis=0))))
+                          if luma.shape[0] > 1 else 0)
+                out["media_ref"].append(ref)
+                out["n_frames"].append(frames.shape[0])
+                out["width"].append(frames.shape[2])
+                out["height"].append(frames.shape[1])
+                out["us_per_frame"].append(uspf)
+                out["mean_luma"].append(int(np.mean(luma)))
+                out["motion"].append(motion)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run,
+        schema=("media_ref string, n_frames int, width int, height int, "
+                "us_per_frame int, mean_luma int, motion int"),
+    )
