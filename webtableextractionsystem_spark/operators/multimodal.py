@@ -641,14 +641,17 @@ def synth_video_for_spans(spans_out: DataFrame) -> DataFrame:
     return refs.mapInPandas(gen, schema=MEDIA)
 
 
-def video_features(media: DataFrame, every_n: int = 1) -> DataFrame:
+def video_features(media: DataFrame) -> DataFrame:
     """(media_ref, n_frames, width, height, us_per_frame, mean_luma,
     motion) via one batched mapInPandas pass over the REAL MJPEG decode:
-    frames are sampled every ``every_n``, mean_luma is the integer mean
-    of the BT.601 luma over sampled frames, motion the integer mean
-    absolute inter-frame luma difference. Integer outputs only, so the
-    pinned oracle is float-free; narrow (no shuffle), bounded batches —
-    the same partition-local shape as image/audio_features."""
+    mean_luma is the integer mean of the BT.601 luma over all frames,
+    motion the integer mean absolute inter-frame luma difference.
+    Integer outputs only, so the pinned oracle is float-free; narrow
+    (no shuffle), bounded batches — the same partition-local shape as
+    image/audio_features. Coarse frame SAMPLING belongs at the container
+    walk (decode only every nth '00dc' chunk) — the metadata-level
+    ``frame_sample`` op models that plan shape; this feature pass
+    deliberately reads every frame."""
     from .video import decode_video
 
     def run(batches):
@@ -658,7 +661,7 @@ def video_features(media: DataFrame, every_n: int = 1) -> DataFrame:
                                    "motion")}
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 frames, uspf = decode_video(bytes(payload))
-                sampled = frames[::every_n].astype(np.float64)
+                sampled = frames.astype(np.float64)
                 luma = (0.299 * sampled[..., 0] + 0.587 * sampled[..., 1]
                         + 0.114 * sampled[..., 2])
                 motion = (int(np.mean(np.abs(np.diff(luma, axis=0))))

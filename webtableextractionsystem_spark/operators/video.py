@@ -40,6 +40,8 @@ def encode_avi_mjpeg(frames: list[np.ndarray] | np.ndarray,
     frames = list(frames)
     if not frames:
         raise ValueError("empty frame list")
+    if not 1 <= fps <= 1000:
+        raise ValueError(f"fps {fps} out of range")
     h, w = frames[0].shape[:2]
     if any(f.shape[:2] != (h, w) for f in frames):
         raise ValueError("all frames must share one size")
@@ -50,7 +52,7 @@ def encode_avi_mjpeg(frames: list[np.ndarray] | np.ndarray,
     avih = (us_per_frame.to_bytes(4, "little")
             + (max_size * fps).to_bytes(4, "little")
             + (0).to_bytes(4, "little")          # padding granularity
-            + (0x10).to_bytes(4, "little")       # AVIF_HASINDEX off: none
+            + (0).to_bytes(4, "little")          # flags: NO index chunk
             + len(jpegs).to_bytes(4, "little")
             + (0).to_bytes(4, "little")          # initial frames
             + (1).to_bytes(4, "little")          # streams
@@ -58,7 +60,7 @@ def encode_avi_mjpeg(frames: list[np.ndarray] | np.ndarray,
             + w.to_bytes(4, "little") + h.to_bytes(4, "little")
             + b"\x00" * 16)                      # reserved
     strh = (b"vids" + b"MJPG"
-            + b"\x00" * 16                        # flags/prio/lang/initial
+            + b"\x00" * 12     # dwFlags + wPriority + wLanguage + dwInitial
             + (1).to_bytes(4, "little")           # scale
             + fps.to_bytes(4, "little")           # rate (fps = rate/scale)
             + (0).to_bytes(4, "little")           # start
@@ -85,9 +87,14 @@ def decode_video(payload: bytes) -> tuple[np.ndarray, int]:
     """MJPEG AVI payload -> ([n, h, w, 3] uint8 frames, us_per_frame).
     Corrupt containers raise ValueError; non-AVI magic or a non-MJPEG
     video codec raises NotImplementedError."""
-    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+    if payload[:4] != b"RIFF":
         raise NotImplementedError(
             "only RIFF/AVI (MJPEG) video is decodable without libraries")
+    if len(payload) < 12:
+        raise ValueError("truncated RIFF header")  # corrupt, not foreign
+    if payload[8:12] != b"AVI ":
+        raise NotImplementedError(
+            f"RIFF form {payload[8:12]!r} is not AVI")
 
     us_per_frame = 0
     fourccs: list[bytes] = []
@@ -115,10 +122,14 @@ def decode_video(payload: bytes) -> tuple[np.ndarray, int]:
 
     walk(payload, 12, len(payload))
     # codec validation BEFORE any frame decode: a foreign codec must
-    # diagnose as unsupported, not as "frame is not JPEG" corruption
-    if fourccs and any(f not in (b"MJPG", b"mjpg") for f in fourccs):
+    # diagnose as unsupported, not as "frame is not JPEG" corruption —
+    # and a container with NO video stream header at all is corrupt
+    if not fourccs:
+        raise ValueError("AVI missing its video stream header (strh)")
+    foreign = [f for f in fourccs if f not in (b"MJPG", b"mjpg")]
+    if foreign:
         raise NotImplementedError(
-            f"AVI video codec {fourccs[0]!r} unsupported (MJPEG only)")
+            f"AVI video codec {foreign[0]!r} unsupported (MJPEG only)")
     if not raw_frames:
         raise ValueError("AVI container has no video frames")
     frames = []
