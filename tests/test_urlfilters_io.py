@@ -242,3 +242,29 @@ def test_seed_frontier_scan(spark, tmp_path):
     assert blank["seq"] == 2 and not blank["keep"] and not blank["possible"]
     dotted = by_url["https://baike.baidu.com/item/page.html"]
     assert not dotted["possible"]
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Co-located join lever: two tables bucketed on the join key must
+    SortMergeJoin with NO shuffle Exchange on either side (only the
+    bucketed scans), while the same join over plain parquet shuffles
+    both sides — the plan-level proof that the bucketing story in the
+    dedup/similarity docstrings actually holds."""
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v"))
+    sigs = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3).alias("sig"))
+    io_sinks.write_bucketed_table(docs, "t_docs_b", "doc_id", 8)
+    io_sinks.write_bucketed_table(sigs, "t_sigs_b", "doc_id", 8)
+    joined = spark.table("t_docs_b").join(spark.table("t_sigs_b"), "doc_id")
+    # disable broadcast so the join strategy itself is under test
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located!
+        assert joined.count() == 2000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_sigs_b")

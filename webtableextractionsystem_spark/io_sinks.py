@@ -84,6 +84,18 @@ def write_bucketed_parquet(df: DataFrame, path: str,
     df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
 
 
+def write_bucketed_table(df: DataFrame, table: str, key: str,
+                         n_buckets: int = 32) -> None:
+    """Hash-bucketed + bucket-sorted managed table (Spark bucketing,
+    Hive layout): two tables bucketed the same way on their join key
+    join WITHOUT a shuffle Exchange on either side — the co-located-join
+    lever for repeatedly-joined big tables at 100 TB (e.g. spans <->
+    media on media_ref, signatures <-> docs on doc_id). Asserted against
+    the physical plan in tests/test_urlfilters_io.py."""
+    df.write.mode("overwrite").format("parquet") \
+        .bucketBy(n_buckets, key).sortBy(key).saveAsTable(table)
+
+
 def read_parquet(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
