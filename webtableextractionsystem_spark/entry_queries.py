@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_neardup_components": DD.neardup_components,
         "q_doc_neardup_components_lsss": DD.neardup_components_lsss,
         "q_doc_decontaminate": DD.decontaminate,
+        "q_doc_curation_funnel": DD.curation_funnel,
         # embedding similarity
         "q_emb_topk_cosine": SIM.topk_bruteforce,
         "q_emb_lsh_buckets": SIM.lsh_buckets,
@@ -317,6 +318,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_rolling_hash": TS.ROLLING_SQL,
         "q_doc_repetition": TS.REPETITION_SQL,
         "q_doc_decontaminate": DD.decontaminate_sql(),
+        "q_doc_curation_funnel": DD.curation_funnel_sql(),
         "q_doc_exact_dedup": DD.EXACT_DEDUP_SQL,
         "q_doc_minhash": DD.minhash_sql(),
         "q_doc_lsh_bands": DD.lsh_band_keys_sql(),

@@ -839,3 +839,72 @@ FROM (SELECT doc_id FROM documents
       WHERE doc_id >= {DECON_BENCH_MAX_ID}) doc
 LEFT JOIN hits ON hits.doc_id = doc.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# the composed corpus-curation funnel: the end-to-end decision a
+# training-data pipeline actually ships — every doc gets one keep/drop
+# verdict with the FIRST failing stage as the reason, stages in the
+# canonical order quality -> language -> exact dedup -> near-dup ->
+# decontamination (benchmark docs are held out up front).
+# ---------------------------------------------------------------------------
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, reason, keep): composes quality_stats, lang_id,
+    exact_dedup, neardup_canonical, and decontaminate into one verdict
+    per document. All five stages are the already-oracle-checked
+    operators joined on doc_id — the funnel adds no new shuffle shapes,
+    just the decision cascade; its own oracle composes the same five
+    SQL bodies, so the gate checks the COMPOSITION, not only the parts."""
+    from .textstats import lang_id, quality_stats
+
+    q = quality_stats(spark, sf_dir).select("doc_id", "quality_ok")
+    lg = lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    ex = exact_dedup(spark, sf_dir).select(
+        "doc_id", F.col("is_dup").alias("exact_dup"))
+    nd = neardup_canonical(spark, sf_dir).select(
+        "doc_id", F.col("is_dup").alias("near_dup"))
+    dc = decontaminate(spark, sf_dir).select("doc_id", "contaminated")
+    reason = (
+        F.when(F.col("doc_id") < DECON_BENCH_MAX_ID, F.lit("benchmark"))
+        .when(~F.col("quality_ok"), F.lit("quality"))
+        .when(F.col("lang_pred") == "unk", F.lit("language"))
+        .when(F.col("exact_dup"), F.lit("exact_dup"))
+        .when(F.col("near_dup"), F.lit("near_dup"))
+        .when(F.col("contaminated"), F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        q.join(lg, "doc_id").join(ex, "doc_id").join(nd, "doc_id")
+        .join(dc, "doc_id", "left")  # benchmark docs are absent from dc
+        .select("doc_id", reason.alias("reason"),
+                (reason == "kept").alias("keep"))
+    )
+
+
+def curation_funnel_sql() -> str:
+    from .textstats import LANG_ID_SQL, QUALITY_SQL
+
+    return f"""
+WITH q AS ({QUALITY_SQL}),
+l AS ({LANG_ID_SQL}),
+e AS ({EXACT_DEDUP_SQL}),
+nd AS ({neardup_canonical_sql()}),
+dc AS ({decontaminate_sql()}),
+verdict AS (
+  SELECT q.doc_id,
+         CASE WHEN q.doc_id < {DECON_BENCH_MAX_ID} THEN 'benchmark'
+              WHEN NOT q.quality_ok THEN 'quality'
+              WHEN l.lang_pred = 'unk' THEN 'language'
+              WHEN e.is_dup THEN 'exact_dup'
+              WHEN nd.is_dup THEN 'near_dup'
+              WHEN dc.contaminated THEN 'contaminated'
+              ELSE 'kept' END AS reason
+  FROM q
+  JOIN l USING (doc_id)
+  JOIN e USING (doc_id)
+  JOIN nd USING (doc_id)
+  LEFT JOIN dc ON dc.doc_id = q.doc_id
+)
+SELECT doc_id, reason, reason = 'kept' AS keep FROM verdict
+"""
