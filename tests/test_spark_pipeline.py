@@ -186,3 +186,60 @@ def test_fusion_null_props_in_run_does_not_null_fold(spark):
     assert len(out) == 1
     assert out[0]["props"] == {"k": "v1", "j": "w"}
     assert out[0]["n_sources"] == 3
+
+
+def test_curation_funnel_cascade_order(spark, tmp_path):
+    """Crafted corpus pinning every funnel branch AND the cascade
+    precedence: a doc that is both low-quality and a duplicate reports
+    'quality' (first failing stage), near-dups that aren't exact dups
+    report 'near_dup', and an 8-gram overlap with a benchmark doc that
+    is NOT a near-dup reports 'contaminated'."""
+    from webtableextractionsystem_spark.operators.dedup import (
+        curation_funnel,
+    )
+
+    base = ("the data table value row key join query scan filter group "
+            "agg sort merge batch window column index hash part")
+    bench_text = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                  "kappa lambda mu nu xi omicron pi rho sigma tau")
+    rows = []
+    for i in range(20):  # benchmark docs: DISJOINT vocabulary from base,
+        # or every base-bearing doc would count as contaminated
+        rows.append((i, f"{bench_text} marker{i} upsilon phi chi psi", "en"))
+    rows += [
+        # 25: clean keeper
+        (25, base + " unique tail twenty five", "en"),
+        # 26: low quality AND an exact dup of 27 -> cascade says quality
+        (26, "zz yy", "en"),
+        (27, "zz yy", "en"),
+        # 30/31: exact dups (same first-5-token fingerprint + same text)
+        (30, base + " tail thirty", "en"),
+        (31, base + " tail thirty", "en"),
+        # 40: near-dup of 25 but NOT an exact dup (first 5 tokens differ)
+        (40, "changed opening words here now " +
+         base[base.index("value"):] + " unique tail twenty five", "en"),
+        # 50: contaminated — embeds 9 consecutive benchmark tokens in
+        # otherwise-unrelated text (well under the near-dup threshold)
+        (50, "totally different document content " +
+         "alpha beta gamma delta epsilon zeta eta theta iota " +
+         "with much more unrelated trailing prose about systems "
+         "and engines and planners and executors and memory", "en"),
+        # 60: no CJK and no stopwords — such a doc ALWAYS fails quality
+        # first (quality needs >=10% stopwords, lang 'unk' needs <5%),
+        # so 'language' is unreachable in this cascade by construction;
+        # the reason pin documents that subsumption
+        (60, "qqq www eee rrr ttt yyy uuu", "xx"),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.parquet(f"{sf_dir}/documents.parquet")
+    full = {r["doc_id"]: r["reason"]
+            for r in curation_funnel(spark, sf_dir).collect()}
+    assert all(full[i] == "benchmark" for i in range(20))
+    assert full[25] == "kept"
+    assert full[26] == "quality"      # precedence over exact_dup
+    assert full[27] == "quality"      # 2-token doc fails quality too
+    assert full[31] == "exact_dup"
+    assert full[40] == "near_dup"     # not an exact dup, J >= 0.5 vs 25
+    assert full[50] == "contaminated"
+    assert full[60] == "quality"  # quality subsumes the language gate

@@ -855,7 +855,13 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document. All five stages are the already-oracle-checked
     operators joined on doc_id — the funnel adds no new shuffle shapes,
     just the decision cascade; its own oracle composes the same five
-    SQL bodies, so the gate checks the COMPOSITION, not only the parts."""
+    SQL bodies, so the gate checks the COMPOSITION, not only the parts.
+
+    Note: with the current thresholds the 'language' reason is
+    structurally subsumed by 'quality' (quality needs >=10% stopwords,
+    lang 'unk' needs <5% and no CJK — pinned in the cascade test); the
+    branch is kept because the thresholds are per-corpus knobs, and the
+    cascade order is the contract."""
     from .textstats import lang_id, quality_stats
 
     q = quality_stats(spark, sf_dir).select("doc_id", "quality_ok")
