@@ -100,6 +100,8 @@ def main() -> None:
             .agg(F.count("*")).collect(),
             "q_doc_repetition": lambda: TS.repetition_stats(spark, sf_dir)
             .agg(F.count("*")).collect(),
+            "q_doc_curation_funnel": lambda: DD.curation_funnel(spark, sf_dir)
+            .groupBy("reason").count().collect(),
         }
         for name, fn in bench_set.items():
             queries[name] = timed(fn)
