@@ -264,7 +264,15 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup passes should stage signatures to a table instead. The persist
     is deliberately left to LRU eviction rather than unpersisted in a
     finally block — the returned DataFrame is lazy, and an unpersist
-    before the caller materializes it would recompute both join sides."""
+    before the caller materializes it would recompute both join sides.
+
+    Eager pre-materialization of the cache (a count() before the
+    self-join) was measured and REJECTED: alternating-order runs at
+    sf0.1/32 cores show eager == lazy within noise once the JVM is warm
+    (1.3-1.5 s vs 1.2-1.3 s; an initial 6-vs-1.7 s delta was whole-stage
+    codegen warmup, not a cache race), and inside the composed
+    curation_funnel the extra serialized pass makes eager ~20% SLOWER
+    (6.7 s vs 5.6 s). Lazy persist stands."""
     bk = lsh_band_keys(spark, sf_dir).persist()
     a = bk.alias("a")
     b = bk.alias("b")
@@ -402,8 +410,9 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The signature persist is deliberately left to LRU eviction: the
     returned DataFrame is lazy (the caller materializes it), so an eager
-    unpersist would force recomputation of both self-join sides. Same
-    staging rationale as lsh_candidate_pairs."""
+    unpersist would force recomputation of both self-join sides. Eager
+    pre-materialization rejected by measurement — see
+    lsh_candidate_pairs."""
     sig = simhash_signatures(spark, sf_dir).persist()
     chunks = F.array(*[
         F.struct(
