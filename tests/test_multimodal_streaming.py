@@ -572,3 +572,38 @@ def test_png_decodes_reference_repo_real_files():
     for p in sorted(glob.glob("/root/reference/file/images/*.ico")):
         with pytest.raises(NotImplementedError):
             MM.decode_image(open(p, "rb").read())
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join: one availableNow pass over the
+    full events table must produce exactly the batch inner-join result
+    (clicks x same-user purchases within 1 hour after), and a second
+    run with no new files must add nothing (checkpoint idempotence)."""
+    from webtableextractionsystem_spark.streaming.incremental import (
+        attribution_join,
+    )
+
+    ev_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.coalesce(2).write.parquet(ev_dir)
+
+    attribution_join(spark, ev_dir, out_dir, ck_dir)
+    got = {(r["click_id"], r["purchase_id"])
+           for r in spark.read.parquet(out_dir).collect()}
+
+    c = ev.where("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"),
+        F.col("ts").alias("cts"))
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"))
+    batch = {(r["cid"], r["pid"]) for r in c.join(
+        p, F.expr("cu = pu AND pts >= cts AND "
+                  "pts <= cts + interval 1 hour")).collect()}
+    assert got == batch
+    assert len(got) > 0  # the corpus genuinely produces attributions
+
+    attribution_join(spark, ev_dir, out_dir, ck_dir)  # no new files
+    assert spark.read.parquet(out_dir).count() == len(got)

@@ -77,3 +77,56 @@ def windowed_event_counts(spark: SparkSession, events_dir: str,
         .start()
         .awaitTermination()
     )
+
+
+EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                 "event_type string, value double, props string")
+
+
+def attribution_join(spark: SparkSession, events_dir: str, output_dir: str,
+                     stream_ckpt_dir: str) -> None:
+    """Watermarked STREAM-STREAM inner join — the remaining Structured
+    Streaming shape in SURVEY §2.7: each click joined to the same user's
+    purchases occurring within 1 hour AFTER the click (ad-attribution
+    semantics). Both sides carry 2-hour watermarks plus the interval
+    condition, so Spark can bound the join state it keeps per side —
+    without them a stream-stream join would buffer both streams forever.
+    State is keyed by user hash; output appends exactly the matched
+    pairs, and the streaming checkpoint makes repeated availableNow runs
+    incremental like the other streaming entry points."""
+    ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("value").alias("purchase_value"))
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr("c_user = p_user AND "
+               "purchase_ts >= click_ts AND "
+               "purchase_ts <= click_ts + interval 1 hour"),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id", "purchase_id", "click_ts", "purchase_ts",
+        "purchase_value",
+    )
+    (
+        joined.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", stream_ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
