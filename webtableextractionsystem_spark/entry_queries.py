@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_json_props": REL.events_json_props,
         "q_events_user_profiles": REL.user_profiles,
         "q_events_sessionize": REL.event_sessions,
+        "q_events_attribution": REL.event_attribution,
     }
 
 
@@ -346,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_json_props": REL.EVENTS_JSON_SQL,
         "q_events_user_profiles": REL.USER_PROFILES_SQL,
         "q_events_sessionize": REL.EVENT_SESSIONS_SQL,
+        "q_events_attribution": REL.EVENT_ATTRIBUTION_SQL,
     }
     out.update(X_ORACLES)
     return out

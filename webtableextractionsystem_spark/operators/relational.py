@@ -396,3 +396,38 @@ JOIN region ON n_regionkey = r_regionkey
 JOIN part ON l_partkey = p_partkey
 GROUP BY r_name, p_brand
 """
+
+
+def event_attribution(spark, sf_dir):
+    """Batch twin of the streaming attribution_join (clicks x same-user
+    purchases within 1 hour after the click) — a range-condition
+    self-join on the events fact, aggregated per user so the oracle
+    output is compact and integer/decimal-disciplined. The streaming
+    variant (streaming/incremental.attribution_join) is equality-tested
+    against this join's pair set."""
+    e = _t(spark, sf_dir, "events")
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"))
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"),
+        F.col("value").alias("pv"))
+    return (
+        c.join(p, F.expr(
+            "cu = pu AND pts >= cts AND pts <= cts + interval 1 hour"))
+        .groupBy(F.col("cu").alias("user_id"))
+        .agg(F.count("*").alias("n_attributions"),
+             F.sum(F.col("pv").cast("decimal(18,2)"))
+             .cast("double").alias("attributed_value"))
+    )
+
+
+EVENT_ATTRIBUTION_SQL = """
+SELECT c.user_id,
+       count(*) AS n_attributions,
+       CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+GROUP BY c.user_id
+"""
