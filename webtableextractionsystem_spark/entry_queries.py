@@ -271,6 +271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_bpe_tokens": TS.bpe_token_stats,
         "q_doc_rolling_hash": TS.rolling_fingerprints,
         "q_doc_repetition": TS.repetition_stats,
+        "q_doc_sample": TS.doc_sample,
+        "q_doc_length_buckets": TS.length_buckets,
         # dedup family (F3 at scale)
         "q_doc_exact_dedup": DD.exact_dedup,
         "q_doc_minhash": DD.minhash_signatures,
@@ -318,6 +320,8 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_bpe_tokens": TS.BPE_TOKENS_SQL,
         "q_doc_rolling_hash": TS.ROLLING_SQL,
         "q_doc_repetition": TS.REPETITION_SQL,
+        "q_doc_sample": TS.DOC_SAMPLE_SQL,
+        "q_doc_length_buckets": TS.LENGTH_BUCKETS_SQL,
         "q_doc_decontaminate": DD.decontaminate_sql(),
         "q_doc_curation_funnel": DD.curation_funnel_sql(),
         "q_doc_exact_dedup": DD.EXACT_DEDUP_SQL,

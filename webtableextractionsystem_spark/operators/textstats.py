@@ -314,3 +314,66 @@ SELECT doc_id,
 FROM per
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus sampling + length bucketing (training-prep ops:
+# reproducible subsampling for ablations; sequence-length histograms for
+# packing/batching plans)
+# ---------------------------------------------------------------------------
+
+SAMPLE_PCT = 10  # keep ~10% of docs
+
+
+def doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~SAMPLE_PCT% sample: keep iff an md5-derived hash of
+    doc_id falls under the threshold — engine-portable (md5 is identical
+    in Spark and DuckDB, unlike xxhash64) and stable across runs,
+    partitionings, and cluster sizes, which `.sample()` is not. A narrow
+    map; the filter rides the scan."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    return load_documents(spark, sf_dir).select(
+        "doc_id", bucket.cast("int").alias("sample_bucket"),
+        (bucket < SAMPLE_PCT).alias("sampled"),
+    )
+
+
+DOC_SAMPLE_SQL = f"""
+SELECT doc_id,
+       CAST(h % 100 AS INTEGER) AS sample_bucket,
+       h % 100 < {SAMPLE_PCT} AS sampled
+FROM (SELECT doc_id,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS h
+      FROM documents)
+"""
+
+
+def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram in power-of-two buckets (the shape a
+    packing/batching planner consumes): bucket = floor(log2(n_tokens)),
+    with counts and total tokens per bucket. One partial-aggregated
+    groupBy on a tiny key domain."""
+    n = F.size(_tokens())
+    bucket = F.when(n <= 0, F.lit(-1)) \
+        .otherwise(F.floor(F.log2(n)).cast("int"))
+    return (
+        load_documents(spark, sf_dir)
+        .select(bucket.alias("len_bucket"), n.alias("n_tokens"))
+        .groupBy("len_bucket")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").cast("long").alias("total_tokens"))
+    )
+
+
+LENGTH_BUCKETS_SQL = r"""
+SELECT CASE WHEN n <= 0 THEN -1
+            ELSE CAST(floor(log2(n)) AS INTEGER) END AS len_bucket,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens
+FROM (SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n
+      FROM documents)
+GROUP BY 1
+"""
