@@ -607,3 +607,19 @@ def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
 
     attribution_join(spark, ev_dir, out_dir, ck_dir)  # no new files
     assert spark.read.parquet(out_dir).count() == len(got)
+
+    # cross-batch, IN-HORIZON late data: a new click+purchase pair with
+    # event times at/after the corpus max is above the persisted
+    # watermark and MUST be attributed on the next incremental run
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    late = spark.createDataFrame(
+        [(900001, max_ts, 424242, "click", 0.0, "{}"),
+         (900002, max_ts, 424242, "purchase", 5.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    late.coalesce(1).write.mode("append").parquet(ev_dir)
+    attribution_join(spark, ev_dir, out_dir, ck_dir)
+    got2 = {(r["click_id"], r["purchase_id"])
+            for r in spark.read.parquet(out_dir).collect()}
+    assert (900001, 900002) in got2
+    assert got2 - got == {(900001, 900002)}  # no duplicates, one addition
