@@ -27,7 +27,8 @@ def test_media_schema_and_determinism(spark, media):
     row = media.orderBy("media_ref").first()
     assert isinstance(row["payload"], (bytes, bytearray))
     assert row["meta"]["mime"] in (
-        "image/x-portable-pixmap", "image/bmp", "image/png", "image/jpeg")
+        "image/x-portable-pixmap", "image/bmp", "image/png", "image/jpeg",
+        "image/gif")
     # deterministic: same ref -> same payload across a second build
     docs = gen_documents_df(spark, 60)
     spans = spans_view(extract_all(docs, num_buckets=4))
@@ -46,7 +47,7 @@ def test_synth_media_payloads_real_decode(media):
         assert img.shape == (r["meta"]["height"], r["meta"]["width"], 3)
         mimes.add(r["meta"]["mime"])
     assert mimes == {"image/x-portable-pixmap", "image/bmp", "image/png",
-                     "image/jpeg"}
+                     "image/jpeg", "image/gif"}
 
 
 def test_decode_stub_raises_without_fake():
@@ -623,3 +624,68 @@ def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
             for r in spark.read.parquet(out_dir).collect()}
     assert (900001, 900002) in got2
     assert got2 - got == {(900001, 900002)}  # no duplicates, one addition
+
+
+def test_gif_roundtrip_and_interlace():
+    """GIF is lossless indexed color: exact round-trips, sequential and
+    interlaced, down to 1x1 and 2-color palettes."""
+    import numpy as np
+
+    from webtableextractionsystem_spark.operators import gif as G
+
+    rng = np.random.default_rng(9)
+    for shape, il in [((5, 7, 3), False), ((13, 11, 3), True),
+                      ((1, 1, 3), False), ((16, 16, 3), True)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(
+            G.decode_gif(G.encode_gif(img, interlace=il)), img)
+    flat = np.full((6, 6, 3), 42, np.uint8)
+    assert np.array_equal(MM.decode_image(G.encode_gif(flat)), flat)
+    with pytest.raises(ValueError):
+        G.decode_gif(G.encode_gif(flat)[:20])  # truncated
+    with pytest.raises(ValueError, match="distinct colors"):
+        big = np.stack([np.arange(300) % 256, np.arange(300) // 256,
+                        np.zeros(300)], axis=-1).astype(np.uint8)
+        G.encode_gif(big.reshape(300, 1, 3))
+
+
+def test_gif_decoder_handles_dictionary_grown_lzw():
+    """Our encoder emits the no-growth 'uncompressed' LZW stream; REAL
+    encoders build the dictionary. Compress with a reference LZW
+    implementation (dictionary growth + width bumps, the KwKwK pattern
+    included) and require the decoder to reproduce the pixels."""
+    import numpy as np
+
+    from webtableextractionsystem_spark.operators import gif as G
+
+    def lzw_compress(pixels, min_code):
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        bw = G._BitWriterLSB()
+        width = min_code + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = clear + 2
+        bw.write(clear, width)
+        prev = b""
+        for p in pixels:
+            cur = prev + bytes([int(p)])
+            if cur in table:
+                prev = cur
+                continue
+            bw.write(table[prev], width)
+            table[cur] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+            prev = bytes([int(p)])
+        if prev:
+            bw.write(table[prev], width)
+        bw.write(end, width)
+        return bw.flush()
+
+    rng = np.random.default_rng(21)
+    # repetitive pixels -> real dictionary reuse incl. KwKwK patterns
+    base = rng.integers(0, 4, size=64, dtype=np.uint8)
+    pixels = np.tile(base, 40)  # 2560 px, heavy repetition
+    stream = lzw_compress(pixels, min_code=2)
+    out = G._lzw_decode(stream, 2, len(pixels))
+    assert np.array_equal(out, pixels)

@@ -77,7 +77,7 @@ def synth_media_for_spans(spans_out: DataFrame) -> DataFrame:
                 rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
                 w = 4 + h[1] % 13
                 ht = 4 + h[2] % 13
-                fmt = h[0] % 5
+                fmt = h[0] % 6
                 img = rng.integers(0, 256, size=(ht, w, 3), dtype=np.uint8)
                 if fmt == 0:
                     payload, mime = encode_ppm(img), "image/x-portable-pixmap"
@@ -91,11 +91,17 @@ def synth_media_for_spans(spans_out: DataFrame) -> DataFrame:
                         0, 256, size=(ht, w), dtype=np.uint8)])
                     payload = encode_png(rgba, filter_type=h[3] % 5)
                     mime = "image/png"
-                else:
+                elif fmt == 4:
                     from .jpeg import encode_jpeg
 
                     payload = encode_jpeg(img, quality=75 + h[3] % 21)
                     mime = "image/jpeg"
+                else:
+                    from .gif import encode_gif
+
+                    # <=16x16 synth images always fit a 256-color palette
+                    payload = encode_gif(img, interlace=bool(h[3] % 2))
+                    mime = "image/gif"
                 rows.append({
                     "media_ref": ref,
                     "kind": "image",
@@ -392,6 +398,10 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             from .jpeg import decode_jpeg
 
             return decode_jpeg(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from .gif import decode_gif
+
+            return decode_gif(payload)
     except ValueError:
         # magic matched but the body didn't parse. With fake=True this is
         # expected for random synthetic payloads and falls through to the
