@@ -95,7 +95,9 @@ def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
             continue
         if code == end:
             break
-        if code < len(table) and (code < clear or code >= clear + 2):
+        # clear/end were handled above, so any in-table code is a
+        # literal single or a grown entry
+        if code < len(table):
             entry = table[code]
         elif code == len(table) and prev is not None:
             entry = prev + prev[:1]  # the KwKwK case
@@ -157,6 +159,8 @@ def _decode_gif_impl(payload: bytes) -> np.ndarray:
             if w <= 0 or h <= 0:
                 raise ValueError("bad GIF image dimensions")
             min_code = payload[pos]
+            if not 1 <= min_code <= 8:
+                raise ValueError(f"bad GIF LZW min code size {min_code}")
             pos += 1
             lzw = bytearray()
             while payload[pos] != 0:
@@ -169,7 +173,7 @@ def _decode_gif_impl(payload: bytes) -> np.ndarray:
             rows = idx.reshape(h, w)
             if iflags & 0x40:
                 rows = _deinterlace(rows)
-            return pal[rows].copy()
+            return pal[rows]  # fancy indexing already allocates fresh
         elif b == 0x3B:  # trailer before any image
             raise ValueError("GIF contains no image data")
         else:

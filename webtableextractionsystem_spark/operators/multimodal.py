@@ -23,9 +23,10 @@ Spark-side design (all real and tested):
 
 Codecs — ALL REAL, pure numpy/stdlib: binary PPM (P6), uncompressed
 24-bit BMP, non-interlaced 8-bit gray/RGB/RGBA PNG (zlib inflate + all
-five scanline filters, CRC-checked), baseline JFIF JPEG (operators/
-jpeg.py — DCT + Annex K tables; lossy, so round-trips assert PSNR), and
-WAV PCM16 audio. Unknown magic raises NotImplementedError unless
+five scanline filters, CRC-checked), GIF87a/89a (operators/gif.py —
+full LZW, interlace), baseline JFIF JPEG (operators/jpeg.py — DCT +
+Annex K tables; lossy, so round-trips assert PSNR), WAV PCM16 audio,
+and MJPEG/AVI video. Unknown magic raises NotImplementedError unless
 ``fake=True``, which substitutes the deterministic md5-seeded decoder
 (kept for tests that need arbitrary payloads to decode). The Spark
 plumbing — schema, batching, partitioning, UDF signatures — is the same
@@ -63,9 +64,10 @@ N_IMG_FEATURES = 16
 
 def synth_media_for_spans(spans_out: DataFrame) -> DataFrame:
     """Deterministic media table for every media span: REAL encoded
-    image payloads (PPM / BMP / PNG-RGB / PNG-RGBA / baseline JPEG, PNG
-    rows cycling through all five scanline filters, JPEG across
-    qualities 75-95) with pixels seeded from md5(media_ref). Stands in
+    image payloads (PPM / BMP / PNG-RGB / PNG-RGBA / baseline JPEG /
+    GIF, PNG rows cycling through all five scanline filters, JPEG
+    across qualities 75-95, GIF alternating interlace) with pixels
+    seeded from md5(media_ref). Stands in
     for the real object store; every payload decodes through the real
     codec path (``decode_image(fake=False)``)."""
 
@@ -382,8 +384,8 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 
     REAL formats (pure numpy/stdlib, no external libs), sniffed by magic
     bytes: binary PPM (P6), uncompressed 24-bit BMP, non-interlaced
-    8-bit gray/RGB/RGBA PNG (zlib inflate + un-filter, CRC-checked), and
-    baseline JFIF JPEG (operators/jpeg.py). Only UNRECOGNIZED magic
+    8-bit gray/RGB/RGBA PNG (zlib inflate + un-filter, CRC-checked),
+    GIF87a/89a, and baseline JFIF JPEG. Only UNRECOGNIZED magic
     raises NotImplementedError — or falls back to the deterministic
     md5-seeded fake decoder when ``fake=True`` (which keeps arbitrary
     payloads decodable in tests)."""
@@ -412,9 +414,9 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             raise
     if not fake:
         raise NotImplementedError(
-            "unrecognized image magic: PPM(P6), 24-bit BMP, 8-bit PNG, and "
-            "baseline JPEG are the decodable formats; pass fake=True for "
-            "the deterministic test decoder"
+            "unrecognized image magic: PPM(P6), 24-bit BMP, 8-bit PNG, "
+            "GIF, and baseline JPEG are the decodable formats; pass "
+            "fake=True for the deterministic test decoder"
         )
     h = hashlib.md5(payload).digest()
     rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
