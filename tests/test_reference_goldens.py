@@ -383,3 +383,36 @@ def test_lexicons_equal_reference_configuration():
     # state, ours is the pinned seed set — assert they indeed DIFFER so
     # a silent future "fix" to copy the snapshot gets flagged
     assert set(load("personInfo")) != set(LX.PERSON_INFO_PROPERTIES)
+
+
+def test_write_triples_json_entry_matches_reference(spark, tmp_path):
+    """relationship.json golden (the last unanchored ER artifact): the
+    sink's line for a reconstructed golden triple must parse to an entry
+    STRUCTURALLY IDENTICAL to the reference's
+    [[subj, subj_url], rel, [obj, obj_url]] first entry."""
+    import json
+
+    from webtableextractionsystem_spark import io_sinks
+
+    entries = _parse_concat_json("/root/reference/file/json/relationship.json")
+    golden = entries[0]
+    (sn, su), rel, (on, ou) = golden
+    assert sn == "赵匡胤" and rel == "高祖父"
+    triples = spark.createDataFrame(
+        [("d", 0, sn, su, rel, on, ou)],
+        "doc_id string, seq int, subj_name string, subj_url string, "
+        "rel string, obj_name string, obj_url string")
+    out = str(tmp_path / "rel_json")
+    io_sinks.write_triples_json(triples, out)
+    lines = _read_part_lines(out)
+    assert len(lines) == 1
+    assert json.loads(lines[0]) == golden
+    # escaping sanity: a rel containing a quote must stay valid JSON
+    tricky = spark.createDataFrame(
+        [("d", 0, 'a"b', "u1", 'r"el', "c", "u2")],
+        "doc_id string, seq int, subj_name string, subj_url string, "
+        "rel string, obj_name string, obj_url string")
+    out2 = str(tmp_path / "rel_json2")
+    io_sinks.write_triples_json(tricky, out2)
+    assert json.loads(_read_part_lines(out2)[0]) == [
+        ['a"b', "u1"], 'r"el', ["c", "u2"]]

@@ -65,6 +65,28 @@ def write_entities_json(entities: DataFrame, path: str) -> None:
     shaped.write.mode("overwrite").text(path)
 
 
+def write_triples_json(triples: DataFrame, path: str) -> None:
+    """ER relationship JSON in the reference's entry shape:
+    ``[[subj_name, subj_url], rel, [obj_name, obj_url]]`` (the
+    `relationship` element dumped at tableExtractor.py:131 and persisted
+    into file/json/relationship.json). One entry per line, same
+    NDJSON-vs-append-session note as write_entities_json; anchored
+    structurally against the 赵匡胤 golden."""
+    # to_json only takes complex types; wrapping rel in a 1-array and
+    # stripping the brackets yields a correctly-escaped JSON string
+    rel_json = F.expr(
+        "substring(to_json(array(rel)), 2, length(to_json(array(rel))) - 2)")
+    shaped = triples.select(
+        F.concat(
+            F.lit("["), F.to_json(F.array("subj_name", "subj_url")),
+            F.lit(", "), rel_json,
+            F.lit(", "), F.to_json(F.array("obj_name", "obj_url")),
+            F.lit("]"),
+        ).alias("value")
+    )
+    shaped.write.mode("overwrite").text(path)
+
+
 def write_entity_props_csv(entities: DataFrame, path: str) -> None:
     """Per-property entity CSV, byte-compatible with the reference's
     file/Triad/entity.csv: one (name, prop, value) csv.writer row per
