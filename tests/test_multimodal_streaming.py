@@ -689,3 +689,44 @@ def test_gif_decoder_handles_dictionary_grown_lzw():
     stream = lzw_compress(pixels, min_code=2)
     out = G._lzw_decode(stream, 2, len(pixels))
     assert np.array_equal(out, pixels)
+
+
+def test_gif_roundtrip_property():
+    """Property test: any small uint8 RGB image (palette fits by pixel
+    count), interlaced or not, survives GIF encode->decode exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from webtableextractionsystem_spark.operators import gif as G
+
+    @settings(max_examples=40, deadline=None)
+    @given(h=st.integers(1, 16), w=st.integers(1, 16),
+           interlace=st.booleans(), seed=st.integers(0, 2**31 - 1))
+    def check(h, w, interlace, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = G.decode_gif(G.encode_gif(img, interlace=interlace))
+        assert np.array_equal(out, img)
+
+    check()
+
+
+def test_wav_roundtrip_property():
+    """Property test: any int16 sample block (1-2 channels, the three
+    synth rates) survives WAV encode->decode exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(n=st.integers(1, 300), ch=st.integers(1, 2),
+           rate=st.sampled_from([8000, 16000, 22050]),
+           seed=st.integers(0, 2**31 - 1))
+    def check(n, ch, rate, seed):
+        rng = np.random.default_rng(seed)
+        sig = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
+        data, got_rate = MM.decode_audio(MM.encode_wav(sig, rate))
+        assert got_rate == rate and np.array_equal(data, sig)
+
+    check()

@@ -331,3 +331,24 @@ def test_empty_and_spanless_documents():
     res = extract_document(
         "e2", [{"kind": "html", "text": "", "media_ref": "", "offset": 0}])
     assert res["out_spans"] == [] and res["n_errors"] == 0
+
+
+def test_docx_container_with_multiple_tables():
+    """A real .docx holding SEVERAL tables extracts them all in order —
+    the multi-table container path S14 users actually hit."""
+    import base64
+
+    from webtableextractionsystem_spark.kernel.html_tables import (
+        encode_docx,
+        render_table_docx,
+    )
+
+    body = (render_table_docx("表一", [["姓名", "关系"], ["甲某", "兄弟"]])
+            + render_table_docx("表二", [["姓名", "关系"], ["乙某", "姐妹"]]))
+    b64 = base64.b64encode(encode_docx(body)).decode("ascii")
+    res = extract_document(
+        "doc-1", [{"kind": "docx", "text": b64, "media_ref": "", "offset": 0}])
+    assert [t["caption"] for t in res["tables"]] == ["表一", "表二"]
+    assert [(t["rel"], t["obj_name"]) for t in res["triples"]] == [
+        ("兄弟", "甲某"), ("姐妹", "乙某")]
+    assert res["n_errors"] == 0
