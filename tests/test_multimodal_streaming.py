@@ -730,3 +730,54 @@ def test_wav_roundtrip_property():
         assert got_rate == rate and np.array_equal(data, sig)
 
     check()
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn support end-to-end: encoding with restart intervals must
+    emit the markers and decode bit-identically to the restart-free
+    stream (DC predictors reset + byte alignment on both sides)."""
+    import numpy as np
+
+    from webtableextractionsystem_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)  # 15 MCUs
+    base = J.decode_jpeg(J.encode_jpeg(img, 90))
+    for ri in (1, 2, 4):
+        payload = J.encode_jpeg(img, 90, restart_interval=ri)
+        n_rst = sum(payload.count(bytes([0xFF, 0xD0 + i]))
+                    for i in range(8))
+        assert n_rst == (15 - 1) // ri
+        assert np.array_equal(J.decode_jpeg(payload), base)
+
+
+def test_jpeg_roundtrip_property():
+    """Property test: any small image (gray or RGB, any quality tier,
+    with or without restarts) decodes at the right shape with a PSNR
+    floor; flat images survive exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from webtableextractionsystem_spark.operators import jpeg as J
+
+    @settings(max_examples=25, deadline=None)
+    @given(h=st.integers(1, 20), w=st.integers(1, 20),
+           gray=st.booleans(), q=st.sampled_from([60, 85, 95]),
+           ri=st.sampled_from([0, 2]), seed=st.integers(0, 2**31 - 1))
+    def check(h, w, gray, q, ri, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if gray else (h, w, 3)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = J.decode_jpeg(J.encode_jpeg(img, q, restart_interval=ri))
+        assert out.shape == (h, w, 3)
+        want = np.repeat(img[..., None], 3, 2) if gray else img
+        mse = np.mean((out.astype(float) - want.astype(float)) ** 2)
+        # per-quality floors with margin under the empirical worst cases
+        # over 300 seeded images (q60: 12.7 dB — tiny random-noise blocks
+        # at low quality legitimately quantize that hard; q85: 23.6;
+        # q95: 35.0)
+        floor = {60: 9, 85: 19, 95: 30}[q]
+        assert mse == 0 or 10 * np.log10(255 ** 2 / mse) > floor
+
+    check()

@@ -163,6 +163,13 @@ class _BitWriter:
             self.write(0x7F, 8 - self.n)  # pad with 1s per §F.1.2.3
         return bytes(self.bytes)
 
+    def restart_marker(self, i: int) -> None:
+        """Byte-align (1-padded, stuffing applies) then emit RSTn RAW —
+        markers bypass byte stuffing by definition (§B.1.1.2)."""
+        if self.n:
+            self.write(0x7F, 8 - self.n)
+        self.bytes += bytes([0xFF, 0xD0 + (i % 8)])
+
 
 class _BitReader:
     def __init__(self, data: bytes, pos: int):
@@ -236,9 +243,14 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255)
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+def encode_jpeg(img: np.ndarray, quality: int = 85,
+                restart_interval: int = 0) -> bytes:
     """HxW (gray) or HxWx3 uint8 -> baseline JFIF JPEG (4:4:4, Annex K
-    tables, no restart markers)."""
+    tables). ``restart_interval`` > 0 emits a DRI segment and RSTn
+    markers every that many MCUs (DC predictors reset, stream
+    byte-aligned) — the error-resilience feature real encoders use,
+    kept selectable so the decoder's restart path is round-trip
+    tested."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if h == 0 or w == 0:
@@ -265,8 +277,13 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
 
     bw = _BitWriter()
     prev_dc = [0] * len(planes)
+    mcu = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.restart_marker(mcu // restart_interval - 1)
+                prev_dc = [0] * len(planes)
+            mcu += 1
             for ci, plane in enumerate(planes):
                 block = plane[by:by + 8, bx:bx + 8] - 128.0
                 coefs = _T @ block @ _T.T
@@ -330,6 +347,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     out += dht(0, 0, *DC_LUM) + dht(1, 0, *AC_LUM)
     if not gray:
         out += dht(0, 1, *DC_CHR) + dht(1, 1, *AC_CHR)
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     out += seg(0xDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
     out += scan
     out += b"\xff\xd9"  # EOI
