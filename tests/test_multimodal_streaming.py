@@ -781,3 +781,118 @@ def test_jpeg_roundtrip_property():
         assert mse == 0 or 10 * np.log10(255 ** 2 / mse) > floor
 
     check()
+
+
+def test_jpeg_zrl_past_block_end_raises():
+    """A corrupt AC stream whose ZRL symbols push k past 63 must raise,
+    not silently exit the block loop and desync later blocks (T.81
+    F.1.2.2: a final all-zero tail is coded with EOB, never ZRL)."""
+    import pytest
+
+    from webtableextractionsystem_spark.operators import jpeg as J
+
+    # minimal hand-built baseline JPEG: 1-bit Huffman tables where the
+    # only DC symbol is size 0 and the only AC symbol is ZRL (0xF0), so
+    # an all-zero entropy byte decodes as DC=0 then ZRL,ZRL,ZRL,ZRL...
+    dqt = b"\xff\xdb\x00\x43\x00" + b"\x01" * 64
+    dht_dc = b"\xff\xc4\x00\x14\x00" + bytes([1] + [0] * 15) + b"\x00"
+    dht_ac = b"\xff\xc4\x00\x14\x10" + bytes([1] + [0] * 15) + b"\xf0"
+    sof = b"\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    sos = b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+    payload = (b"\xff\xd8" + dqt + dht_dc + dht_ac + sof + sos
+               + b"\x00" + b"\xff\xd9")
+    with pytest.raises(ValueError, match="AC run past block end"):
+        J.decode_jpeg(payload)
+
+
+def test_jpeg_fill_bytes_and_lengthless_markers():
+    """T.81 B.1.1.2 permits 0xFF fill bytes before any marker, and TEM
+    (0x01) / stray RSTn are lengthless — the header walk must not read
+    their following bytes as a segment length."""
+    import numpy as np
+
+    from webtableextractionsystem_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    clean = J.encode_jpeg(img, 90)
+    want = J.decode_jpeg(clean)
+    # insert a fill byte, a TEM marker, and a stray RST4 right after SOI
+    patched = clean[:2] + b"\xff" + b"\xff\x01" + b"\xff\xd4" + clean[2:]
+    assert np.array_equal(J.decode_jpeg(patched), want)
+
+
+def test_gif_encode_input_validation():
+    """encode_gif rejects non-HxWxC and empty inputs up front instead of
+    mis-slicing a 2D array's columns as channels."""
+    import numpy as np
+    import pytest
+
+    from webtableextractionsystem_spark.operators import gif as G
+
+    with pytest.raises(ValueError, match="HxWx"):
+        G.encode_gif(np.zeros((4, 3), dtype=np.uint8))  # 2D, W==3 trap
+    with pytest.raises(ValueError, match="HxWx"):
+        G.encode_gif(np.zeros((4, 4, 2), dtype=np.uint8))
+    with pytest.raises(ValueError, match="empty"):
+        G.encode_gif(np.zeros((0, 5, 3), dtype=np.uint8))
+
+
+def test_gif_offset_frame_composites_onto_canvas():
+    """A first frame smaller than / offset within the logical screen
+    composites onto a background-color canvas at (left, top) — what any
+    player renders — instead of decoding to frame-only dimensions."""
+    import numpy as np
+
+    from webtableextractionsystem_spark.operators import gif as G
+
+    img = np.full((2, 2, 3), 200, np.uint8)
+    img[0, 0] = (10, 20, 30)
+    enc = bytearray(G.encode_gif(img))
+    pal = np.unique(img.reshape(-1, 3), axis=0)  # encoder's palette order
+    # patch logical screen to 4x5, background index 0, frame at (1, 2)
+    enc[6:8] = (5).to_bytes(2, "little")   # screen width
+    enc[8:10] = (4).to_bytes(2, "little")  # screen height
+    enc[11] = 0                            # background color index
+    desc = enc.index(0x2C)
+    enc[desc + 1:desc + 3] = (1).to_bytes(2, "little")  # left
+    enc[desc + 3:desc + 5] = (2).to_bytes(2, "little")  # top
+    out = G.decode_gif(bytes(enc))
+    assert out.shape == (4, 5, 3)
+    want = np.broadcast_to(pal[0], (4, 5, 3)).copy()
+    want[2:4, 1:3] = img
+    assert np.array_equal(out, want)
+    # frame exceeding the canvas is corrupt
+    enc[6:8] = (2).to_bytes(2, "little")
+    import pytest
+    with pytest.raises(ValueError, match="beyond logical screen"):
+        G.decode_gif(bytes(enc))
+
+
+def test_avi_missing_avih_falls_back_to_strh_rate():
+    """avih is mandatory; without it the decoder derives us_per_frame
+    from the video strh's scale/rate instead of silently returning 0,
+    and raises when neither source exists."""
+    import numpy as np
+    import pytest
+
+    from webtableextractionsystem_spark.operators import video as V
+
+    img = np.full((8, 8, 3), 99, np.uint8)
+    payload = bytearray(V.encode_avi_mjpeg([img, img], fps=10))
+    # surgically remove the avih chunk (8-byte header + 56-byte body at
+    # offset 24: RIFF(12) + 'LIST'+size+'hdrl'(12)) and fix both sizes
+    assert payload[24:28] == b"avih"
+    removed = 8 + 56
+    riff = int.from_bytes(payload[4:8], "little") - removed
+    hdrl = int.from_bytes(payload[16:20], "little") - removed
+    payload[4:8] = riff.to_bytes(4, "little")
+    payload[16:20] = hdrl.to_bytes(4, "little")
+    del payload[24:24 + removed]
+    frames, us = V.decode_video(bytes(payload))
+    assert frames.shape[0] == 2 and us == 100_000  # 1e6 * scale(1)/rate(10)
+    # zero the strh rate too -> no usable duration source -> ValueError
+    strh = payload.index(b"strh")
+    payload[strh + 8 + 24:strh + 8 + 28] = (0).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="avih"):
+        V.decode_video(bytes(payload))

@@ -3,6 +3,9 @@ dictionary growth (handles real-world files), plus a paired encoder.
 
 Scope: static GIFs (first image block of an animated file), global or
 local color tables, interlaced or sequential row order, 8-bit palettes.
+A first frame smaller than or offset within the logical screen is
+composited onto a background-color canvas at its left/top — decode dims
+always equal the logical-screen dims, matching what a player renders.
 Transparency (GCE) is ignored — frames decode as opaque RGB, consistent
 with the PNG path dropping alpha. Corrupt streams raise ValueError;
 non-GIF magic raises NotImplementedError at the decode_image boundary.
@@ -125,9 +128,15 @@ def decode_gif(payload: bytes) -> np.ndarray:
 
 
 def _decode_gif_impl(payload: bytes) -> np.ndarray:
-    # logical screen size bytes 6-10 describe the canvas, not the frame;
-    # the frame's own descriptor carries the dimensions used below
+    # logical screen descriptor: canvas size + background color index —
+    # the frame's own descriptor carries position and dimensions; a frame
+    # smaller than / offset within the canvas is composited like a player
+    # renders it (canvas filled with the background color, frame pasted
+    # at its left/top), so decode dims always equal the screen dims
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
     flags = payload[10]
+    bg_index = payload[11]
     pos = 13
     global_pal = None
     if flags & 0x80:
@@ -143,6 +152,8 @@ def _decode_gif_impl(payload: bytes) -> np.ndarray:
                 pos += 1 + payload[pos]
             pos += 1
         elif b == 0x2C:  # image descriptor
+            left = int.from_bytes(payload[pos + 1:pos + 3], "little")
+            top = int.from_bytes(payload[pos + 3:pos + 5], "little")
             w = int.from_bytes(payload[pos + 5:pos + 7], "little")
             h = int.from_bytes(payload[pos + 7:pos + 9], "little")
             iflags = payload[pos + 9]
@@ -173,7 +184,17 @@ def _decode_gif_impl(payload: bytes) -> np.ndarray:
             rows = idx.reshape(h, w)
             if iflags & 0x40:
                 rows = _deinterlace(rows)
-            return pal[rows]  # fancy indexing already allocates fresh
+            frame = pal[rows]  # fancy indexing already allocates fresh
+            if left == 0 and top == 0 and (w, h) == (sw, sh):
+                return frame
+            if left + w > sw or top + h > sh or sw <= 0 or sh <= 0:
+                raise ValueError("GIF frame extends beyond logical screen")
+            bg = (global_pal[bg_index]
+                  if global_pal is not None and bg_index < len(global_pal)
+                  else np.zeros(3, dtype=np.uint8))
+            canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
+            canvas[top:top + h, left:left + w] = frame
+            return canvas
         elif b == 0x3B:  # trailer before any image
             raise ValueError("GIF contains no image data")
         else:
@@ -183,7 +204,12 @@ def _decode_gif_impl(payload: bytes) -> np.ndarray:
 
 def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
     """HxWx3 uint8 (<=256 distinct colors) -> GIF89a payload."""
+    if img.ndim != 3 or img.shape[2] < 3:
+        raise ValueError(
+            f"encode_gif needs an HxWx(>=3) array, got shape {img.shape}")
     h, w = img.shape[:2]
+    if h <= 0 or w <= 0:
+        raise ValueError("empty image")
     flat = img[..., :3].reshape(-1, 3)
     pal, idx = np.unique(flat, axis=0, return_inverse=True)
     if pal.shape[0] > 256:

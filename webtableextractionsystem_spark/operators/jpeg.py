@@ -383,10 +383,18 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+        # marker code; skip them so the byte after isn't read as a length
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI before SOS
             raise ValueError("JPEG stream has no scan")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone markers with no length field —
+            # reading one as a segment would misparse the next bytes
+            continue
         length = u16(pos)
         body = payload[pos + 2:pos + length]
         if marker == 0xDB:  # DQT (possibly several tables)
@@ -495,6 +503,13 @@ def _decode_scan(payload, pos, frame, scan_tabs, quant, huff_dc, huff_ac,
                         break
                     if sym == 0xF0:  # ZRL
                         k += 16
+                        if k > 63:
+                            # T.81 F.1.2.2: a final all-zero tail is coded
+                            # with EOB, never ZRL — past-the-end ZRL means
+                            # a corrupt/desynced stream; raising here (like
+                            # the run/size path below) beats silently
+                            # exiting the loop and desyncing later blocks
+                            raise ValueError("JPEG AC run past block end")
                         continue
                     run, size = sym >> 4, sym & 0xF
                     k += run

@@ -96,7 +96,8 @@ def decode_video(payload: bytes) -> tuple[np.ndarray, int]:
         raise NotImplementedError(
             f"RIFF form {payload[8:12]!r} is not AVI")
 
-    us_per_frame = 0
+    us_per_frame = None
+    scale_rate: list[tuple[int, int]] = []
     fourccs: list[bytes] = []
     raw_frames: list[bytes] = []
 
@@ -116,11 +117,25 @@ def decode_video(payload: bytes) -> tuple[np.ndarray, int]:
             elif cid == b"strh":
                 if data[off + 8:off + 12] == b"vids":
                     fourccs.append(data[off + 12:off + 16])
+                    # dwScale/dwRate (fps = rate/scale) live after
+                    # fccType+handler+dwFlags+wPriority+wLanguage+dwInitial
+                    scale_rate.append((
+                        int.from_bytes(data[off + 28:off + 32], "little"),
+                        int.from_bytes(data[off + 32:off + 36], "little")))
             elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
                 raw_frames.append(data[off + 8:body_end])
             off = body_end + (size % 2)  # skip the word-alignment pad
 
     walk(payload, 12, len(payload))
+    if us_per_frame is None:
+        # avih is mandatory; fall back to the video strh's rate/scale
+        # pair rather than silently reporting a 0 us frame duration
+        derived = [1_000_000 * s // r for s, r in scale_rate if r and s]
+        if not derived:
+            raise ValueError(
+                "AVI missing its main header (avih) and no usable "
+                "strh scale/rate to derive frame duration")
+        us_per_frame = derived[0]
     # codec validation BEFORE any frame decode: a foreign codec must
     # diagnose as unsupported, not as "frame is not JPEG" corruption —
     # and a container with NO video stream header at all is corrupt
