@@ -551,6 +551,19 @@ def test_streaming_neardup_verified_equals_batch(spark, tmp_path):
              .where("is_dup").collect()}
     assert online_dups == canon
 
+    # SCALE pin: per-batch reads from the staged state are O(candidate
+    # docs), NOT O(corpus) — every batch fetched exactly one staged row
+    # per candidate doc (the pre-fix design re-read all 121 staged docs
+    # every microbatch, so cumulative stream work grew quadratically)
+    metrics = spark.read.parquet(f"{st_dir}/metrics").collect()
+    assert metrics, "per-batch lineage metrics missing"
+    n_staged = spark.read.parquet(f"{st_dir}/shingles").count()
+    assert n_staged == 121
+    for m in metrics:
+        assert m["n_state_rows_fetched"] == m["n_cand_docs"]
+        assert m["n_state_rows_fetched"] < n_staged
+        assert m["n_dbuckets_read"] <= m["n_cand_docs"]
+
 
 def test_png_decodes_reference_repo_real_files():
     """External-interop evidence: the PNG decoder handles REAL PNGs

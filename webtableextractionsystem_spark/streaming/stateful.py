@@ -175,6 +175,50 @@ def streaming_neardup(spark: SparkSession, input_dir: str, output_dir: str,
 # ---------------------------------------------------------------------------
 # Online near-dup WITH the Jaccard verify stage composed in
 # ---------------------------------------------------------------------------
+#
+# Scale design (this replaced a foreachBatch form that re-read the FULL
+# accumulated signature table every microbatch — per-batch cost grew
+# O(corpus), i.e. cumulative stream work was quadratic in documents):
+#
+# * candidate generation lives in the STATE STORE, keyed by
+#   (band, band_key) with the bucket's member list as the value —
+#   per-batch work is one point lookup per new band, independent of how
+#   many batches have accumulated (RocksDB-backed on a real cluster);
+# * the verify stage fetches shingles ONLY for the candidate docs of the
+#   current microbatch, from a staged table partitioned by
+#   dbucket = hash(doc_id) % ND (partition pruning) and sorted by doc_id
+#   within files (an IN-list filter on doc_id reaches the parquet scan
+#   and skips non-matching row groups). Per-batch rows read from the
+#   staged state = number of candidate docs, NOT corpus size — the
+#   per-batch metrics row records both so the flatness is assertable.
+
+NEARDUP_PAIR_OUTPUT = "doc_a long, doc_b long"
+NEARDUP_MEMBERS_STATE = "members array<long>"
+_N_DBUCKETS = 64          # shingle-state partitions (doc_id hash space)
+_MAX_INLIST_DOCS = 100_000  # past this, skip the per-doc pushdown list
+
+
+def _members_fn(key: Tuple[int, str], pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+    """Band-bucket membership: emit (lo, hi) against every EARLIER
+    member for each new arrival, then append the arrival. Every emission
+    for a pair happens in the later doc's microbatch, so a per-batch
+    distinct dedups multi-band collisions. Within one microbatch the
+    deterministic arrival order is ascending doc_id (same convention as
+    _neardup_fn). State growth: one long per member per bucket — a
+    degenerate band key shared corpus-wide concentrates its members in
+    one key's state, the same rows a batch self-join would materialize
+    for that key."""
+    members = list(state.get[0]) if state.exists else []
+    new_ids = sorted({int(d) for pdf in pdfs for d in pdf["doc_id"]})
+    emit = []
+    for d in new_ids:
+        emit.extend((min(m, d), max(m, d)) for m in members if m != d)
+        members.append(d)
+    state.update((members,))
+    if emit:
+        yield pd.DataFrame(emit, columns=["doc_a", "doc_b"])
+
 
 def streaming_neardup_verified(spark: SparkSession, input_dir: str,
                                output_dir: str, stream_ckpt_dir: str,
@@ -183,20 +227,22 @@ def streaming_neardup_verified(spark: SparkSession, input_dir: str,
     the n-gram Jaccard verify stage inside the stream, mirroring the
     batch ``_verified_pairs`` (operators/dedup.py) exactly.
 
-    Per microbatch (foreachBatch):
+    Two availableNow passes per call (the function's trigger contract —
+    the stage pass must cover every document before the verify pass can
+    need its shingles):
 
-    1. new documents get per-row minhash signatures + LSH bands +
-       shingle sets (all JVM-side, no aggregation needed);
-    2. the batch's (doc_id, bands, shingles) rows are staged to
-       ``state_dir/batch=<id>`` — the accumulated corpus state, a plain
-       partitioned parquet table (at warehouse scale: the signatures
-       table every near-dup pass stages anyway);
-    3. new docs' bands equi-join against the ACCUMULATED corpus bands
-       (old + new — so cross-batch and within-batch candidates both
-       surface, never a cross join);
-    4. survivors are verified with the same integer-thresholded n-gram
-       Jaccard as the batch pipeline and appended to
-       ``output_dir/batch=<id>``.
+    1. STAGE: each microbatch's (doc_id, shingles) rows land in
+       ``state_dir/shingles/batch=<id>/dbucket=<hash(doc_id)%ND>``,
+       sorted by doc_id within files — the accumulated corpus state a
+       warehouse near-dup pass stages anyway, laid out for point fetch.
+    2. PAIRS+VERIFY: per-row minhash -> LSH bands ->
+       ``applyInPandasWithState`` keyed by (band, band_key) whose state
+       is the bucket's member list; new arrivals emit candidate pairs
+       against earlier members only (no corpus rescan — the state store
+       IS the index). The microbatch's candidate docs then fetch their
+       shingles from the staged table with dbucket partition pruning +
+       a doc_id pushdown filter, and the SAME ``jaccard_verified``
+       expression as the batch pipeline gates the output.
 
     A pair (lo, hi) is emitted exactly once: in the microbatch where the
     LATER of the two documents arrives. Hence after any prefix of the
@@ -204,11 +250,14 @@ def streaming_neardup_verified(spark: SparkSession, input_dir: str,
     EQUALS the batch ``_verified_pairs`` over the same corpus — the
     equivalence the restart-survival test pins.
 
-    Exactly-once: both writes for batch B go to a ``batch=B`` partition
-    with overwrite, so a microbatch replay after a crash rewrites the
-    identical rows instead of double-appending. State growth is one row
-    per document (bands + shingles); shingles are stored once per doc,
-    not per band."""
+    Exactly-once: verified pairs and per-batch metrics for batch B go to
+    ``batch=B`` partitions with overwrite (stage writes likewise), so a
+    microbatch replay after a crash rewrites identical rows instead of
+    double-appending; the pair state store rolls back with the streaming
+    checkpoint. Per-batch metrics (north-rule lineage discipline) land
+    in ``state_dir/metrics/batch=<id>`` recording n_pairs, n_cand_docs,
+    n_state_rows_fetched, n_dbuckets_read — fetched == cand_docs is the
+    pinned flatness evidence."""
     from ..operators.dedup import (
         _shingles,
         band_structs,
@@ -216,46 +265,97 @@ def streaming_neardup_verified(spark: SparkSession, input_dir: str,
         row_minhash,
     )
 
-    def process_batch(batch, batch_id: int) -> None:
-        sig = row_minhash(batch)
-        staged = sig.select(
-            "doc_id",
-            F.when(F.col("mh0").isNotNull(), band_structs())
-            .otherwise(F.array().cast(
-                "array<struct<band:int,band_key:string>>"))
-            .alias("bands"),
-            _shingles().alias("sh"),
-        )
-        staged.write.mode("overwrite").parquet(
-            f"{state_dir}/batch={batch_id}")
+    shingle_root = f"{state_dir}/shingles"
+    metrics_root = f"{state_dir}/metrics"
 
-        acc = spark.read.parquet(state_dir)
-        bands = acc.select(
-            "doc_id", "batch", F.explode("bands").alias("bk")
-        ).select("doc_id", "batch", "bk.band", "bk.band_key")
-        new_b = bands.where(F.col("batch") == batch_id).alias("n")
-        all_b = bands.alias("o")
-        cand = (
-            new_b.join(all_b, ["band", "band_key"])
-            .where(F.col("n.doc_id") != F.col("o.doc_id"))
-            .select(
-                F.least("n.doc_id", "o.doc_id").alias("doc_a"),
-                F.greatest("n.doc_id", "o.doc_id").alias("doc_b"),
-            )
-            .distinct()
+    def stage_batch(batch, batch_id: int) -> None:
+        staged = batch.select(
+            "doc_id",
+            _shingles().alias("sh"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(_N_DBUCKETS))
+            .alias("dbucket"),
         )
-        # the SAME verify expression as the batch pipeline (shared
-        # helper — equivalence by construction)
-        verified = jaccard_verified(cand, acc.select("doc_id", "sh"))
-        verified.write.mode("overwrite").parquet(
-            f"{output_dir}/batch={batch_id}")
+        (
+            staged.repartition("dbucket")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .partitionBy("dbucket")
+            .parquet(f"{shingle_root}/batch={batch_id}")
+        )
 
     (
         spark.readStream.schema("doc_id long, text string")
         .parquet(input_dir)
         .writeStream
-        .foreachBatch(process_batch)
-        .option("checkpointLocation", stream_ckpt_dir)
+        .foreachBatch(stage_batch)
+        .option("checkpointLocation", f"{stream_ckpt_dir}/stage")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    def verify_batch(pairs_batch, batch_id: int) -> None:
+        cand = pairs_batch.select("doc_a", "doc_b").distinct()
+        # bounded collect: candidate DOCS of one microbatch (near-dup
+        # hits, not the corpus) — used to prune the staged-state read
+        # down to their partitions/row groups
+        cand_docs = [
+            int(r[0]) for r in cand.select(
+                F.explode(F.array("doc_a", "doc_b")).alias("d"))
+            .distinct().collect()
+        ]
+        n_fetched = 0
+        n_dbuckets = 0
+        if not cand_docs:
+            verified = spark.createDataFrame([], NEARDUP_PAIR_OUTPUT)
+        else:
+            sh = spark.read.parquet(shingle_root)
+            buckets = (
+                spark.createDataFrame(
+                    [(d,) for d in cand_docs], "doc_id long")
+                .select(F.pmod(F.xxhash64("doc_id"),
+                               F.lit(_N_DBUCKETS)).alias("b"))
+                .distinct().collect()
+            )
+            n_dbuckets = len(buckets)
+            sh = sh.where(F.col("dbucket").isin([r["b"] for r in buckets]))
+            if len(cand_docs) <= _MAX_INLIST_DOCS:
+                sh = sh.where(F.col("doc_id").isin(cand_docs))
+            sh = sh.select("doc_id", "sh").persist()
+            n_fetched = sh.count()
+            # the SAME verify expression as the batch pipeline (shared
+            # helper — equivalence by construction)
+            verified = jaccard_verified(cand, sh)
+        verified.write.mode("overwrite").parquet(
+            f"{output_dir}/batch={batch_id}")
+        spark.createDataFrame(
+            [(int(cand.count()), len(cand_docs), n_fetched, n_dbuckets)],
+            "n_pairs long, n_cand_docs long, n_state_rows_fetched long, "
+            "n_dbuckets_read long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{metrics_root}/batch={batch_id}")
+        if cand_docs:
+            sh.unpersist()
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string").parquet(input_dir)
+    banded = (
+        row_minhash(stream)
+        .where(F.col("mh0").isNotNull())
+        .select("doc_id", F.explode(band_structs()).alias("bk"))
+        .select("doc_id", "bk.band", "bk.band_key")
+    )
+    pairs = banded.groupBy("band", "band_key").applyInPandasWithState(
+        _members_fn,
+        outputStructType=NEARDUP_PAIR_OUTPUT,
+        stateStructType=NEARDUP_MEMBERS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    (
+        pairs.writeStream
+        .foreachBatch(verify_batch)
+        .option("checkpointLocation", f"{stream_ckpt_dir}/pairs")
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
