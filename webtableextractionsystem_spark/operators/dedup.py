@@ -859,39 +859,116 @@ LEFT JOIN hits ON hits.doc_id = doc.doc_id
 # ---------------------------------------------------------------------------
 
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, reason, keep): composes quality_stats, lang_id,
-    exact_dedup, neardup_canonical, and decontaminate into one verdict
-    per document. All five stages are the already-oracle-checked
-    operators joined on doc_id — the funnel adds no new shuffle shapes,
-    just the decision cascade; its own oracle composes the same five
-    SQL bodies, so the gate checks the COMPOSITION, not only the parts.
+    """(doc_id, reason, keep): the quality -> language -> exact dedup ->
+    near-dup -> decontamination cascade as ONE verdict per document.
+
+    Scale shape — SINGLE corpus scan: the source is read once into the
+    persisted row_minhash relation (doc_id, text, signature); every
+    doc-LOCAL signal branch (stopword hits, CJK count, prefix
+    fingerprint, bands, shingles, 8-gram hashes) then projects from that
+    in-memory relation with per-branch column pruning, and only the
+    stages that genuinely shuffle follow (exact-dup window over fp, the
+    LSH band self-join + Jaccard verify, the broadcast decontamination
+    probe). The previous form composed the five standalone operators,
+    each re-reading the corpus — ~5 scans where 1 + the irreducible
+    shuffles suffice; at 100 TB the persisted relation is the
+    signatures table a curation pass stages anyway. Persisting the
+    narrow signature relation (not one wide projection of every signal)
+    was MEASURED: a single fused projection of all signals is one giant
+    whole-stage-codegen unit that takes ~8.5 s of janino compile
+    (superlinear in unit size) vs ~2.7 s split, and caching sh/g8
+    arrays would multiply the cache footprint for columns each branch
+    can recompute from memory in microseconds. Semantics are unchanged
+    and the oracle still composes the five standalone SQL bodies, so
+    the driver gate checks this single-scan plan against the five-scan
+    composition (row_minhash is differential-tested equal to the
+    explode/agg signature form the standalone near-dup query uses;
+    ``contaminated`` is an EXISTS — semi-join distinct — which equals
+    n_hits > 0).
 
     Note: with the current thresholds the 'language' reason is
     structurally subsumed by 'quality' (quality needs >=10% stopwords,
     lang 'unk' needs <5% and no CJK — pinned in the cascade test); the
     branch is kept because the thresholds are per-corpus knobs, and the
     cascade order is the contract."""
-    from .textstats import lang_id, quality_stats
+    from .textstats import STOPWORDS
 
-    q = quality_stats(spark, sf_dir).select("doc_id", "quality_ok")
-    lg = lang_id(spark, sf_dir).select("doc_id", "lang_pred")
-    ex = exact_dedup(spark, sf_dir).select(
-        "doc_id", F.col("is_dup").alias("exact_dup"))
-    nd = neardup_canonical(spark, sf_dir).select(
-        "doc_id", F.col("is_dup").alias("near_dup"))
-    dc = decontaminate(spark, sf_dir).select("doc_id", "contaminated")
+    # the signal projection is md5/fold-heavy: spread the scan across
+    # the executors (the sf-dir parquet is one file -> one partition;
+    # same pattern as minhash_signatures)
+    docs = load_documents(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism)
+    toks = _tokens()
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    cjk = (F.length("text")
+           - F.length(F.regexp_replace("text", "[一-龥]", "")))
+    # the ONE source read: persisted narrow signature relation; every
+    # branch below projects from this cache with column pruning
+    # (lazy persist, LRU-left — see lsh_candidate_pairs docstring)
+    sig = row_minhash(docs).persist()
+    base = sig.select(
+        "doc_id",
+        ((stop_hits * 10 >= n_tokens)
+         & (n_tokens >= 5) & (n_tokens <= 10000)).alias("quality_ok"),
+        F.when(cjk > 0, F.lit("zh"))
+        .when(stop_hits * 20 >= n_tokens, F.lit("en"))
+        .otherwise(F.lit("unk")).alias("lang_pred"),
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 5))).alias("fp"),
+        F.when(F.col("mh0").isNotNull(), band_structs())
+        .otherwise(F.array().cast(
+            "array<struct<band:int,band_key:string>>")).alias("bands"),
+        _shingles().alias("sh"),
+        F.transform(_shingles(DECON_K), F.md5).alias("g8"),
+    )
+    # exact dedup: the one window shuffle
+    w = Window.partitionBy("fp")
+    spine = base.select(
+        "doc_id", "quality_ok", "lang_pred",
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("exact_dup"))
+    # near-dup: band equi-self-join + the shared Jaccard verifier
+    bk = base.select("doc_id", F.explode("bands").alias("bk")) \
+        .select("doc_id", "bk.band", "bk.band_key")
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    near = (
+        jaccard_verified(cand, base.select("doc_id", "sh"))
+        .select(F.col("doc_b").alias("doc_id")).distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    # decontamination: DISTINCT broadcast bench side, equi-join probe
+    bench = (
+        base.where(F.col("doc_id") < DECON_BENCH_MAX_ID)
+        .select(F.explode("g8").alias("h")).distinct()
+    )
+    contam = (
+        base.where(F.col("doc_id") >= DECON_BENCH_MAX_ID)
+        .select("doc_id", F.explode("g8").alias("h"))
+        .join(F.broadcast(bench), "h")
+        .select("doc_id").distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
     reason = (
         F.when(F.col("doc_id") < DECON_BENCH_MAX_ID, F.lit("benchmark"))
         .when(~F.col("quality_ok"), F.lit("quality"))
         .when(F.col("lang_pred") == "unk", F.lit("language"))
         .when(F.col("exact_dup"), F.lit("exact_dup"))
-        .when(F.col("near_dup"), F.lit("near_dup"))
-        .when(F.col("contaminated"), F.lit("contaminated"))
+        .when(F.coalesce("near_dup", F.lit(False)), F.lit("near_dup"))
+        .when(F.coalesce("contaminated", F.lit(False)),
+              F.lit("contaminated"))
         .otherwise(F.lit("kept"))
     )
     return (
-        q.join(lg, "doc_id").join(ex, "doc_id").join(nd, "doc_id")
-        .join(dc, "doc_id", "left")  # benchmark docs are absent from dc
+        spine.join(near, "doc_id", "left")
+        .join(contam, "doc_id", "left")
         .select("doc_id", reason.alias("reason"),
                 (reason == "kept").alias("keep"))
     )
