@@ -909,3 +909,66 @@ def test_avi_missing_avih_falls_back_to_strh_rate():
     payload[strh + 8 + 24:strh + 8 + 28] = (0).to_bytes(4, "little")
     with pytest.raises(ValueError, match="avih"):
         V.decode_video(bytes(payload))
+
+
+def test_jpeg_chroma_subsampling_roundtrip():
+    """4:2:0 and 4:2:2 — the dominant real-web JPEG forms: round-trips
+    at the right shape across odd dimensions and restart intervals, with
+    a PSNR floor on a smooth gradient (the representative content class;
+    noise is chroma subsampling's designed-in worst case)."""
+    import numpy as np
+
+    from webtableextractionsystem_spark.operators import jpeg as J
+
+    gx, gy = np.meshgrid(np.linspace(0, 255, 40), np.linspace(255, 0, 24))
+    img = np.stack([gx, gy, np.full_like(gx, 128)], -1).astype(np.uint8)
+    for ss, floor in (("420", 30), ("422", 33)):
+        for ri in (0, 2):
+            out = J.decode_jpeg(
+                J.encode_jpeg(img, 90, restart_interval=ri, subsampling=ss))
+            assert out.shape == img.shape
+            mse = np.mean((out.astype(float) - img.astype(float)) ** 2)
+            assert 10 * np.log10(255 ** 2 / mse) > floor, (ss, ri)
+    # odd / tiny dims keep exact output shape
+    rng = np.random.default_rng(11)
+    for shape in [(9, 13, 3), (1, 1, 3), (17, 8, 3), (8, 17, 3)]:
+        x = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ss in ("420", "422"):
+            assert J.decode_jpeg(
+                J.encode_jpeg(x, 95, subsampling=ss)).shape == shape
+    import pytest
+    with pytest.raises(ValueError, match="subsampling"):
+        J.encode_jpeg(img, 90, subsampling="411")
+
+
+def test_png_palette_roundtrip_and_errors():
+    """Color-type-3 PNG (the real-web icon/sprite form): exact
+    round-trips at depths 1/2/4/8 across all five scanline filters;
+    malformed palettes diagnose as ValueError."""
+    import numpy as np
+    import pytest
+
+    from webtableextractionsystem_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(3)
+    img8 = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    for ft in range(5):
+        enc = MM.encode_png_palette(img8, 8, filter_type=ft)
+        assert np.array_equal(MM.decode_image(enc), img8)
+    for depth in (1, 2, 4):
+        pal = rng.integers(0, 256, size=(1 << depth, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, 1 << depth, size=(11, 7))]
+        for ft in (0, 1, 2, 3, 4):
+            enc = MM.encode_png_palette(img, depth, filter_type=ft)
+            assert np.array_equal(MM.decode_image(enc), img), (depth, ft)
+    with pytest.raises(ValueError, match="exceed"):
+        MM.encode_png_palette(
+            rng.integers(0, 256, size=(30, 30, 3), dtype=np.uint8), 2)
+    # PLTE stripped out -> missing-palette diagnosis (rebuild the chunk
+    # walk without PLTE, CRCs intact)
+    enc = bytearray(MM.encode_png_palette(img8, 8))
+    p = enc.index(b"PLTE") - 4
+    ln = int.from_bytes(enc[p:p + 4], "big")
+    del enc[p:p + 12 + ln]
+    with pytest.raises(ValueError, match="PLTE"):
+        MM.decode_image(bytes(enc))

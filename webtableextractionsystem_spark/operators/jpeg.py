@@ -2,11 +2,15 @@
 format the multimodal family stubbed, now real.
 
 Scope (honest and tested): baseline sequential DCT (SOF0), 8-bit,
-1-component grayscale or 3-component YCbCr WITHOUT chroma subsampling
-(4:4:4 — what the paired encoder emits), optional restart intervals on
-decode. Progressive (SOF2), subsampled, arithmetic-coded, and 12-bit
-streams raise ValueError naming the unsupported feature — corrupt data
-also ValueError; the magic-sniff boundary stays in decode_image.
+1-component grayscale or 3-component YCbCr with any integer sampling
+factors 1-4 whose ratios divide evenly — 4:4:4, 4:2:0 (the overwhelming
+real-web default) and 4:2:2 are round-trip tested; chroma upsampling on
+decode is nearest-neighbor (sample replication — T.81 leaves the filter
+to the decoder). The paired encoder emits 4:4:4 by default and 4:2:0 /
+4:2:2 on request (box-averaged chroma). Optional restart intervals both
+ways. Progressive (SOF2), arithmetic-coded, and 12-bit streams raise
+ValueError naming the unsupported feature — corrupt data also
+ValueError; the magic-sniff boundary stays in decode_image.
 
 Everything is from the public standard: ITU-T T.81 — zigzag order
 (§A.3.6), quantization + Huffman tables from Annex K (the "typical"
@@ -243,14 +247,30 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255)
 
 
+def _box_downsample(p: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """Chroma decimation by box average (pad odd edges by replication)."""
+    if fx == 1 and fy == 1:
+        return p
+    h0, w0 = p.shape
+    ph, pw = (h0 + fy - 1) // fy * fy, (w0 + fx - 1) // fx * fx
+    p = np.pad(p, ((0, ph - h0), (0, pw - w0)), mode="edge")
+    return p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+
+
+_SUBSAMPLING = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}
+
+
 def encode_jpeg(img: np.ndarray, quality: int = 85,
-                restart_interval: int = 0) -> bytes:
-    """HxW (gray) or HxWx3 uint8 -> baseline JFIF JPEG (4:4:4, Annex K
-    tables). ``restart_interval`` > 0 emits a DRI segment and RSTn
-    markers every that many MCUs (DC predictors reset, stream
-    byte-aligned) — the error-resilience feature real encoders use,
-    kept selectable so the decoder's restart path is round-trip
-    tested."""
+                restart_interval: int = 0,
+                subsampling: str = "444") -> bytes:
+    """HxW (gray) or HxWx3 uint8 -> baseline JFIF JPEG (Annex K tables).
+    ``subsampling`` picks the luma sampling factors: '444' (default,
+    bit-identical to the pre-subsampling encoder), '420' (2x2 — the
+    overwhelming real-web default) or '422' (2x1); chroma is box-averaged
+    down accordingly. ``restart_interval`` > 0 emits a DRI segment and
+    RSTn markers every that many MCUs (DC predictors reset, stream
+    byte-aligned) — the error-resilience feature real encoders use, kept
+    selectable so the decoder's restart path is round-trip tested."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if h == 0 or w == 0:
@@ -260,15 +280,29 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     if gray:
         planes = [img.astype(np.float64)]
         quants = [qlum]
+        factors = [(1, 1)]
     else:
+        lf = _SUBSAMPLING.get(subsampling)
+        if lf is None:
+            raise ValueError(
+                f"subsampling {subsampling!r} unsupported (444/420/422)")
+        factors = [lf, (1, 1), (1, 1)]
         ycc = _rgb_to_ycbcr(img[..., :3])
-        planes = [ycc[..., i] for i in range(3)]
+        planes = [ycc[..., 0],
+                  _box_downsample(ycc[..., 1], lf[0], lf[1]),
+                  _box_downsample(ycc[..., 2], lf[0], lf[1])]
         quants = [qlum, qchr, qchr]
 
-    # pad to multiples of 8 by edge replication
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    planes = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
-              for p in planes]
+    hmax = max(hi for hi, _ in factors)
+    vmax = max(vi for _, vi in factors)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    # pad each plane to its MCU grid by edge replication
+    planes = [
+        np.pad(p, ((0, mcus_y * 8 * vi - p.shape[0]),
+                   (0, mcus_x * 8 * hi - p.shape[1])), mode="edge")
+        for (hi, vi), p in zip(factors, planes)
+    ]
 
     dc_tabs = [_build_code_table(*DC_LUM)] + (
         [] if gray else [_build_code_table(*DC_CHR)] * 2)
@@ -277,47 +311,54 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
 
     bw = _BitWriter()
     prev_dc = [0] * len(planes)
+
+    def encode_block(ci: int, block: np.ndarray) -> None:
+        coefs = _T @ block @ _T.T
+        q = np.round(coefs / quants[ci]).astype(np.int64)
+        zz = q.reshape(-1)[ZIGZAG]
+        diff = int(zz[0]) - prev_dc[ci]
+        prev_dc[ci] = int(zz[0])
+        size, code = _encode_value(diff)
+        hc, hl = dc_tabs[ci][size]
+        bw.write(hc, hl)
+        if size:
+            bw.write(code, size)
+        run = 0
+        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if k > last_nz:
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                hc, hl = ac_tabs[ci][0xF0]  # ZRL
+                bw.write(hc, hl)
+                run -= 16
+            size, code = _encode_value(v)
+            hc, hl = ac_tabs[ci][(run << 4) | size]
+            bw.write(hc, hl)
+            bw.write(code, size)
+            run = 0
+        if last_nz < 63:
+            hc, hl = ac_tabs[ci][0x00]  # EOB
+            bw.write(hc, hl)
+
     mcu = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw.restart_marker(mcu // restart_interval - 1)
                 prev_dc = [0] * len(planes)
             mcu += 1
-            for ci, plane in enumerate(planes):
-                block = plane[by:by + 8, bx:bx + 8] - 128.0
-                coefs = _T @ block @ _T.T
-                q = np.round(coefs / quants[ci]).astype(np.int64)
-                zz = q.reshape(-1)[ZIGZAG]
-                diff = int(zz[0]) - prev_dc[ci]
-                prev_dc[ci] = int(zz[0])
-                size, code = _encode_value(diff)
-                hc, hl = dc_tabs[ci][size]
-                bw.write(hc, hl)
-                if size:
-                    bw.write(code, size)
-                run = 0
-                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) \
-                    else 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if k > last_nz:
-                        break
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        hc, hl = ac_tabs[ci][0xF0]  # ZRL
-                        bw.write(hc, hl)
-                        run -= 16
-                    size, code = _encode_value(v)
-                    hc, hl = ac_tabs[ci][(run << 4) | size]
-                    bw.write(hc, hl)
-                    bw.write(code, size)
-                    run = 0
-                if last_nz < 63:
-                    hc, hl = ac_tabs[ci][0x00]  # EOB
-                    bw.write(hc, hl)
+            for ci, (hi, vi) in enumerate(factors):
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        by = (my * vi + byi) * 8
+                        bx = (mx * hi + bxi) * 8
+                        encode_block(
+                            ci, planes[ci][by:by + 8, bx:bx + 8] - 128.0)
     scan = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -334,7 +375,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
 
     ncomp = 1 if gray else 3
     sof_comps = b"".join(
-        bytes([i + 1, 0x11, 0 if i == 0 else 1]) for i in range(ncomp))
+        bytes([i + 1, (factors[i][0] << 4) | factors[i][1],
+               0 if i == 0 else 1]) for i in range(ncomp))
     sos_comps = b"".join(
         bytes([i + 1, 0x00 if i == 0 else 0x11]) for i in range(ncomp))
     out = bytearray(b"\xff\xd8")  # SOI
@@ -429,9 +471,11 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
-                if hv != 0x11:
-                    raise ValueError("chroma subsampling unsupported")
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(
+                        f"JPEG sampling factors {hi}x{vi} out of range")
+                comps.append((cid, hi, vi, tq))
             frame = (fh, fw, comps)
         elif marker == 0xDD:  # DRI
             restart_interval = u16(pos + 2)
@@ -465,8 +509,24 @@ def _decode_scan(payload, pos, frame, scan_tabs, quant, huff_dc, huff_ac,
     fh, fw, comps = frame
     if fh == 0 or fw == 0:
         raise ValueError("bad JPEG dimensions")
-    ph, pw = (fh + 7) // 8 * 8, (fw + 7) // 8 * 8
-    planes = [np.zeros((ph, pw), dtype=np.float64) for _ in comps]
+    # T.81 A.2.3/A.2.4: a single-component scan is NON-interleaved — data
+    # units follow in plain block raster order and the sampling factors
+    # do not shape MCUs; multi-component scans interleave hi*vi blocks
+    # per component per MCU
+    if len(comps) == 1:
+        factors = [(1, 1)]
+    else:
+        factors = [(hi, vi) for _, hi, vi, _ in comps]
+    hmax = max(hi for hi, _ in factors)
+    vmax = max(vi for _, vi in factors)
+    for hi, vi in factors:
+        if hmax % hi or vmax % vi:
+            raise ValueError(
+                "fractional JPEG sampling-factor ratios unsupported")
+    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcus_y * 8 * vi, mcus_x * 8 * hi), dtype=np.float64)
+              for hi, vi in factors]
     br = _BitReader(payload, pos)
     prev_dc = [0] * len(comps)
 
@@ -478,9 +538,42 @@ def _decode_scan(payload, pos, frame, scan_tabs, quant, huff_dc, huff_ac,
                 return table[(length, code)]
         raise ValueError("invalid JPEG Huffman code")
 
+    def decode_block(ci, tq) -> np.ndarray:
+        td, ta = scan_tabs[ci]
+        if td not in huff_dc or ta not in huff_ac or tq not in quant:
+            raise ValueError("JPEG references an undefined table")
+        zz = np.zeros(64, dtype=np.int64)
+        size = read_symbol(huff_dc[td])
+        prev_dc[ci] += _decode_value(size, br.bits(size))
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            sym = read_symbol(huff_ac[ta])
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                if k > 63:
+                    # T.81 F.1.2.2: a final all-zero tail is coded with
+                    # EOB, never ZRL — past-the-end ZRL means a corrupt/
+                    # desynced stream; raising here (like the run/size
+                    # path below) beats silently exiting the loop and
+                    # desyncing later blocks
+                    raise ValueError("JPEG AC run past block end")
+                continue
+            run, size = sym >> 4, sym & 0xF
+            k += run
+            if k > 63:
+                raise ValueError("JPEG AC run past block end")
+            zz[k] = _decode_value(size, br.bits(size))
+            k += 1
+        coefs = np.zeros(64, dtype=np.float64)
+        coefs[ZIGZAG] = zz
+        return _T.T @ (coefs.reshape(8, 8) * quant[tq]) @ _T + 128
+
     mcu = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.align()
                 if payload[br.pos] != 0xFF or not (
@@ -488,45 +581,32 @@ def _decode_scan(payload, pos, frame, scan_tabs, quant, huff_dc, huff_ac,
                     raise ValueError("missing JPEG restart marker")
                 br.pos += 2
                 prev_dc = [0] * len(comps)
-            for ci, (cid, tq) in enumerate(comps):
-                td, ta = scan_tabs[ci]
-                if td not in huff_dc or ta not in huff_ac or tq not in quant:
-                    raise ValueError("JPEG references an undefined table")
-                zz = np.zeros(64, dtype=np.int64)
-                size = read_symbol(huff_dc[td])
-                prev_dc[ci] += _decode_value(size, br.bits(size))
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = read_symbol(huff_ac[ta])
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        if k > 63:
-                            # T.81 F.1.2.2: a final all-zero tail is coded
-                            # with EOB, never ZRL — past-the-end ZRL means
-                            # a corrupt/desynced stream; raising here (like
-                            # the run/size path below) beats silently
-                            # exiting the loop and desyncing later blocks
-                            raise ValueError("JPEG AC run past block end")
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG AC run past block end")
-                    zz[k] = _decode_value(size, br.bits(size))
-                    k += 1
-                coefs = np.zeros(64, dtype=np.float64)
-                coefs[ZIGZAG] = zz
-                block = _T.T @ (coefs.reshape(8, 8) * quant[tq]) @ _T + 128
-                planes[ci][by:by + 8, bx:bx + 8] = block
+            for ci, (hi, vi) in enumerate(factors):
+                tq = comps[ci][3]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        by = (my * vi + byi) * 8
+                        bx = (mx * hi + bxi) * 8
+                        planes[ci][by:by + 8, bx:bx + 8] = \
+                            decode_block(ci, tq)
             mcu += 1
 
-    if len(planes) == 1:
+    # per-component crop to its true sample grid (T.81 A.1.1 ceil dims),
+    # then nearest-neighbor upsample to full resolution
+    full = []
+    for ci, (hi, vi) in enumerate(factors):
+        cw = (fw * hi + hmax - 1) // hmax
+        ch = (fh * vi + vmax - 1) // vmax
+        p = planes[ci][:ch, :cw]
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0),
+                          hmax // hi, axis=1)
+        full.append(p[:fh, :fw])
+
+    if len(full) == 1:
         # round like the color path — truncation would bias gray decodes
         # ~0.5 LSB low and break flat-block exactness
-        y = np.round(np.clip(planes[0][:fh, :fw], 0, 255))
+        y = np.round(np.clip(full[0], 0, 255))
         return np.repeat(y[..., None], 3, axis=2).astype(np.uint8)
-    ycc = np.stack([p[:fh, :fw] for p in planes], axis=-1)
+    ycc = np.stack(full, axis=-1)
     return np.round(_ycbcr_to_rgb(ycc)).astype(np.uint8)

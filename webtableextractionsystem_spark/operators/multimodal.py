@@ -22,10 +22,11 @@ Spark-side design (all real and tested):
   join a local zipper at scale.
 
 Codecs — ALL REAL, pure numpy/stdlib: binary PPM (P6), uncompressed
-24-bit BMP, non-interlaced 8-bit gray/RGB/RGBA PNG (zlib inflate + all
-five scanline filters, CRC-checked), GIF87a/89a (operators/gif.py —
-full LZW, interlace), baseline JFIF JPEG (operators/jpeg.py — DCT +
-Annex K tables; lossy, so round-trips assert PSNR), WAV PCM16 audio,
+24-bit BMP, non-interlaced 8-bit gray/RGB/RGBA or 1/2/4/8-bit palette
+PNG (zlib inflate + all five scanline filters, CRC-checked), GIF87a/89a
+(operators/gif.py — full LZW, interlace), baseline JFIF JPEG
+(operators/jpeg.py — DCT + Annex K tables, 4:4:4/4:2:0/4:2:2; lossy, so
+round-trips assert PSNR), WAV PCM16 audio,
 and MJPEG/AVI video. Unknown magic raises NotImplementedError unless
 ``fake=True``, which substitutes the deterministic md5-seeded decoder
 (kept for tests that need arbitrary payloads to decode). The Spark
@@ -64,12 +65,13 @@ N_IMG_FEATURES = 16
 
 def synth_media_for_spans(spans_out: DataFrame) -> DataFrame:
     """Deterministic media table for every media span: REAL encoded
-    image payloads (PPM / BMP / PNG-RGB / PNG-RGBA / baseline JPEG /
-    GIF, PNG rows cycling through all five scanline filters, JPEG
-    across qualities 75-95, GIF alternating interlace) with pixels
-    seeded from md5(media_ref). Stands in
-    for the real object store; every payload decodes through the real
-    codec path (``decode_image(fake=False)``)."""
+    image payloads (PPM / BMP / PNG-RGB / PNG-RGBA / PNG-palette /
+    baseline JPEG 4:4:4 and subsampled 4:2:0/4:2:2 / GIF; PNG rows cycle
+    through all five scanline filters, palette PNGs through depths
+    1/2/4/8, JPEG across qualities 75-95, GIF alternating interlace)
+    with pixels seeded from md5(media_ref). Stands in for the real
+    object store; every payload decodes through the real codec path
+    (``decode_image(fake=False)``)."""
 
     def gen(batches):
         for pdf in batches:
@@ -79,7 +81,7 @@ def synth_media_for_spans(spans_out: DataFrame) -> DataFrame:
                 rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
                 w = 4 + h[1] % 13
                 ht = 4 + h[2] % 13
-                fmt = h[0] % 6
+                fmt = h[0] % 8
                 img = rng.integers(0, 256, size=(ht, w, 3), dtype=np.uint8)
                 if fmt == 0:
                     payload, mime = encode_ppm(img), "image/x-portable-pixmap"
@@ -98,12 +100,29 @@ def synth_media_for_spans(spans_out: DataFrame) -> DataFrame:
 
                     payload = encode_jpeg(img, quality=75 + h[3] % 21)
                     mime = "image/jpeg"
-                else:
+                elif fmt == 5:
                     from .gif import encode_gif
 
                     # <=16x16 synth images always fit a 256-color palette
                     payload = encode_gif(img, interlace=bool(h[3] % 2))
                     mime = "image/gif"
+                elif fmt == 6:
+                    # paletted PNG: draw pixels FROM a small palette so
+                    # sub-byte depths are exercised too
+                    depth = (1, 2, 4, 8)[h[3] % 4]
+                    pal = rng.integers(0, 256, size=(1 << depth, 3),
+                                       dtype=np.uint8)
+                    img = pal[rng.integers(0, 1 << depth, size=(ht, w))]
+                    payload = encode_png_palette(
+                        img, depth, filter_type=h[4] % 5)
+                    mime = "image/png"
+                else:
+                    from .jpeg import encode_jpeg
+
+                    payload = encode_jpeg(
+                        img, quality=75 + h[3] % 21,
+                        subsampling="420" if h[4] % 2 else "422")
+                    mime = "image/jpeg"
                 rows.append({
                     "media_ref": ref,
                     "kind": "image",
@@ -272,17 +291,21 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def _decode_png(payload: bytes) -> np.ndarray:
-    """Non-interlaced 8-bit gray/RGB/RGBA PNG -> HxWx3 uint8. Pure
-    stdlib: chunk walk + CRC32 verify + zlib inflate + un-filter.
-    Grayscale broadcasts to 3 channels; RGBA drops alpha (features are
-    computed over color planes; compositing policy is the caller's).
-    Palette, 16-bit, and interlaced PNGs raise ValueError (corrupt vs
-    unsupported-variant are both data errors of a supported format)."""
+    """Non-interlaced gray/RGB/RGBA (8-bit) or palette (1/2/4/8-bit)
+    PNG -> HxWx3 uint8. Pure stdlib: chunk walk + CRC32 verify + zlib
+    inflate + un-filter (+ sub-byte index unpack and PLTE resolution for
+    color type 3 — the dominant icon/sprite form on the real web).
+    Grayscale broadcasts to 3 channels; RGBA drops alpha and palette
+    tRNS is ignored (features are computed over color planes;
+    compositing policy is the caller's). 16-bit and interlaced PNGs
+    raise ValueError (corrupt vs unsupported-variant are both data
+    errors of a supported format)."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = 8
     n = len(payload)
     ihdr: bytes | None = None
+    plte: bytes | None = None
     idat = bytearray()
     while pos + 8 <= n:
         length = int.from_bytes(payload[pos:pos + 4], "big")
@@ -295,6 +318,8 @@ def _decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -305,12 +330,14 @@ def _decode_png(payload: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color, comp, filt, interlace = ihdr[8:13]
-    if depth != 8 or color not in _PNG_CHANNELS or comp != 0 or filt != 0 \
-            or interlace != 0:
+    paletted = color == 3
+    ok_depth = depth in (1, 2, 4, 8) if paletted else depth == 8
+    if not ok_depth or (not paletted and color not in _PNG_CHANNELS) \
+            or comp != 0 or filt != 0 or interlace != 0:
         raise ValueError(
             f"unsupported PNG variant (depth={depth}, color={color}, "
             f"interlace={interlace}); only non-interlaced 8-bit "
-            "gray/RGB/RGBA is decodable")
+            "gray/RGB/RGBA and 1/2/4/8-bit palette are decodable")
     if not idat:
         raise ValueError("PNG missing IDAT")
     if w <= 0 or h <= 0:
@@ -319,6 +346,23 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError("corrupt PNG IDAT stream") from e
+    if paletted:
+        if plte is None or len(plte) == 0 or len(plte) % 3:
+            raise ValueError("palette PNG with missing/malformed PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        stride = (w * depth + 7) // 8  # filtering is byte-wise, bpp=1
+        rows = _png_unfilter(raw, h, stride, 1)
+        if depth == 8:
+            idx = rows
+        else:
+            mask = (1 << depth) - 1
+            shifts = [8 - depth * (i + 1) for i in range(8 // depth)]
+            idx = np.stack([(rows >> s) & mask for s in shifts],
+                           axis=2).reshape(h, -1)
+        idx = idx[:, :w]
+        if int(idx.max()) >= pal.shape[0]:
+            raise ValueError("PNG pixel index outside PLTE")
+        return pal[idx]
     ch = _PNG_CHANNELS[color]
     px = _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
     if ch == 1:
@@ -344,11 +388,28 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     if not 0 <= filter_type <= 4:
         raise ValueError(f"bad PNG filter type {filter_type}")
     h, w = px.shape[:2]
-    rows = px.astype(np.int64).reshape(h, w * ch)
-    zero = np.zeros((1, w * ch), dtype=np.int64)
+    scan = _png_filter_rows(px.astype(np.int64).reshape(h, w * ch),
+                            ch, filter_type)
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, color, 0, 0, 0]))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(scan))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (len(data).to_bytes(4, "big") + ctype + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+
+def _png_filter_rows(rows: np.ndarray, bpp: int, filter_type: int) -> bytes:
+    """Apply one PNG scanline filter to every (h, stride) int64 row and
+    prepend the per-row filter byte."""
+    h, stride = rows.shape
+    zero = np.zeros((1, stride), dtype=np.int64)
     up = np.vstack([zero, rows[:-1]])
-    left = np.pad(rows, ((0, 0), (ch, 0)))[:, : w * ch]
-    upleft = np.pad(up, ((0, 0), (ch, 0)))[:, : w * ch]
+    left = np.pad(rows, ((0, 0), (bpp, 0)))[:, :stride]
+    upleft = np.pad(up, ((0, 0), (bpp, 0)))[:, :stride]
     if filter_type == 0:
         filt = rows
     elif filter_type == 1:
@@ -363,20 +424,46 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
         pred = np.where((pa <= pb) & (pa <= pc), left,
                         np.where(pb <= pc, up, upleft))
         filt = rows - pred
-    scan = np.hstack([
+    return np.hstack([
         np.full((h, 1), filter_type, dtype=np.uint8),
         (filt & 0xFF).astype(np.uint8),
     ]).tobytes()
 
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (len(data).to_bytes(4, "big") + ctype + data
-                + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big"))
 
+def encode_png_palette(img: np.ndarray, depth: int = 8,
+                       filter_type: int = 0) -> bytes:
+    """HxWx3 uint8 (<= 2^depth distinct colors) -> color-type-3 PNG with
+    depth-bit palette indices (1/2/4/8), MSB-first packed, PLTE from the
+    image's unique colors. The dominant real-web icon/sprite form."""
+    if img.ndim != 3 or img.shape[2] < 3:
+        raise ValueError(
+            f"encode_png_palette needs HxWx(>=3), got shape {img.shape}")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"bad palette depth {depth}")
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"bad PNG filter type {filter_type}")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    pal, inv = np.unique(img[..., :3].reshape(-1, 3), axis=0,
+                         return_inverse=True)
+    if pal.shape[0] > (1 << depth):
+        raise ValueError(f"{pal.shape[0]} distinct colors exceed a "
+                         f"{1 << depth}-entry palette; quantize first")
+    idx = inv.reshape(h, w).astype(np.int64)
+    per = 8 // depth  # indices per byte
+    pw = (w + per - 1) // per * per
+    padded = np.pad(idx, ((0, 0), (0, pw - w)))
+    packed = np.zeros((h, pw // per), dtype=np.int64)
+    for i in range(per):
+        packed |= padded[:, i::per] << (8 - depth * (i + 1))
+    scan = _png_filter_rows(packed, 1, filter_type)
     ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
-            + bytes([8, color, 0, 0, 0]))
-    return (_PNG_SIG + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(scan))
-            + chunk(b"IEND", b""))
+            + bytes([depth, 3, 0, 0, 0]))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", pal.astype(np.uint8).tobytes())
+            + _png_chunk(b"IDAT", zlib.compress(scan))
+            + _png_chunk(b"IEND", b""))
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
@@ -384,8 +471,9 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 
     REAL formats (pure numpy/stdlib, no external libs), sniffed by magic
     bytes: binary PPM (P6), uncompressed 24-bit BMP, non-interlaced
-    8-bit gray/RGB/RGBA PNG (zlib inflate + un-filter, CRC-checked),
-    GIF87a/89a, and baseline JFIF JPEG. Only UNRECOGNIZED magic
+    8-bit gray/RGB/RGBA or 1/2/4/8-bit palette PNG (zlib inflate +
+    un-filter, CRC-checked), GIF87a/89a, and baseline JFIF JPEG incl.
+    4:2:0/4:2:2 chroma subsampling. Only UNRECOGNIZED magic
     raises NotImplementedError — or falls back to the deterministic
     md5-seeded fake decoder when ``fake=True`` (which keeps arbitrary
     payloads decodable in tests)."""
