@@ -119,6 +119,53 @@ def test_docx_render_parse_roundtrip():
     assert [[c.content for c in r] for r in tables[0].rows] == rows
 
 
+def test_docx_span_merges_roundtrip():
+    """S13 merge fidelity (reference writeTable2Doc, table.py:632-640):
+    anchor extents render as <w:gridSpan>/<w:vMerge>, the caption row is
+    merged full-width, and S14 re-expands the merges to the duplicated
+    anchor text python-docx would report — so spanned tables round-trip
+    through render -> parse."""
+    from webtableextractionsystem_spark.kernel.dom import pre_treat
+    from webtableextractionsystem_spark.kernel.html_tables import (
+        extract_docx_tables,
+        parse_table_tag,
+        render_table_docx,
+    )
+
+    # a 2x2 block anchor + a pure colspan + a pure rowspan
+    rows = [["A", "A", "B"], ["A", "A", "C"], ["D", "E", "F"]]
+    spans = [[(2, 2), (1, 1), (1, 1)], [(1, 1)] * 3, [(1, 1)] * 3]
+    xml = render_table_docx("cap", rows, spans)
+    assert '<w:gridSpan w:val="3"/>' in xml          # caption full-width
+    assert '<w:gridSpan w:val="2"/><w:vMerge w:val="restart"/>' in xml
+    assert "<w:vMerge/>" in xml                      # continuation row
+    t = extract_docx_tables(pre_treat(xml))[0]
+    assert t.caption == "cap"
+    assert [[c.content for c in r] for r in t.rows] == rows
+
+    # end-to-end from HTML: normalize_grid must record the anchor
+    # extents an HTML rowspan/colspan produces
+    html = ("<table><caption>t</caption>"
+            "<tr><td rowspan='2' colspan='2'>A</td><td>B</td></tr>"
+            "<tr><td>C</td></tr>"
+            "<tr><td>D</td><td>E</td><td>F</td></tr></table>")
+    raw = parse_table_tag(pre_treat(html).find_all("table")[0])
+    from webtableextractionsystem_spark.kernel.table_model import (
+        normalize_grid,
+    )
+
+    grid, correct = normalize_grid(raw.rows)
+    assert correct
+    assert (grid[0][0].rowspan, grid[0][0].colspan) == (2, 2)  # anchor
+    assert (grid[0][1].rowspan, grid[0][1].colspan) == (1, 1)  # covered
+    got = render_table_docx(
+        "t", [[c.content for c in r] for r in grid],
+        [[(c.rowspan, c.colspan) for c in r] for r in grid])
+    back = extract_docx_tables(pre_treat(got))[0]
+    assert [[c.content for c in r] for r in back.rows] \
+        == [[c.content for c in r] for r in grid]
+
+
 def test_docx_catalyst_matches_kernel(spark):
     """The pure-Catalyst tables_docx must emit byte-identical XML to the
     kernel render for real pipeline output."""
@@ -138,7 +185,10 @@ def test_docx_catalyst_matches_kernel(spark):
     assert got
     for r in tv.collect():
         want = render_table_docx(
-            r["caption"], [[c["content"] for c in row] for row in r["cells"]])
+            r["caption"],
+            [[c["content"] for c in row] for row in r["cells"]],
+            [[(c["rowspan"], c["colspan"]) for c in row]
+             for row in r["cells"]])
         assert got[(r["doc_id"], r["table_idx"])] == want
 
 

@@ -213,30 +213,91 @@ def er_graph_json(entities: DataFrame, triples: DataFrame) -> DataFrame:
 def tables_docx(tables: DataFrame) -> DataFrame:
     """(doc_id, table_idx, docx) — each normalized table rendered as the
     WordprocessingML the reference's writeTable2Doc produces through
-    python-docx (caption row first, then the grid; table.py:609-647).
-    Pure Catalyst string building; kernel twin render_table_docx is the
-    unit-test surface and the two are asserted equal."""
+    python-docx (caption row merged full-width, then the grid with every
+    anchor cell's rowspan/colspan extent re-merged as <w:gridSpan> /
+    <w:vMerge>; table.py:629-640). Pure Catalyst string building over
+    the cells' anchor extents (normalize_grid leaves covered copies 1x1,
+    so a slot is covered iff some OTHER anchor's extent contains it);
+    kernel twin render_table_docx is the unit-test surface and the two
+    are asserted equal."""
     def esc(col):
         c = F.regexp_replace(col, "&", "&amp;")
         c = F.regexp_replace(c, "<", "&lt;")
         return F.regexp_replace(c, ">", "&gt;")
 
-    def tc(text_col):
-        return F.concat(F.lit("<w:tc><w:p><w:r><w:t>"), esc(text_col),
-                        F.lit("</w:t></w:r></w:p></w:tc>"))
+    def tcpr(gridspan, vmerge):
+        # vmerge: string column 'restart' / 'cont' / '' (none)
+        has = (gridspan > 1) | (vmerge != "")
+        return F.when(
+            has,
+            F.concat(
+                F.lit("<w:tcPr>"),
+                F.when(gridspan > 1,
+                       F.concat(F.lit('<w:gridSpan w:val="'),
+                                gridspan.cast("string"), F.lit('"/>')))
+                .otherwise(F.lit("")),
+                F.when(vmerge == "restart",
+                       F.lit('<w:vMerge w:val="restart"/>'))
+                .when(vmerge == "cont", F.lit("<w:vMerge/>"))
+                .otherwise(F.lit("")),
+                F.lit("</w:tcPr>"),
+            ),
+        ).otherwise(F.lit(""))
+
+    def tc(text_col, gridspan=None, vmerge=None):
+        gridspan = F.lit(1) if gridspan is None else gridspan
+        vmerge = F.lit("") if vmerge is None else vmerge
+        body = F.when(vmerge == "cont", F.lit("<w:p/>")).otherwise(
+            F.concat(F.lit("<w:p><w:r><w:t>"), esc(text_col),
+                     F.lit("</w:t></w:r></w:p>")))
+        return F.concat(F.lit("<w:tc>"), tcpr(gridspan, vmerge), body,
+                        F.lit("</w:tc>"))
 
     def tr(cells_col):
         return F.concat(F.lit("<w:tr>"), F.array_join(cells_col, ""),
                         F.lit("</w:tr>"))
 
+    n_rows = F.size("cells")
+    n_cols = F.coalesce(F.size(F.element_at("cells", 1)), F.lit(0))
+    anchors = F.filter(
+        F.flatten(F.col("cells")),
+        lambda a: (a["rowspan"] > 1) | (a["colspan"] > 1))
+
+    def cell_xml(c):
+        cov = F.filter(
+            anchors,
+            lambda a: (a["abs_row"] <= c["abs_row"])
+            & (c["abs_row"] < a["abs_row"] + a["rowspan"])
+            & (a["abs_col"] <= c["abs_col"])
+            & (c["abs_col"] < a["abs_col"] + a["colspan"])
+            & ~((a["abs_row"] == c["abs_row"])
+                & (a["abs_col"] == c["abs_col"])),
+        )
+        a = F.element_at(cov, 1)
+        rs = F.least(c["rowspan"], n_rows - c["abs_row"])  # clamp stale
+        cs = F.greatest(F.least(c["colspan"], n_cols - c["abs_col"]),
+                        F.lit(1))
+        plain = tc(c["content"], cs,
+                   F.when(rs > 1, F.lit("restart")).otherwise(F.lit("")))
+        cont = tc(F.lit(""),
+                  F.least(a["colspan"], n_cols - a["abs_col"]),
+                  F.lit("cont"))
+        return (
+            F.when(F.size(cov) == 0, plain)
+            # horizontally covered on the anchor row, or interior of a
+            # 2-D extent: the tc is removed entirely
+            .when(a["abs_row"] == c["abs_row"], F.lit(""))
+            .when(a["abs_col"] == c["abs_col"], cont)
+            .otherwise(F.lit(""))
+        )
+
     body = F.array_join(
-        F.transform(
-            "cells", lambda row: tr(F.transform(row, lambda c: tc(c["content"])))
-        ),
+        F.transform("cells", lambda row: tr(F.transform(row, cell_xml))),
         "",
     )
+    caption_tc = tc(F.col("caption"),
+                    F.when(n_cols > 1, n_cols).otherwise(F.lit(1)))
     docx = F.concat(
-        F.lit("<w:tbl>"), tr(F.array(tc(F.col("caption")))), body,
-        F.lit("</w:tbl>"),
+        F.lit("<w:tbl>"), tr(F.array(caption_tc)), body, F.lit("</w:tbl>"),
     )
     return tables.select("doc_id", "table_idx", docx.alias("docx"))

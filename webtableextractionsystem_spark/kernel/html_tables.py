@@ -313,6 +313,23 @@ def _text_with_br_slash(node: Node) -> str:
 # cell is the table caption; remaining rows are 1x1 data cells.
 # ---------------------------------------------------------------------------
 
+def _tc_merge_props(tc: Node) -> tuple[int, str | None]:
+    """(gridSpan, vMerge) of a <w:tc>: gridSpan defaults to 1; vMerge is
+    'restart', 'cont' (<w:vMerge/> with no/other val) or None (absent).
+    The DOM parser lowercases tag/attr names (HTML convention), so the
+    WordprocessingML camelCase elements are looked up lowercased."""
+    gridspan, vmerge = 1, None
+    for pr in tc.find_all("w:tcpr"):
+        for gs in pr.find_all("w:gridspan"):
+            try:
+                gridspan = max(1, int(gs.get("w:val") or 1))
+            except ValueError:
+                gridspan = 1
+        for vm in pr.find_all("w:vmerge"):
+            vmerge = "restart" if vm.get("w:val") == "restart" else "cont"
+    return gridspan, vmerge
+
+
 def extract_docx_tables(root: Node) -> list[RawTable]:
     out: list[RawTable] = []
     for tbl in root.find_all("w:tbl"):
@@ -324,11 +341,24 @@ def extract_docx_tables(root: Node) -> list[RawTable]:
         if first_cells:
             caption = clean_cell_text(first_cells[0].text)
         rows: list[list[Cell]] = []
+        prev: list[str] = []  # previous row's expanded texts, per column
         for tr in trs[1:]:
-            rows.append([
-                Cell(clean_cell_text(tc.text), 1, 1, {}, [], "w:tc")
-                for tc in tr.find_all("w:tc")
-            ])
+            row: list[Cell] = []
+            for tc in tr.find_all("w:tc"):
+                gridspan, vmerge = _tc_merge_props(tc)
+                if vmerge == "cont":
+                    # python-docx reads a vertically merged extent as the
+                    # anchor cell at every covered position (so the
+                    # reference's extractWordTable sees the anchor text
+                    # duplicated) — expand the same way
+                    text = prev[len(row)] if len(row) < len(prev) else ""
+                else:
+                    text = clean_cell_text(tc.text)
+                row.extend(
+                    Cell(text, 1, 1, {}, [], "w:tc")
+                    for _ in range(gridspan))
+            prev = [c.content for c in row]
+            rows.append(row)
         if rows:
             out.append(RawTable(rows, caption=caption or DEFAULT_CAPTION))
     return out
@@ -453,21 +483,81 @@ def docx_document_xml(payload) -> str:
         raise ValueError("corrupt .docx container") from e
 
 
-def render_table_docx(caption: str, rows: list[list[str]]) -> str:
+def _docx_tcpr(gridspan: int, vmerge: str | None) -> str:
+    if gridspan <= 1 and vmerge is None:
+        return ""
+    parts = ["<w:tcPr>"]
+    if gridspan > 1:
+        parts.append(f'<w:gridSpan w:val="{gridspan}"/>')
+    if vmerge == "restart":
+        parts.append('<w:vMerge w:val="restart"/>')
+    elif vmerge == "cont":
+        parts.append("<w:vMerge/>")
+    parts.append("</w:tcPr>")
+    return "".join(parts)
+
+
+def render_table_docx(caption: str, rows: list[list[str]],
+                      spans: list[list[tuple[int, int]]] | None = None
+                      ) -> str:
     """S13 Word-table sink (writeTable2Doc, table.py:609-647), data
     layer: the reference renders a python-docx "Table Grid" whose first
-    row is the caption merged across all columns, followed by the
-    normalized grid. Emitted here as WordprocessingML — the same <w:tbl>
-    dialect extract_docx_tables parses, so render->parse round-trips."""
+    row is the caption merged across all columns
+    (``cell(0,0).merge(cell(0, colNumber-1))``), followed by the
+    normalized grid with each cell's ORIGINAL rowspan/colspan extent
+    re-merged (``cell(absRow+1, absCol).merge(cell(absRow+rowspan,
+    absCol+colspan-1))``, table.py:637-640). Emitted here as the
+    WordprocessingML python-docx produces for those merges: the caption
+    tc carries a full-width <w:gridSpan>; an anchor cell carries
+    <w:gridSpan> for its colspan and <w:vMerge w:val="restart"> for its
+    rowspan; horizontally covered cells are removed; vertically covered
+    rows lead with an empty <w:vMerge/> continuation tc. ``spans`` is a
+    grid parallel to ``rows`` of (rowspan, colspan) anchor extents (1,1
+    for plain and covered slots — normalize_grid's convention); omitted
+    = span-free. The same <w:tbl> dialect extract_docx_tables parses,
+    so render->parse round-trips (merged extents read back as the
+    anchor text duplicated across the extent, exactly how python-docx
+    reads them for the reference)."""
     def esc(s: str) -> str:
         return (str(s).replace("&", "&amp;").replace("<", "&lt;")
                 .replace(">", "&gt;"))
 
-    def tc(text: str) -> str:
-        return f"<w:tc><w:p><w:r><w:t>{esc(text)}</w:t></w:r></w:p></w:tc>"
+    def tc(text: str, gridspan: int = 1, vmerge: str | None = None) -> str:
+        body = ("<w:p/>" if vmerge == "cont"
+                else f"<w:p><w:r><w:t>{esc(text)}</w:t></w:r></w:p>")
+        return f"<w:tc>{_docx_tcpr(gridspan, vmerge)}{body}</w:tc>"
 
-    parts = ["<w:tbl>", f"<w:tr>{tc(caption)}</w:tr>"]
-    for row in rows:
-        parts.append("<w:tr>" + "".join(tc(c) for c in row) + "</w:tr>")
+    n_rows = len(rows)
+    n_cols = len(rows[0]) if rows else 0
+    if spans is None:
+        spans = [[(1, 1)] * len(r) for r in rows]
+    # coverage map: covered slot -> its covering anchor (first wins)
+    owner: dict[tuple[int, int], tuple[int, int, int, int]] = {}
+    for r, row in enumerate(spans):
+        for c, (rs, cs) in enumerate(row):
+            if rs > 1 or cs > 1:
+                for rr in range(r, min(r + rs, n_rows)):
+                    for cc in range(c, min(c + cs, n_cols)):
+                        if (rr, cc) != (r, c) and (rr, cc) not in owner:
+                            owner[(rr, cc)] = (r, c, rs, cs)
+
+    parts = ["<w:tbl>",
+             f"<w:tr>{tc(caption, n_cols if n_cols > 1 else 1)}</w:tr>"]
+    for r, row in enumerate(rows):
+        cells_xml = []
+        for c, text in enumerate(row):
+            own = owner.get((r, c))
+            if own is None:
+                rs, cs = spans[r][c] if c < len(spans[r]) else (1, 1)
+                rs = min(rs, n_rows - r)  # clamp stale extents
+                cs = min(cs, n_cols - c)
+                cells_xml.append(
+                    tc(text, max(cs, 1), "restart" if rs > 1 else None))
+            else:
+                r0, c0, _, cs0 = own
+                if r > r0 and c == c0:  # vMerge continuation leading tc
+                    cells_xml.append(tc("", min(cs0, n_cols - c0), "cont"))
+                # horizontally covered (r == r0) or interior: tc removed
+        parts.append("<w:tr>" + "".join(cells_xml) + "</w:tr>")
     parts.append("</w:tbl>")
     return "".join(parts)

@@ -219,8 +219,11 @@ def _table_row(table: Table, table_idx: int) -> dict:
             [
                 {
                     "content": str(c.content),
-                    "rowspan": 1,
-                    "colspan": 1,
+                    # anchor copies carry their original (clamped) span
+                    # extents from normalize_grid; covered copies are 1x1
+                    # — the Word sink restores merges from these
+                    "rowspan": int(c.rowspan),
+                    "colspan": int(c.colspan),
                     "abs_row": r,
                     "abs_col": j,
                     "href": dict(c.href),

@@ -230,6 +230,17 @@ def normalize_grid(rows: list[list[Cell]]) -> tuple[list[list[Cell]], bool]:
                     ensure(rr, cc)
                     if grid[rr][cc] is None:
                         grid[rr][cc] = cell.copy_at(rr, cc)
+            anchor = grid[r][cursor]
+            if anchor is not None and (anchor.abs_row, anchor.abs_col) \
+                    == (r, cursor):
+                # the anchor copy keeps the (clamped) span extents so the
+                # Word sink can restore the merge the reference's
+                # writeTable2Doc renders (table.py:637-640); covered
+                # copies stay 1x1. Mutation ops (delete_row/col, flip) do
+                # NOT refresh these — same stale-attribute semantics as
+                # the reference's rowspan/colspan fields; the sink clamps
+                # at render time.
+                anchor.rowspan, anchor.colspan = rs, cs
             cursor += cs
 
     width = max((len(r) for r in grid), default=0)
