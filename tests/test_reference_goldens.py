@@ -416,3 +416,47 @@ def test_write_triples_json_entry_matches_reference(spark, tmp_path):
     io_sinks.write_triples_json(tricky, out2)
     assert json.loads(_read_part_lines(out2)[0]) == [
         ['a"b', "u1"], 'r"el', ["c", "u2"]]
+
+
+def test_reference_manual_page_golden():
+    """Fourth reference-anchored input page: the repo's own 80 KB
+    Asciidoctor-generated manual (file/说明书/Web表格信息抽取系统.html) —
+    real third-party HTML the pipeline never saw during development.
+    Pins (a) the DOM pre-treatment on it: scripts/styles stripped, the
+    element census and the exact concatenated text (boilerplate-strip
+    anchor), and (b) end-to-end extraction: the page has no <table>
+    markup, so the heuristic gate must admit NOTHING — zero spans,
+    tables, triples and, critically, zero errors (robustness: an 80 KB
+    foreign page neither crashes nor fabricates tables)."""
+    import hashlib
+    from collections import Counter
+
+    from webtableextractionsystem_spark.kernel.dom import pre_treat
+    from webtableextractionsystem_spark.kernel.pipeline import (
+        extract_document,
+    )
+
+    path = "/root/reference/file/说明书/Web表格信息抽取系统.html"
+    html = open(path, encoding="utf-8").read()
+    # the exact artifact this golden pins: 79,691 bytes / 67,109 chars
+    assert len(html.encode("utf-8")) == 79691 and len(html) == 67109
+
+    root = pre_treat(html)
+    nodes = list(root.iter_desc())
+    census = Counter(n.name for n in nodes)
+    assert len(nodes) == 526
+    assert census["script"] == 0 and census["style"] == 0  # stripped
+    assert census["div"] == 231 and census["p"] == 103
+    assert census["a"] == 65 and census["img"] == 14 and census["pre"] == 23
+    text = root.text
+    assert len(text) == 7062
+    assert hashlib.md5(text.encode()).hexdigest() == \
+        "02509700cb006bd45d85fad4732f4f7a"
+    assert text.startswith("Web表格信息抽取系统使用说明")
+
+    res = extract_document(
+        "manual", [{"kind": "html", "text": html, "media_ref": "",
+                    "offset": 0}])
+    assert res["n_errors"] == 0
+    assert res["n_spans"] == 0 and res["out_spans"] == []
+    assert res["tables"] == [] and res["triples"] == []
