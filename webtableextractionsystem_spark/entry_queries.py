@@ -273,6 +273,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_repetition": TS.repetition_stats,
         "q_doc_sample": TS.doc_sample,
         "q_doc_length_buckets": TS.length_buckets,
+        "q_doc_top_terms": TS.top_terms_per_source,
+        "q_doc_inverted_index": TS.inverted_index_stats,
+        "q_doc_source_stats": TS.source_stats,
         # dedup family (F3 at scale)
         "q_doc_exact_dedup": DD.exact_dedup,
         "q_doc_minhash": DD.minhash_signatures,
@@ -308,6 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_user_profiles": REL.user_profiles,
         "q_events_sessionize": REL.event_sessions,
         "q_events_attribution": REL.event_attribution,
+        "q_events_funnel": REL.event_funnel,
     }
 
 
@@ -322,6 +326,9 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_repetition": TS.REPETITION_SQL,
         "q_doc_sample": TS.DOC_SAMPLE_SQL,
         "q_doc_length_buckets": TS.LENGTH_BUCKETS_SQL,
+        "q_doc_top_terms": TS.TOP_TERMS_SQL,
+        "q_doc_inverted_index": TS.INVERTED_INDEX_SQL,
+        "q_doc_source_stats": TS.SOURCE_STATS_SQL,
         "q_doc_decontaminate": DD.decontaminate_sql(),
         "q_doc_curation_funnel": DD.curation_funnel_sql(),
         "q_doc_exact_dedup": DD.EXACT_DEDUP_SQL,
@@ -352,6 +359,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_user_profiles": REL.USER_PROFILES_SQL,
         "q_events_sessionize": REL.EVENT_SESSIONS_SQL,
         "q_events_attribution": REL.EVENT_ATTRIBUTION_SQL,
+        "q_events_funnel": REL.EVENT_FUNNEL_SQL,
     }
     out.update(X_ORACLES)
     return out

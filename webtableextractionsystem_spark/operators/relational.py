@@ -431,3 +431,53 @@ JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
 GROUP BY c.user_id
 """
+
+
+def event_funnel(spark, sf_dir):
+    """Funnel conversion over the events fact: how far each user gets
+    through signup -> view -> click -> purchase, using first-occurrence
+    ordering (stage k is reached iff the first event of every earlier
+    step exists and the first-occurrence timestamps are non-decreasing),
+    reported as users per deepest stage. Scale shape: ONE shuffle on
+    user_id with map-side partial conditional-min aggregates, then a
+    tiny 5-key rollup — the classic product-analytics query shape."""
+    e = _t(spark, sf_dir, "events")
+
+    def first(tp):
+        return F.min(F.when(F.col("event_type") == tp, F.col("ts")))
+
+    pu = e.groupBy("user_id").agg(
+        first("signup").alias("t1"), first("view").alias("t2"),
+        first("click").alias("t3"), first("purchase").alias("t4"))
+    stage = (
+        F.when(F.col("t1").isNull(), 0)
+        .when(F.col("t2").isNull() | (F.col("t2") < F.col("t1")), 1)
+        .when(F.col("t3").isNull() | (F.col("t3") < F.col("t2")), 2)
+        .when(F.col("t4").isNull() | (F.col("t4") < F.col("t3")), 3)
+        .otherwise(4)
+    )
+    return (
+        pu.select(stage.cast("int").alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+EVENT_FUNNEL_SQL = """
+WITH pu AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t2,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t3,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t4
+  FROM events GROUP BY user_id
+)
+SELECT CAST(CASE WHEN t1 IS NULL THEN 0
+                 WHEN t2 IS NULL OR t2 < t1 THEN 1
+                 WHEN t3 IS NULL OR t3 < t2 THEN 2
+                 WHEN t4 IS NULL OR t4 < t3 THEN 3
+                 ELSE 4 END AS INTEGER) AS funnel_stage,
+       count(*) AS n_users
+FROM pu
+GROUP BY 1
+"""

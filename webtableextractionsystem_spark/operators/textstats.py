@@ -377,3 +377,144 @@ FROM (SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n
       FROM documents)
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary ops: per-source top terms + inverted-index posting
+# stats — the term-level views a corpus pipeline builds for vocabulary
+# pruning, tokenizer fitting, and search-index construction.
+# ---------------------------------------------------------------------------
+
+TOP_TERMS_K = 3
+
+
+def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K tokens per source by term frequency (rank ties broken by
+    token ascending, the deterministic contract). Scale shape: explode
+    -> map-side partial count -> ONE shuffle on (source, token) -> a
+    window over the already-aggregated (small) term table partitioned by
+    source. The window input is |vocab| x |sources| rows, not corpus
+    rows."""
+    from pyspark.sql import Window
+
+    tf = (
+        load_documents(spark, sf_dir)
+        .select("source", F.explode(_tokens()).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("tf").desc(), F.col("token"))
+    return (
+        tf.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_TERMS_K)
+        .select("source", "token", "tf", "rank")
+    )
+
+
+TOP_TERMS_SQL = rf"""
+WITH tf AS (
+  SELECT source, u.token, count(*) AS tf
+  FROM documents, LATERAL (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token) u
+  WHERE u.token <> ''
+  GROUP BY source, u.token
+)
+SELECT source, token, tf,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY tf DESC, token) AS INTEGER) AS rank
+FROM tf
+QUALIFY rank <= {TOP_TERMS_K}
+"""
+
+INDEX_MIN_DF = 5
+
+
+def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list statistics of the corpus inverted index: per token,
+    document frequency, total term frequency, and the smallest posting
+    (min doc_id), for tokens appearing in >= INDEX_MIN_DF documents —
+    the df/tf table an index builder or a tokenizer-vocab fit consumes.
+    One explode + one (token, doc) pre-aggregation + one token
+    aggregation, all map-side combined."""
+    grams = (
+        load_documents(spark, sf_dir)
+        .select("doc_id", F.explode(_tokens()).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf_doc"))
+    )
+    return (
+        grams.groupBy("token")
+        .agg(
+            F.count("*").alias("doc_freq"),
+            F.sum("tf_doc").cast("long").alias("total_tf"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("doc_freq") >= INDEX_MIN_DF)
+    )
+
+
+INVERTED_INDEX_SQL = rf"""
+WITH td AS (
+  SELECT u.token, doc_id, count(*) AS tf_doc
+  FROM documents, LATERAL (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token) u
+  WHERE u.token <> ''
+  GROUP BY u.token, doc_id
+)
+SELECT token, count(*) AS doc_freq,
+       CAST(sum(tf_doc) AS BIGINT) AS total_tf,
+       min(doc_id) AS first_doc
+FROM td
+GROUP BY token
+HAVING count(*) >= {INDEX_MIN_DF}
+"""
+
+
+def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report: doc count, total chars, total
+    tokens, distinct languages, and the count of quality-passing docs
+    (same quality expression as quality_stats) — the per-domain rollup a
+    curation dashboard reads. One scan, one tiny-key groupBy with
+    map-side partials."""
+    toks = _tokens()
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    quality_ok = ((stop_hits * 10 >= n_tokens)
+                  & (n_tokens >= 5) & (n_tokens <= 10000))
+    return (
+        load_documents(spark, sf_dir)
+        .select("source", "lang", F.length("text").alias("n_chars"),
+                n_tokens.alias("n_tokens"),
+                quality_ok.cast("int").alias("q"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("q").cast("long").alias("n_quality_ok"),
+        )
+    )
+
+
+SOURCE_STATS_SQL = rf"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+       count(DISTINCT lang) AS n_langs,
+       CAST(sum(CASE WHEN
+              len([t FOR t IN toks IF list_contains({_STOP_SQL}, lower(t))])
+                  * 10 >= len(toks)
+              AND len(toks) >= 5 AND len(toks) <= 10000
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok
+FROM (SELECT source, lang, text,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents)
+GROUP BY source
+"""
