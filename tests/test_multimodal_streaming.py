@@ -154,15 +154,22 @@ def test_png_corruption_diagnosis():
         MM.decode_image(bytes(flipped))
     with pytest.raises(ValueError):
         MM.decode_image(bytes(payload[:30]))  # truncated chunk
-    # interlaced flag -> unsupported-variant ValueError (rebuild header
-    # with interlace=1 and a fixed-up CRC so only the variant is wrong)
+    # invalid interlace method (2) -> unsupported-variant ValueError
+    # (rebuild the header with a fixed-up CRC so only the variant is
+    # wrong); interlace=1 is Adam7 and SUPPORTED since round 4
     import zlib
     ihdr = bytearray(payload[16:29])
+    ihdr[12] = 2
+    crc = (zlib.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF).to_bytes(4, "big")
+    bad = payload[:16] + bytes(ihdr) + crc + payload[33:]
+    with pytest.raises(ValueError, match="interlace"):
+        MM.decode_image(bytes(bad))
+    # a sequential stream mislabeled Adam7 is CORRUPT, not a wrong decode
     ihdr[12] = 1
     crc = (zlib.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF).to_bytes(4, "big")
-    interlaced = payload[:16] + bytes(ihdr) + crc + payload[33:]
-    with pytest.raises(ValueError, match="interlace"):
-        MM.decode_image(bytes(interlaced))
+    mislabeled = payload[:16] + bytes(ihdr) + crc + payload[33:]
+    with pytest.raises(ValueError):
+        MM.decode_image(bytes(mislabeled))
 
 
 def test_jpeg_roundtrip_and_variants():
@@ -972,3 +979,38 @@ def test_png_palette_roundtrip_and_errors():
     del enc[p:p + 12 + ln]
     with pytest.raises(ValueError, match="PLTE"):
         MM.decode_image(bytes(enc))
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7 interlacing (PNG spec §8.2): per-pass filtering + scatter
+    reassembly round-trips exactly for gray/RGB/RGBA and palette at
+    every depth, across odd/tiny dimensions where several passes are
+    empty (empty passes contribute zero bytes)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from webtableextractionsystem_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(17)
+    for depth in (1, 2, 4, 8):
+        pal = rng.integers(0, 256, size=(1 << depth, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, 1 << depth, size=(11, 7))]
+        out = MM.decode_image(
+            MM.encode_png_palette(img, depth, 4, interlace=True))
+        assert np.array_equal(out, img), depth
+
+    @settings(max_examples=30, deadline=None)
+    @given(h=st.integers(1, 20), w=st.integers(1, 20),
+           ch=st.sampled_from([0, 3, 4]), ftype=st.integers(0, 4),
+           seed=st.integers(0, 2**31 - 1))
+    def check(h, w, ch, ftype, seed):
+        r = np.random.default_rng(seed)
+        shape = (h, w) if ch == 0 else (h, w, ch)
+        img = r.integers(0, 256, size=shape, dtype=np.uint8)
+        out = MM.decode_image(
+            MM.encode_png(img, filter_type=ftype, interlace=True))
+        want = np.repeat(img[..., None], 3, 2) if ch == 0 else img[..., :3]
+        assert np.array_equal(out, want)
+
+    check()

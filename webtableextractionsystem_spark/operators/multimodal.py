@@ -67,9 +67,9 @@ def synth_media_for_spans(spans_out: DataFrame) -> DataFrame:
     """Deterministic media table for every media span: REAL encoded
     image payloads (PPM / BMP / PNG-RGB / PNG-RGBA / PNG-palette /
     baseline JPEG 4:4:4 and subsampled 4:2:0/4:2:2 / GIF; PNG rows cycle
-    through all five scanline filters, palette PNGs through depths
-    1/2/4/8, JPEG across qualities 75-95, GIF alternating interlace)
-    with pixels seeded from md5(media_ref). Stands in for the real
+    through all five scanline filters and alternate Adam7 interlacing,
+    palette PNGs through depths 1/2/4/8, JPEG across qualities 75-95,
+    GIF alternating interlace) with pixels seeded from md5(media_ref). Stands in for the real
     object store; every payload decodes through the real codec path
     (``decode_image(fake=False)``)."""
 
@@ -88,7 +88,8 @@ def synth_media_for_spans(spans_out: DataFrame) -> DataFrame:
                 elif fmt == 1:
                     payload, mime = encode_bmp(img), "image/bmp"
                 elif fmt == 2:
-                    payload = encode_png(img, filter_type=h[3] % 5)
+                    payload = encode_png(img, filter_type=h[3] % 5,
+                                         interlace=bool(h[5] % 2))
                     mime = "image/png"
                 elif fmt == 3:
                     rgba = np.dstack([img, rng.integers(
@@ -114,7 +115,8 @@ def synth_media_for_spans(spans_out: DataFrame) -> DataFrame:
                                        dtype=np.uint8)
                     img = pal[rng.integers(0, 1 << depth, size=(ht, w))]
                     payload = encode_png_palette(
-                        img, depth, filter_type=h[4] % 5)
+                        img, depth, filter_type=h[4] % 5,
+                        interlace=bool(h[5] % 2))
                     mime = "image/png"
                 else:
                     from .jpeg import encode_jpeg
@@ -290,16 +292,33 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _unpack_indices(rows: np.ndarray, depth: int, pw: int) -> np.ndarray:
+    """(h, stride) filtered bytes -> (h, pw) palette indices (MSB-first
+    sub-byte packing for depths 1/2/4; identity for 8)."""
+    if depth == 8:
+        return rows[:, :pw]
+    mask = (1 << depth) - 1
+    shifts = [8 - depth * (i + 1) for i in range(8 // depth)]
+    idx = np.stack([(rows >> s) & mask for s in shifts],
+                   axis=2).reshape(rows.shape[0], -1)
+    return idx[:, :pw]
+
+
 def _decode_png(payload: bytes) -> np.ndarray:
-    """Non-interlaced gray/RGB/RGBA (8-bit) or palette (1/2/4/8-bit)
-    PNG -> HxWx3 uint8. Pure stdlib: chunk walk + CRC32 verify + zlib
-    inflate + un-filter (+ sub-byte index unpack and PLTE resolution for
-    color type 3 — the dominant icon/sprite form on the real web).
-    Grayscale broadcasts to 3 channels; RGBA drops alpha and palette
-    tRNS is ignored (features are computed over color planes;
-    compositing policy is the caller's). 16-bit and interlaced PNGs
-    raise ValueError (corrupt vs unsupported-variant are both data
-    errors of a supported format)."""
+    """Gray/RGB/RGBA (8-bit) or palette (1/2/4/8-bit) PNG, sequential or
+    Adam7-interlaced -> HxWx3 uint8. Pure stdlib: chunk walk + CRC32
+    verify + zlib inflate + per-pass un-filter (+ sub-byte index unpack
+    and PLTE resolution for color type 3 — the dominant icon/sprite form
+    on the real web). Grayscale broadcasts to 3 channels; RGBA drops
+    alpha and palette tRNS is ignored (features are computed over color
+    planes; compositing policy is the caller's). 16-bit depth raises
+    ValueError (corrupt vs unsupported-variant are both data errors of a
+    supported format)."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = 8
@@ -333,11 +352,11 @@ def _decode_png(payload: bytes) -> np.ndarray:
     paletted = color == 3
     ok_depth = depth in (1, 2, 4, 8) if paletted else depth == 8
     if not ok_depth or (not paletted and color not in _PNG_CHANNELS) \
-            or comp != 0 or filt != 0 or interlace != 0:
+            or comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG variant (depth={depth}, color={color}, "
-            f"interlace={interlace}); only non-interlaced 8-bit "
-            "gray/RGB/RGBA and 1/2/4/8-bit palette are decodable")
+            f"interlace={interlace}); only 8-bit gray/RGB/RGBA and "
+            "1/2/4/8-bit palette (sequential or Adam7) are decodable")
     if not idat:
         raise ValueError("PNG missing IDAT")
     if w <= 0 or h <= 0:
@@ -346,34 +365,53 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError("corrupt PNG IDAT stream") from e
+    ch = 1 if paletted else _PNG_CHANNELS[color]
+    bpp = 1 if paletted else ch
+
+    def stride_of(width: int) -> int:
+        return (width * depth + 7) // 8 if paletted else width * ch
+
+    if interlace == 0:
+        rows = _png_unfilter(raw, h, stride_of(w), bpp)
+        px = (_unpack_indices(rows, depth, w) if paletted
+              else rows.reshape(h, w, ch))
+    else:
+        px = (np.zeros((h, w), dtype=np.uint8) if paletted
+              else np.zeros((h, w, ch), dtype=np.uint8))
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes NO bytes (spec §8.2)
+            stride = stride_of(pw)
+            nbytes = ph * (1 + stride)
+            rows = _png_unfilter(raw[off:off + nbytes], ph, stride, bpp)
+            off += nbytes
+            sub = (_unpack_indices(rows, depth, pw) if paletted
+                   else rows.reshape(ph, pw, ch))
+            px[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError("PNG interlaced pixel data length mismatch")
     if paletted:
         if plte is None or len(plte) == 0 or len(plte) % 3:
             raise ValueError("palette PNG with missing/malformed PLTE")
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        stride = (w * depth + 7) // 8  # filtering is byte-wise, bpp=1
-        rows = _png_unfilter(raw, h, stride, 1)
-        if depth == 8:
-            idx = rows
-        else:
-            mask = (1 << depth) - 1
-            shifts = [8 - depth * (i + 1) for i in range(8 // depth)]
-            idx = np.stack([(rows >> s) & mask for s in shifts],
-                           axis=2).reshape(h, -1)
-        idx = idx[:, :w]
-        if int(idx.max()) >= pal.shape[0]:
+        if int(px.max()) >= pal.shape[0]:
             raise ValueError("PNG pixel index outside PLTE")
-        return pal[idx]
-    ch = _PNG_CHANNELS[color]
-    px = _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
+        return pal[px]
     if ch == 1:
-        return np.repeat(px, 3, axis=2).copy()
+        return np.repeat(px[..., None] if px.ndim == 2 else px, 3,
+                         axis=2).copy()
     return px[..., :3].copy()
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
-    """HxW (gray) / HxWx3 / HxWx4 uint8 -> non-interlaced 8-bit PNG.
-    ``filter_type`` applies that PNG scanline filter (0-4) to every row,
-    so tests can exercise each decoder un-filter path individually."""
+def encode_png(img: np.ndarray, filter_type: int = 0,
+               interlace: bool = False) -> bytes:
+    """HxW (gray) / HxWx3 / HxWx4 uint8 -> 8-bit PNG, sequential or
+    Adam7-interlaced. ``filter_type`` applies that PNG scanline filter
+    (0-4) to every row, so tests can exercise each decoder un-filter
+    path individually."""
     if img.ndim == 2:
         color, ch = 0, 1
         px = img[..., None]
@@ -388,10 +426,19 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     if not 0 <= filter_type <= 4:
         raise ValueError(f"bad PNG filter type {filter_type}")
     h, w = px.shape[:2]
-    scan = _png_filter_rows(px.astype(np.int64).reshape(h, w * ch),
-                            ch, filter_type)
+    if interlace:
+        scan = b"".join(
+            _png_filter_rows(
+                px[y0::dy, x0::dx].astype(np.int64).reshape(
+                    px[y0::dy, x0::dx].shape[0], -1),
+                ch, filter_type)
+            for x0, y0, dx, dy in _ADAM7
+            if px[y0::dy, x0::dx].size)
+    else:
+        scan = _png_filter_rows(px.astype(np.int64).reshape(h, w * ch),
+                                ch, filter_type)
     ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
-            + bytes([8, color, 0, 0, 0]))
+            + bytes([8, color, 0, 0, int(interlace)]))
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(scan))
             + _png_chunk(b"IEND", b""))
@@ -430,11 +477,26 @@ def _png_filter_rows(rows: np.ndarray, bpp: int, filter_type: int) -> bytes:
     ]).tobytes()
 
 
+def _pack_indices(idx: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w) palette indices -> (h, stride) bytes, MSB-first sub-byte
+    packing (identity layout for depth 8)."""
+    per = 8 // depth  # indices per byte
+    h0, w0 = idx.shape
+    pw = (w0 + per - 1) // per * per
+    padded = np.pad(idx, ((0, 0), (0, pw - w0)))
+    packed = np.zeros((h0, pw // per), dtype=np.int64)
+    for i in range(per):
+        packed |= padded[:, i::per] << (8 - depth * (i + 1))
+    return packed
+
+
 def encode_png_palette(img: np.ndarray, depth: int = 8,
-                       filter_type: int = 0) -> bytes:
+                       filter_type: int = 0,
+                       interlace: bool = False) -> bytes:
     """HxWx3 uint8 (<= 2^depth distinct colors) -> color-type-3 PNG with
     depth-bit palette indices (1/2/4/8), MSB-first packed, PLTE from the
-    image's unique colors. The dominant real-web icon/sprite form."""
+    image's unique colors, sequential or Adam7-interlaced. The dominant
+    real-web icon/sprite form."""
     if img.ndim != 3 or img.shape[2] < 3:
         raise ValueError(
             f"encode_png_palette needs HxWx(>=3), got shape {img.shape}")
@@ -451,15 +513,16 @@ def encode_png_palette(img: np.ndarray, depth: int = 8,
         raise ValueError(f"{pal.shape[0]} distinct colors exceed a "
                          f"{1 << depth}-entry palette; quantize first")
     idx = inv.reshape(h, w).astype(np.int64)
-    per = 8 // depth  # indices per byte
-    pw = (w + per - 1) // per * per
-    padded = np.pad(idx, ((0, 0), (0, pw - w)))
-    packed = np.zeros((h, pw // per), dtype=np.int64)
-    for i in range(per):
-        packed |= padded[:, i::per] << (8 - depth * (i + 1))
-    scan = _png_filter_rows(packed, 1, filter_type)
+    if interlace:
+        scan = b"".join(
+            _png_filter_rows(_pack_indices(idx[y0::dy, x0::dx], depth),
+                             1, filter_type)
+            for x0, y0, dx, dy in _ADAM7
+            if idx[y0::dy, x0::dx].size)
+    else:
+        scan = _png_filter_rows(_pack_indices(idx, depth), 1, filter_type)
     ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
-            + bytes([depth, 3, 0, 0, 0]))
+            + bytes([depth, 3, 0, 0, int(interlace)]))
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"PLTE", pal.astype(np.uint8).tobytes())
             + _png_chunk(b"IDAT", zlib.compress(scan))
