@@ -1014,3 +1014,98 @@ def test_png_adam7_interlace_roundtrip():
         assert np.array_equal(out, want)
 
     check()
+
+
+def test_avi_zero_usperframe_falls_back_to_strh_rate():
+    """An avih that is PRESENT but carries dwMicroSecPerFrame == 0
+    (encoders that rely on strh dwScale/dwRate) must fall back to the
+    strh pair, not return a silent 0 duration."""
+    import numpy as np
+
+    from webtableextractionsystem_spark.operators import video as V
+
+    img = np.full((8, 8, 3), 99, np.uint8)
+    payload = bytearray(V.encode_avi_mjpeg([img, img], fps=10))
+    assert payload[24:28] == b"avih"
+    payload[32:36] = (0).to_bytes(4, "little")  # dwMicroSecPerFrame = 0
+    frames, us = V.decode_video(bytes(payload))
+    assert frames.shape[0] == 2 and us == 100_000
+
+
+def test_jpeg_rejects_four_component_frame():
+    """A 4-component SOF0 (Adobe CMYK/YCCK) must raise, not have its
+    first three planes misread as YCbCr."""
+    import numpy as np
+    import pytest
+
+    from webtableextractionsystem_spark.operators import jpeg as J
+
+    enc = bytearray(J.encode_jpeg(np.full((8, 8, 3), 77, np.uint8), 90))
+    sof = enc.index(bytes([0xFF, 0xC0]))
+    assert enc[sof + 9] == 3  # ncomp byte of the SOF0 body
+    enc[sof + 9] = 4
+    with pytest.raises(ValueError, match="4 components"):
+        J.decode_jpeg(bytes(enc))
+
+
+def test_jpeg_encode_validates_subsampling_on_gray_path():
+    """An invalid subsampling argument raises on the grayscale path too,
+    not only when the input happens to be RGB."""
+    import numpy as np
+    import pytest
+
+    from webtableextractionsystem_spark.operators import jpeg as J
+
+    with pytest.raises(ValueError, match="411"):
+        J.encode_jpeg(np.full((8, 8), 50, np.uint8), 90, subsampling="411")
+
+
+def test_gif_giant_logical_screen_bounded():
+    """Logical-screen dims are attacker-controlled header fields; a tiny
+    payload declaring 65535x65535 must raise instead of attempting a
+    ~12.8 GB canvas allocation."""
+    import numpy as np
+    import pytest
+
+    from webtableextractionsystem_spark.operators import gif as G
+
+    enc = bytearray(G.encode_gif(np.full((2, 2, 3), 10, np.uint8)))
+    enc[6:8] = (65535).to_bytes(2, "little")
+    enc[8:10] = (65535).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="decode bound"):
+        G.decode_gif(bytes(enc))
+
+
+def test_neardup_members_fn_skips_replayed_docs():
+    """A doc re-seen by the pairs stream (stage-pass crash replay
+    rewrites staged part files) must not re-emit its pairs or be
+    double-counted in the bucket member state."""
+    import pandas as pd
+
+    from webtableextractionsystem_spark.streaming import stateful as S
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = FakeState()
+    key = (0, "k")
+
+    def run(ids):
+        out = list(S._members_fn(key, iter([pd.DataFrame({"doc_id": ids})]), st))
+        return sorted(map(tuple, out[0].itertuples(index=False))) if out else []
+
+    assert run([1, 2]) == [(1, 2)]
+    assert st.get[0] == [1, 2]
+    # replay of doc 2 plus a genuinely new doc 3
+    assert run([2, 3]) == [(1, 3), (2, 3)]
+    assert st.get[0] == [1, 2, 3]

@@ -110,7 +110,7 @@ SEED_PARAMS = [(2 * s + 3, 1000003 * (s + 1) % MINHASH_P)
                for s in range(N_SEEDS)]
 
 
-def row_minhash(docs: DataFrame) -> DataFrame:
+def row_minhash(docs: DataFrame, shingles=None) -> DataFrame:
     """Per-ROW minhash signature: a single higher-order fold carries all
     N_SEEDS running minima across the shingle hash array — one md5 per
     shingle (the fold input is evaluated once per row), no explode, no
@@ -119,9 +119,13 @@ def row_minhash(docs: DataFrame) -> DataFrame:
     aggregation-free it is also legal before stateful streaming
     operators. Docs too short to shingle get NULL signatures (the
     MINHASH_P sentinel can never be a real minimum — every permuted
-    hash is strictly below the modulus)."""
+    hash is strictly below the modulus).
+
+    ``shingles``: optional array<string> Column of PRE-COMPUTED shingles
+    (e.g. a staged signature table); default derives them from ``text``.
+    """
     hs = F.transform(
-        _shingles(),
+        _shingles() if shingles is None else shingles,
         lambda sh: F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long"),
     )
     a_arr = F.array(*[F.lit(a).cast("long") for a, _ in SEED_PARAMS])

@@ -28,6 +28,11 @@ import numpy as np
 
 _GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
+# Cap on the background-canvas allocation (64M pixels = 192 MB RGB).
+# The logical-screen dims are attacker-controlled header fields that,
+# unlike frame pixels, need no LZW data behind them.
+_MAX_CANVAS_PIXELS = 1 << 26
+
 
 class _BitReaderLSB:
     """LZW code reader: GIF packs codes least-significant-bit first."""
@@ -189,6 +194,13 @@ def _decode_gif_impl(payload: bytes) -> np.ndarray:
                 return frame
             if left + w > sw or top + h > sh or sw <= 0 or sh <= 0:
                 raise ValueError("GIF frame extends beyond logical screen")
+            if sw * sh > _MAX_CANVAS_PIXELS:
+                # the logical-screen dims come straight from the payload;
+                # without a cap a <100-byte GIF declaring 65535x65535 with
+                # a valid 1x1 frame forces a ~12.8 GB canvas allocation
+                raise ValueError(
+                    f"GIF logical screen {sw}x{sh} exceeds the "
+                    f"{_MAX_CANVAS_PIXELS}-pixel decode bound")
             bg = (global_pal[bg_index]
                   if global_pal is not None and bg_index < len(global_pal)
                   else np.zeros(3, dtype=np.uint8))

@@ -277,15 +277,17 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         raise ValueError("empty image")
     qlum = _scaled_quant(QUANT_LUM, quality)
     qchr = _scaled_quant(QUANT_CHR, quality)
+    lf = _SUBSAMPLING.get(subsampling)
+    if lf is None:
+        # validate on BOTH paths — a typo'd subsampling must not be
+        # silently accepted just because the input happens to be gray
+        raise ValueError(
+            f"subsampling {subsampling!r} unsupported (444/420/422)")
     if gray:
         planes = [img.astype(np.float64)]
         quants = [qlum]
         factors = [(1, 1)]
     else:
-        lf = _SUBSAMPLING.get(subsampling)
-        if lf is None:
-            raise ValueError(
-                f"subsampling {subsampling!r} unsupported (444/420/422)")
         factors = [lf, (1, 1), (1, 1)]
         ycc = _rgb_to_ycbcr(img[..., :3])
         planes = [ycc[..., 0],
@@ -468,6 +470,13 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
             if body[0] != 8:
                 raise ValueError("only 8-bit JPEG supported")
             fh, fw, ncomp = u16(pos + 3), u16(pos + 5), body[5]
+            if ncomp not in (1, 3):
+                # 4-component Adobe CMYK/YCCK would otherwise decode and
+                # have its first three planes misread as YCbCr — silent
+                # garbage, violating the module contract
+                raise ValueError(
+                    f"JPEG with {ncomp} components unsupported "
+                    "(grayscale or YCbCr only)")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]

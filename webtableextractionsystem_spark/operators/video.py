@@ -127,8 +127,9 @@ def decode_video(payload: bytes) -> tuple[np.ndarray, int]:
             off = body_end + (size % 2)  # skip the word-alignment pad
 
     walk(payload, 12, len(payload))
-    if us_per_frame is None:
-        # avih is mandatory; fall back to the video strh's rate/scale
+    if not us_per_frame:
+        # avih absent OR dwMicroSecPerFrame == 0 (encoders that rely on
+        # strh dwScale/dwRate): fall back to the video strh's rate/scale
         # pair rather than silently reporting a 0 us frame duration
         derived = [1_000_000 * s // r for s, r in scale_rate if r and s]
         if not derived:

@@ -210,11 +210,18 @@ def _members_fn(key: Tuple[int, str], pdfs: Iterator[pd.DataFrame],
     one key's state, the same rows a batch self-join would materialize
     for that key."""
     members = list(state.get[0]) if state.exists else []
+    seen = set(members)
     new_ids = sorted({int(d) for pdf in pdfs for d in pdf["doc_id"]})
     emit = []
     for d in new_ids:
-        emit.extend((min(m, d), max(m, d)) for m in members if m != d)
+        if d in seen:
+            # a stage-pass crash replay rewrites batch=N with fresh part
+            # filenames, so the pairs stream can re-see a doc; its pair
+            # emissions already happened in the earlier microbatch
+            continue
+        emit.extend((min(m, d), max(m, d)) for m in members)
         members.append(d)
+        seen.add(d)
     state.update((members,))
     if emit:
         yield pd.DataFrame(emit, columns=["doc_a", "doc_b"])
@@ -235,7 +242,13 @@ def streaming_neardup_verified(spark: SparkSession, input_dir: str,
        ``state_dir/shingles/batch=<id>/dbucket=<hash(doc_id)%ND>``,
        sorted by doc_id within files — the accumulated corpus state a
        warehouse near-dup pass stages anyway, laid out for point fetch.
-    2. PAIRS+VERIFY: per-row minhash -> LSH bands ->
+    2. PAIRS+VERIFY: streams FROM the staged shingle table (NOT from
+       ``input_dir`` — a doc can therefore never be paired before its
+       shingles are staged; with independent snapshots of ``input_dir``
+       a file landing between the two stream starts would be paired,
+       fail the shingle join silently, and — its membership already
+       recorded — never be re-emitted). Per-row minhash (from the
+       staged shingle column) -> LSH bands ->
        ``applyInPandasWithState`` keyed by (band, band_key) whose state
        is the bucket's member list; new arrivals emit candidate pairs
        against earlier members only (no corpus rescan — the state store
@@ -295,52 +308,58 @@ def streaming_neardup_verified(spark: SparkSession, input_dir: str,
     )
 
     def verify_batch(pairs_batch, batch_id: int) -> None:
-        cand = pairs_batch.select("doc_a", "doc_b").distinct()
-        # bounded collect: candidate DOCS of one microbatch (near-dup
-        # hits, not the corpus) — used to prune the staged-state read
-        # down to their partitions/row groups
-        cand_docs = [
-            int(r[0]) for r in cand.select(
-                F.explode(F.array("doc_a", "doc_b")).alias("d"))
-            .distinct().collect()
-        ]
+        # ONE bounded collect — the microbatch's distinct candidate
+        # pairs (near-dup hits, not the corpus) — yields n_pairs, the
+        # candidate doc set, and the cand side of the verify join; the
+        # only other driver round-trip is the tiny local-relation job
+        # computing the dbucket prune list (Spark's xxhash64 must match
+        # the staged partition values, so it cannot move to Python)
+        pair_rows = pairs_batch.select("doc_a", "doc_b").distinct().collect()
+        cand_docs = sorted({int(r[i]) for r in pair_rows for i in (0, 1)})
         n_fetched = 0
         n_dbuckets = 0
-        if not cand_docs:
+        if not pair_rows:
             verified = spark.createDataFrame([], NEARDUP_PAIR_OUTPUT)
         else:
-            sh = spark.read.parquet(shingle_root)
-            buckets = (
-                spark.createDataFrame(
+            buckets = sorted({
+                r["b"] for r in spark.createDataFrame(
                     [(d,) for d in cand_docs], "doc_id long")
                 .select(F.pmod(F.xxhash64("doc_id"),
                                F.lit(_N_DBUCKETS)).alias("b"))
-                .distinct().collect()
-            )
+                .collect()
+            })
             n_dbuckets = len(buckets)
-            sh = sh.where(F.col("dbucket").isin([r["b"] for r in buckets]))
+            sh = (spark.read.parquet(shingle_root)
+                  .where(F.col("dbucket").isin(buckets)))
             if len(cand_docs) <= _MAX_INLIST_DOCS:
                 sh = sh.where(F.col("doc_id").isin(cand_docs))
             sh = sh.select("doc_id", "sh").persist()
             n_fetched = sh.count()
             # the SAME verify expression as the batch pipeline (shared
             # helper — equivalence by construction)
+            cand = spark.createDataFrame(
+                [(int(r[0]), int(r[1])) for r in pair_rows],
+                NEARDUP_PAIR_OUTPUT)
             verified = jaccard_verified(cand, sh)
         verified.write.mode("overwrite").parquet(
             f"{output_dir}/batch={batch_id}")
         spark.createDataFrame(
-            [(int(cand.count()), len(cand_docs), n_fetched, n_dbuckets)],
+            [(len(pair_rows), len(cand_docs), n_fetched, n_dbuckets)],
             "n_pairs long, n_cand_docs long, n_state_rows_fetched long, "
             "n_dbuckets_read long",
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{metrics_root}/batch={batch_id}")
-        if cand_docs:
+        if pair_rows:
             sh.unpersist()
 
+    # the pairs pass sources from the STAGED table: availableNow on the
+    # stage stream has already landed every input doc's shingles before
+    # this stream lists its files, so stage-before-pair holds by
+    # construction rather than by racing two input_dir snapshots
     stream = spark.readStream.schema(
-        "doc_id long, text string").parquet(input_dir)
+        "doc_id long, sh array<string>").parquet(shingle_root)
     banded = (
-        row_minhash(stream)
+        row_minhash(stream, shingles=F.col("sh"))
         .where(F.col("mh0").isNotNull())
         .select("doc_id", F.explode(band_structs()).alias("bk"))
         .select("doc_id", "bk.band", "bk.band_key")
