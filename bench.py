@@ -102,6 +102,14 @@ def main() -> None:
             .agg(F.count("*")).collect(),
             "q_doc_curation_funnel": lambda: DD.curation_funnel(spark, sf_dir)
             .groupBy("reason").count().collect(),
+            "q_events_asof_join": lambda: REL.event_asof_join(spark, sf_dir)
+            .agg(F.count("*")).collect(),
+            "q_doc_chunks": lambda: TS.doc_chunks(spark, sf_dir)
+            .agg(F.count("*")).collect(),
+            "q_doc_pack_sequences": lambda: TS.pack_sequences(spark, sf_dir)
+            .agg(F.count("*")).collect(),
+            "q_emb_centroid_outliers": lambda: SIM.centroid_outliers(
+                spark, sf_dir).agg(F.count("*")).collect(),
         }
         for name, fn in bench_set.items():
             queries[name] = timed(fn)

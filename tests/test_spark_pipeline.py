@@ -243,3 +243,91 @@ def test_curation_funnel_cascade_order(spark, tmp_path):
     assert full[40] == "near_dup"     # not an exact dup, J >= 0.5 vs 25
     assert full[50] == "contaminated"
     assert full[60] == "quality"  # quality subsumes the language gate
+
+
+def test_event_asof_join_semantics(spark, tmp_path):
+    """As-of semantics on a crafted frame: a purchase with no preceding
+    click is excluded; the MOST RECENT click wins (not the first); a
+    same-microsecond click IS visible to the purchase (>= bound); other
+    users' clicks never leak."""
+    from datetime import datetime
+
+    from webtableextractionsystem_spark.operators.relational import (
+        event_asof_join,
+    )
+
+    T = lambda s: datetime.fromisoformat(s)
+    rows = [
+        # user 1: purchase BEFORE any click -> excluded
+        (1, T("2024-01-01 09:00:00"), 1, "purchase", 1.0, "{}"),
+        (2, T("2024-01-01 10:00:00"), 1, "click", 0.0, "{}"),
+        (3, T("2024-01-01 10:30:00"), 1, "click", 0.0, "{}"),  # most recent
+        (4, T("2024-01-01 11:00:00"), 1, "purchase", 2.0, "{}"),
+        # user 2: click at the same microsecond as the purchase -> match
+        (5, T("2024-01-02 08:00:00"), 2, "click", 0.0, "{}"),
+        (6, T("2024-01-02 08:00:00"), 2, "purchase", 3.0, "{}"),
+        # user 3: clicks only, user 1's clicks must not leak here
+        (7, T("2024-01-03 09:00:00"), 3, "click", 0.0, "{}"),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(f"{sf_dir}/events.parquet")
+    out = {r["event_id"]: r for r in
+           event_asof_join(spark, sf_dir).collect()}
+    assert set(out) == {4, 6}
+    assert out[4]["asof_click_ts"] == "2024-01-01 10:30:00"
+    assert out[4]["gap_us"] == 30 * 60 * 1_000_000
+    assert out[6]["gap_us"] == 0
+
+
+def test_doc_chunks_and_packing_invariants(spark, tmp_path):
+    """Chunking: stride-spaced starts covering every token, final chunks
+    short. Packing: per-bucket concat-and-chunk — offset/pack_id agree
+    with the recomputed running sum, and at least one doc straddles a
+    pack boundary (the GPT-style layout's defining property)."""
+    import pandas as pd
+
+    from webtableextractionsystem_spark.operators.textstats import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        PACK_CAPACITY,
+        doc_chunks,
+        pack_sequences,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    chunks = doc_chunks(spark, sf_dir).toPandas()
+    for doc_id, g in chunks.groupby("doc_id"):
+        g = g.sort_values("start")
+        starts = list(g["start"])
+        n = starts[-1] + int(g["n_tokens"].iloc[-1]) - 1  # doc token count
+        assert starts == list(range(1, n + 1, CHUNK_STRIDE))
+        for s, nt in zip(g["start"], g["n_tokens"]):
+            assert nt == min(CHUNK_SIZE, n - s + 1)
+
+    packs = pack_sequences(spark, sf_dir).toPandas()
+    for bucket, g in packs.groupby("bucket"):
+        g = g.sort_values("doc_id")
+        cum = 0
+        for _, r in g.iterrows():
+            assert r["pack_id"] == cum // PACK_CAPACITY
+            assert r["offset_in_pack"] == cum % PACK_CAPACITY
+            cum += r["n_tokens"]
+
+    # boundary straddling needs docs long enough to cross capacity —
+    # sf0.01 docs are short, so craft a corpus where it must happen:
+    # 1500-token docs against a 2048 capacity guarantee every second
+    # doc in a 2+-doc bucket straddles a pack boundary
+    rows = [(i, " ".join(f"t{j}" for j in range(1500)), "en", "s", 0)
+            for i in range(40)]
+    crafted = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(f"{crafted}/documents.parquet")
+    cp = pack_sequences(spark, crafted).toPandas()
+    straddles = ((cp["offset_in_pack"] + cp["n_tokens"]) > PACK_CAPACITY)
+    assert straddles.any()
+    assert (cp["n_tokens"] == 1500).all()

@@ -96,6 +96,18 @@ def main() -> None:
         "InMemoryTableScan, then only the irreducible shuffles (fp "
         "window, band self-join, broadcast decontamination probe)":
             DD.curation_funnel(spark, SF),
+        "q_events_asof_join — as-of via union+window (ONE user_id "
+        "shuffle, pushed In-filter; no range join, no quadratic "
+        "intermediate)": REL.event_asof_join(spark, SF),
+        "q_doc_chunks — context-window chunking: scan -> Generate, "
+        "ZERO shuffles, chunk digests not token arrays on the wire":
+            TS.doc_chunks(spark, SF),
+        "q_doc_pack_sequences — concat-and-chunk packing: one bucket "
+        "shuffle + running-sum window per independent stream":
+            TS.pack_sequences(spark, SF),
+        "q_emb_centroid_outliers — tiny (label,pos) centroid agg "
+        "broadcast back onto the embeddings scan; per-row JVM dot fold":
+            SIM.centroid_outliers(spark, SF),
     }
 
     parts = [

@@ -276,6 +276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_top_terms": TS.top_terms_per_source,
         "q_doc_inverted_index": TS.inverted_index_stats,
         "q_doc_source_stats": TS.source_stats,
+        "q_doc_chunks": TS.doc_chunks,
+        "q_doc_pack_sequences": TS.pack_sequences,
         # dedup family (F3 at scale)
         "q_doc_exact_dedup": DD.exact_dedup,
         "q_doc_minhash": DD.minhash_signatures,
@@ -295,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_emb_neardup_pairs": SIM.neardup_pairs,
         "q_emb_ivf_topk": SIM.ivf_topk,
         "q_emb_ivf_recall": SIM.ivf_recall,
+        "q_emb_centroid_outliers": SIM.centroid_outliers,
         # relational surface (S3/S9 -> queue_batch, F3 -> anti-join, union)
         "q_rel_pricing_summary": REL.pricing_summary,
         "q_rel_revenue_by_nation": REL.revenue_by_nation,
@@ -312,6 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_sessionize": REL.event_sessions,
         "q_events_attribution": REL.event_attribution,
         "q_events_funnel": REL.event_funnel,
+        "q_events_asof_join": REL.event_asof_join,
     }
 
 
@@ -329,6 +333,8 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_top_terms": TS.TOP_TERMS_SQL,
         "q_doc_inverted_index": TS.INVERTED_INDEX_SQL,
         "q_doc_source_stats": TS.SOURCE_STATS_SQL,
+        "q_doc_chunks": TS.DOC_CHUNKS_SQL,
+        "q_doc_pack_sequences": TS.PACK_SEQUENCES_SQL,
         "q_doc_decontaminate": DD.decontaminate_sql(),
         "q_doc_curation_funnel": DD.curation_funnel_sql(),
         "q_doc_exact_dedup": DD.EXACT_DEDUP_SQL,
@@ -344,6 +350,7 @@ def oracle_sql() -> dict[str, str]:
         "q_emb_topk_cosine": SIM.TOPK_SQL,
         "q_emb_lsh_buckets": SIM.LSH_BUCKETS_SQL,
         "q_emb_neardup_pairs": SIM.neardup_pairs_sql(),
+        "q_emb_centroid_outliers": SIM.CENTROID_OUTLIERS_SQL,
         "q_rel_pricing_summary": REL.PRICING_SQL,
         "q_rel_revenue_by_nation": REL.REVENUE_BY_NATION_SQL,
         "q_rel_top_orders": REL.TOP_ORDERS_SQL,
@@ -360,6 +367,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_sessionize": REL.EVENT_SESSIONS_SQL,
         "q_events_attribution": REL.EVENT_ATTRIBUTION_SQL,
         "q_events_funnel": REL.EVENT_FUNNEL_SQL,
+        "q_events_asof_join": REL.EVENT_ASOF_SQL,
     }
     out.update(X_ORACLES)
     return out

@@ -481,3 +481,69 @@ SELECT CAST(CASE WHEN t1 IS NULL THEN 0
 FROM pu
 GROUP BY 1
 """
+
+
+def event_asof_join(spark, sf_dir):
+    """AS-OF join — an operator Spark's DataFrame API lacks natively:
+    each purchase is matched to the MOST RECENT click by the same user
+    at or before it (the kdb/pandas ``merge_asof`` / DuckDB ``ASOF
+    JOIN`` semantics; reference scope: the system's MSSQL layer answers
+    point-in-time lookups row-at-a-time, this is the set form).
+
+    Scale shape — the union+window trick, NOT a range join: tag clicks
+    and purchases, union them into one stream, and carry the last seen
+    click_ts forward with ``last(..., ignorenulls)`` over a user_id
+    window. ONE shuffle on user_id; a range-condition join would
+    explode every (click, purchase) pair within the horizon before
+    filtering (the attribution query needs those pairs; as-of only
+    needs the latest, so the window form does strictly less work and
+    never materializes the quadratic intermediate). Equal-ts tie: the
+    click sorts first (is_p ascending), so a same-microsecond click is
+    visible to the purchase — matching ASOF's >= bound. Output is
+    per-purchase with second-formatted timestamps and an exact
+    microsecond gap (integer discipline)."""
+    e = _t(spark, sf_dir, "events")
+    ev = e.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    asof = ev.withColumn(
+        "click_ts",
+        F.last(F.when(F.col("is_p") == 0, F.col("ts")),
+               ignorenulls=True).over(w))
+    return (
+        asof.where((F.col("is_p") == 1) & F.col("click_ts").isNotNull())
+        .select(
+            "event_id", "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+            .alias("purchase_ts"),
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss")
+            .alias("asof_click_ts"),
+            # ts is TIMESTAMP_NTZ in the parquet; unix_micros wants TZ.
+            # The NTZ->TZ cast shifts both operands identically, so the
+            # difference is timezone-invariant.
+            (F.unix_micros(F.col("ts").cast("timestamp"))
+             - F.unix_micros(F.col("click_ts").cast("timestamp")))
+            .alias("gap_us"),
+        )
+    )
+
+
+# DuckDB's native ASOF JOIN is the independent formulation: the engine
+# picks the greatest c.ts <= p.ts per left row — no window algebra shared
+# with the Spark implementation.
+EVENT_ASOF_SQL = """
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS asof_click_ts,
+       date_diff('microsecond', c.ts, p.ts) AS gap_us
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT user_id, ts FROM events
+           WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""

@@ -301,3 +301,87 @@ SELECT vec_id,
 FROM proj
 GROUP BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# per-label centroid + outlier scoring (embedding-space quality filtering:
+# docs far from their cluster centroid are mislabeled/noisy candidates —
+# the embedding analogue of the text quality gate)
+# ---------------------------------------------------------------------------
+
+CENTROID_QUANT = 1_000_000  # 1e-6 component quantization for exact agg
+OUTLIER_SIM = 0.0           # rounded cosine below this flags an outlier
+
+
+def centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine of every vector to its label's centroid, with an outlier
+    flag. The centroid mean is computed over 1e-6-quantized components
+    (round(v * 1e6) summed as LONG): integer aggregation is exact and
+    order-independent, so the centroid — unlike a float avg, whose
+    partial-aggregation order differs per engine/run — is bit-identical
+    in Spark and the DuckDB oracle; a micro-quantized centroid is
+    indistinguishable for outlier scoring.
+
+    Scale shape: posexplode -> partial-agg'd groupBy((label, pos)) whose
+    key domain is n_labels x N_DIMS (tiny); the centroid table collapses
+    to one array row per label and BROADCASTS back onto the embeddings
+    scan, where the dot product is a per-row JVM fold — no second
+    shuffle, no row explosion on the big side."""
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("e"))
+    dims = emb.select("label", F.posexplode("e").alias("pos", "v"))
+    cent = (
+        dims.select(
+            "label", "pos",
+            F.round(F.col("v") * CENTROID_QUANT).cast("long").alias("q"))
+        .groupBy("label", "pos")
+        .agg((F.sum("q").cast("double")
+              / (F.count("*") * float(CENTROID_QUANT))).alias("c"))
+    )
+    carr = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s["c"]).alias("cv"))
+    )
+    sim = _dot(F.col("e"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("e"), F.col("e")))
+        * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    return (
+        emb.join(F.broadcast(carr), "label")
+        .select(
+            "vec_id", "label",
+            F.round(sim, 4).alias("sim_r"),
+            (F.round(sim, 4) < OUTLIER_SIM).alias("is_outlier"),
+        )
+    )
+
+
+CENTROID_OUTLIERS_SQL = f"""
+WITH dims AS (
+  SELECT label, t.range - 1 AS pos,
+         CAST(round(embedding[t.range]::DOUBLE * {CENTROID_QUANT})
+              AS BIGINT) AS q
+  FROM embeddings, range(1, {N_DIMS + 1}) t
+),
+cent AS (
+  SELECT label, pos,
+         CAST(sum(q) AS DOUBLE) / (count(*) * {CENTROID_QUANT}.0) AS c
+  FROM dims GROUP BY label, pos
+),
+carr AS (
+  SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         round(list_dot_product(emb, cv)
+               / (sqrt(list_dot_product(emb, emb))
+                  * sqrt(list_dot_product(cv, cv))), 4) AS sim_r
+  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        FROM embeddings) e
+  JOIN carr USING (label)
+)
+SELECT vec_id, label, sim_r, sim_r < {OUTLIER_SIM} AS is_outlier
+FROM scored
+"""

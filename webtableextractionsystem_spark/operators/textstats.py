@@ -10,7 +10,7 @@ can't drift on float rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # common-word list for the stopword/langid heuristics (includes the
@@ -517,4 +517,110 @@ FROM (SELECT source, lang, text,
              regexp_split_to_array(trim(text), '\s+') AS toks
       FROM documents)
 GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking + sequence packing (the two transforms between a
+# curated corpus and actual training batches: split long docs into
+# overlapping context windows; concatenate docs and cut fixed-capacity
+# packs, GPT-style)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 128    # tokens per context window
+CHUNK_STRIDE = 96   # window start step (32-token overlap)
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size context windows per document: starts at
+    token 1, 1+STRIDE, ... while <= n_tokens; each chunk is
+    ``slice(toks, start, CHUNK_SIZE)`` (the final chunks are short).
+    Entirely JVM-side array algebra (sequence -> explode -> slice) — no
+    Python in the path; the explode factor is n/STRIDE, and every output
+    row carries only the chunk digest + length, never the token array,
+    so shuffle width stays O(1) per chunk."""
+    d = load_documents(spark, sf_dir).select(
+        "doc_id", _tokens().alias("toks"))
+    starts = F.sequence(F.lit(1), F.size("toks"), F.lit(CHUNK_STRIDE))
+    chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_SIZE)
+    return (
+        d.select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id", "start",
+            ((F.col("start") - 1) / CHUNK_STRIDE).cast("int")
+            .alias("chunk_idx"),
+            F.size(chunk).alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+    )
+
+
+# DuckDB list slicing is 1-based inclusive: toks[a:b] = elements a..b.
+DOC_CHUNKS_SQL = rf"""
+SELECT doc_id, start,
+       CAST((start - 1) // {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+       len(toks[start:start + {CHUNK_SIZE - 1}]) AS n_tokens,
+       md5(array_to_string(toks[start:start + {CHUNK_SIZE - 1}], ' '))
+           AS chunk_hash
+FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, {CHUNK_STRIDE}))
+             AS start
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents))
+"""
+
+
+PACK_CAPACITY = 2048   # tokens per training pack
+N_PACK_BUCKETS = 32    # independent packing streams
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: docs are concatenated in a
+    deterministic order and cut every PACK_CAPACITY tokens, so each doc
+    gets (pack_id, offset_in_pack) — the GPT-style pretraining layout
+    where documents straddle pack boundaries.
+
+    Scale shape: a single global order would serialize the cumsum, so
+    packing runs in N_PACK_BUCKETS independent streams keyed by an
+    md5-derived bucket of doc_id (engine-portable, like doc_sample's
+    hash) — ONE shuffle on the bucket key, a running-sum window within
+    each bucket ordered by doc_id, integer division for the pack id.
+    Buckets pack independently (pack ids are per-bucket), exactly how a
+    1000-executor job would shard the corpus; determinism survives any
+    input partitioning because both bucket and order derive from
+    doc_id alone."""
+    n_tok = F.size(_tokens())
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long") % N_PACK_BUCKETS
+    ).cast("int")
+    d = load_documents(spark, sf_dir).select(
+        "doc_id", bucket.alias("bucket"), n_tok.alias("n_tokens"))
+    w = (
+        Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_before = (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return d.select(
+        "doc_id", "bucket", "n_tokens",
+        F.lit(PACK_CAPACITY).cast("int").alias("capacity"),
+        (cum_before / PACK_CAPACITY).cast("long").alias("pack_id"),
+        (cum_before % PACK_CAPACITY).cast("int").alias("offset_in_pack"),
+    )
+
+
+PACK_SEQUENCES_SQL = rf"""
+SELECT doc_id, bucket, n_tokens,
+       CAST({PACK_CAPACITY} AS INTEGER) AS capacity,
+       CAST((cum - n_tokens) // {PACK_CAPACITY} AS BIGINT) AS pack_id,
+       CAST((cum - n_tokens) % {PACK_CAPACITY} AS INTEGER) AS offset_in_pack
+FROM (
+  SELECT doc_id, bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM (SELECT doc_id,
+               CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % {N_PACK_BUCKETS} AS INTEGER) AS bucket,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        FROM documents)
+)
 """
