@@ -1180,3 +1180,74 @@ def test_real_world_media_goldens_from_reference_repo():
         out = MM.decode_image(open(f"{root}/{name}", "rb").read())
         assert out.shape == shape, name
         assert hashlib.md5(out.tobytes()).hexdigest() == digest, name
+
+
+def test_streaming_sessionize_equals_batch(spark, tmp_path):
+    """Streaming sessionization == batch event_sessions over the same
+    corpus: sessions close in-stream (later event past the gap) or by
+    event-time timeout (watermark passes last+gap, driven here by a
+    far-future sentinel). A session STRADDLING the availableNow restart
+    must merge — only persistent per-user state can do that."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from webtableextractionsystem_spark.operators.relational import (
+        event_sessions,
+    )
+    from webtableextractionsystem_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    base = datetime(2024, 3, 1, 9, 0, 0)
+    M = timedelta(minutes=1)
+
+    def ev(eid, uid, minutes):
+        return (eid, base + minutes * M, uid, "view", 1.0, "{}")
+
+    SCHEMA = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+
+    # wave 1: u1 has an in-wave closed session (gap >30min) + an open
+    # tail; u2 has one open session
+    wave1 = [ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 50),   # close 0-10, open 50
+             ev(4, 2, 0), ev(5, 2, 20)]                 # open 0-20
+    spark.createDataFrame(wave1, SCHEMA).write.mode("overwrite") \
+        .parquet(in_dir)
+    streaming_sessionize(spark, in_dir, out_dir, ck_dir)
+
+    # wave 2 (restart): u1 continues its open session WITHIN the gap
+    # (55' -> must merge with 50'), u2 starts a new session (gap),
+    # u3 appears fresh
+    wave2 = [ev(6, 1, 55), ev(7, 1, 70),
+             ev(8, 2, 60),
+             ev(9, 3, 65)]
+    spark.createDataFrame(wave2, SCHEMA).write.mode("append") \
+        .parquet(in_dir)
+    streaming_sessionize(spark, in_dir, out_dir, ck_dir)
+
+    # sentinel waves: user 9999 events 30 days out advance the global
+    # watermark past every real session's last+gap, firing the timeouts
+    for k, days in ((10, 30), (11, 31)):
+        spark.createDataFrame(
+            [ev(k, 9999, days * 24 * 60)], SCHEMA
+        ).write.mode("append").parquet(in_dir)
+        streaming_sessionize(spark, in_dir, out_dir, ck_dir)
+
+    got = {tuple(r) for r in spark.read.parquet(out_dir)
+           .where(F.col("user_id") != 9999)
+           .select("user_id", "session_id", "n_events",
+                   "session_start", "duration_s").collect()}
+
+    batch_dir = str(tmp_path / "batch")
+    spark.createDataFrame(wave1 + wave2, SCHEMA).write.mode("overwrite") \
+        .parquet(f"{batch_dir}/events.parquet")
+    want = {tuple(r) for r in event_sessions(spark, batch_dir)
+            .select("user_id", "session_id", "n_events",
+                    "session_start", "duration_s").collect()}
+    assert got == want
+    # the straddling u1 session merged: events at 50/55/70 = one session
+    assert (1, 1, 3, "2024-03-01 09:50:00", 20 * 60) in got

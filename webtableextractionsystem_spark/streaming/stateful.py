@@ -379,3 +379,132 @@ def streaming_neardup_verified(spark: SparkSession, input_dir: str,
         .start()
         .awaitTermination()
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming sessionization (event-time session windows with timeout)
+# ---------------------------------------------------------------------------
+#
+# The streaming twin of operators/relational.event_sessions (>30-min
+# inactivity gap): per-user session state in the state store, closed
+# either by a later in-stream event past the gap or by the EVENT-TIME
+# WATERMARK passing the session's (last_event + gap) — the canonical
+# applyInPandasWithState session-window pattern.
+
+SESSION_OUTPUT = ("user_id long, session_id long, n_events long, "
+                  "session_start string, duration_s long")
+# next_sid survives a close so ids keep counting 0,1,2,... per user —
+# matching the batch twin's running-sum numbering
+SESSION_STATE = ("next_sid long, start_s long, last_s long, n long")
+_SESSION_GAP_S = 30 * 60
+
+
+def _session_close(user_id, sid, start_s, last_s, n):
+    import datetime as _dt
+
+    start = _dt.datetime.fromtimestamp(
+        start_s, _dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+    return {"user_id": user_id, "session_id": sid, "n_events": n,
+            "session_start": start, "duration_s": last_s - start_s}
+
+
+def _session_fn(key: Tuple[int], pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        sid, start_s, last_s, n = state.get
+        # keep ONLY the counter so a later event continues the numbering;
+        # a counter-only state (4 longs) lingers per user — the same
+        # per-user cardinality the batch twin shuffles, not a leak
+        state.update((sid + 1, -1, -1, 0))
+        yield pd.DataFrame([_session_close(user_id, sid, start_s,
+                                           last_s, n)])
+        return
+    if state.exists:
+        sid, start_s, last_s, n = state.get
+    else:
+        sid, start_s, last_s, n = 0, -1, -1, 0
+    rows = pd.concat(list(pdfs))
+    rows = rows.sort_values(["ts", "event_id"])
+    # floor-epoch seconds, matching the batch twin's CAST(ts AS LONG)
+    epochs = (rows["ts"].astype("int64") // 1_000_000_000).tolist()
+    closed = []
+    for e in epochs:
+        if start_s < 0:
+            start_s, last_s, n = e, e, 1
+        elif e - last_s > _SESSION_GAP_S:
+            closed.append(_session_close(user_id, sid, start_s, last_s, n))
+            sid += 1
+            start_s, last_s, n = e, e, 1
+        else:
+            last_s, n = e, n + 1
+    state.update((sid, start_s, last_s, n))
+    # close the open session when the watermark passes last + gap
+    state.setTimeoutTimestamp((last_s + _SESSION_GAP_S) * 1000)
+    if closed:
+        yield pd.DataFrame(closed)
+
+
+def streaming_sessionize(spark: SparkSession, events_dir: str,
+                         output_dir: str, stream_ckpt_dir: str,
+                         watermark: str = "10 hours") -> None:
+    """Event-time sessionization over an events stream: sessions split
+    on >30-min inactivity, exactly like the batch
+    ``relational.event_sessions`` — per-user state carries the OPEN
+    session (plus the session counter) across microbatches AND across
+    availableNow restarts, so a session straddling a restart is merged,
+    which no per-batch window can do.
+
+    A session is emitted when (a) a later event of the same user
+    arrives past the gap (in-stream close — same microbatch or a later
+    one), or (b) the event-time watermark passes the session's
+    ``last_event + gap`` (timeout close). Output therefore contains
+    exactly the batch twin's rows for every session whose close the
+    watermark has confirmed; sessions still inside the watermark remain
+    open in state (flushed by any later watermark advance — the test
+    drives this with a far-future sentinel event).
+
+    Watermark contract (same shape as incremental.attribution_join): an
+    event later than ``watermark`` behind the stream head may find its
+    session already closed and start a new one where the batch twin
+    would have merged — the documented, bounded divergence every
+    event-time system accepts in exchange for bounded state.
+
+    Exactly-once: each microbatch's closed sessions land in a
+    ``batch=<id>`` partition with overwrite, so crash-replay rewrites
+    identical rows (cf. streaming_neardup_verified).
+
+    Scale: state is (4 longs) x users, hash-partitioned by user_id in
+    the state store; per-batch work is one shuffle of the batch's
+    events on user_id — the identical exchange the batch twin pays,
+    paid incrementally."""
+    stream = (
+        spark.readStream
+        .schema("event_id long, ts timestamp_ntz, user_id long, "
+                "event_type string, value double, props string")
+        .parquet(events_dir)
+        # NTZ -> TZ for the watermark clock (session tz pinned UTC)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select("user_id", "ts", "event_id")
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+    def write_batch(batch, batch_id: int) -> None:
+        batch.write.mode("overwrite").parquet(
+            f"{output_dir}/batch={batch_id}")
+
+    (
+        sessions.writeStream
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", stream_ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
