@@ -17,6 +17,7 @@ import hashlib
 import json
 import multiprocessing as mp
 import os
+import re
 import subprocess
 import sys
 import time
@@ -178,15 +179,13 @@ Raw JSON:
     extra = ""
     if os.path.exists(path):
         old = open(path).read()
-        # preserve from the FIRST hand-maintained section onward
-        cut = min((old.find(m) for m in
-                   ("\n## Round-3 numbers",
-                    "\n## Round-2 numbers", "\n## Final round-1",
-                    "\n## Large-scale stability",
-                    "\n## Tuning evidence") if old.find(m) != -1),
-                  default=-1)
-        if cut != -1:
-            extra = old[cut:]
+        # preserve from the FIRST hand-maintained section onward —
+        # matched generically so new per-round sections survive (a
+        # literal marker list silently DELETED '## Round-4 numbers')
+        m = re.search(r"\n## (?:Round-\d|Final round|Large-scale|Tuning)",
+                      old)
+        if m:
+            extra = old[m.start():]
     md += extra
     with open(path, "w") as f:
         f.write(md)
