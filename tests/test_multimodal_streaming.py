@@ -1251,3 +1251,99 @@ def test_streaming_sessionize_equals_batch(spark, tmp_path):
     assert got == want
     # the straddling u1 session merged: events at 50/55/70 = one session
     assert (1, 1, 3, "2024-03-01 09:50:00", 20 * 60) in got
+
+
+def test_jpeg_giant_declared_dims_bounded():
+    """SOF0 fh/fw are untrusted; a tiny payload declaring 65535x65535
+    must raise before allocating ~50 GB of planes."""
+    import numpy as np
+    import pytest
+
+    from webtableextractionsystem_spark.operators import jpeg as J
+
+    enc = bytearray(J.encode_jpeg(np.full((8, 8, 3), 70, np.uint8), 90))
+    sof = enc.index(bytes([0xFF, 0xC0]))
+    enc[sof + 5:sof + 7] = (65535).to_bytes(2, "big")  # height
+    enc[sof + 7:sof + 9] = (65535).to_bytes(2, "big")  # width
+    with pytest.raises(ValueError, match="decode bound"):
+        J.decode_jpeg(bytes(enc))
+
+
+def test_gif_giant_frame_dims_bounded_before_lzw():
+    """The pixel bound must fire BEFORE the LZW decode: dictionary
+    growth amplifies small crafted inputs, so a 65535x65535 FRAME (not
+    just logical screen) must raise at the descriptor."""
+    import numpy as np
+    import pytest
+
+    from webtableextractionsystem_spark.operators import gif as G
+
+    enc = bytearray(G.encode_gif(np.full((2, 2, 3), 10, np.uint8)))
+    desc = enc.index(0x2C)
+    for off in (5, 7):  # frame w, h
+        enc[desc + off:desc + off + 2] = (65535).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="decode bound"):
+        G.decode_gif(bytes(enc))
+
+
+def test_session_fn_absorbs_out_of_order_without_rewind():
+    """A within-watermark out-of-order arrival from a later microbatch
+    must widen the open session (min start / max last), never rewind
+    last_s — rewinding produced negative durations and spurious
+    splits."""
+    import pandas as pd
+
+    from webtableextractionsystem_spark.streaming import stateful as S
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+        _v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+    st = FakeState()
+    H = 3600
+
+    def run(epochs):
+        pdf = pd.DataFrame({
+            "ts": pd.to_datetime([e * 10**9 for e in epochs]),
+            "event_id": range(len(epochs)),
+        })
+        return list(S._session_fn((1,), iter([pdf]), st))
+
+    base = 12 * H
+    run([base])                          # open session at 12:00
+    out = run([base - 600, base + 1500])  # 11:50 (late), 12:25
+    assert out == []                      # still one open session
+    sid, start_s, last_s, n = st.get
+    assert (start_s, last_s, n) == (base - 600, base + 1500, 3)
+    # close via a far gap: duration must be the widened, non-negative span
+    closed = run([base + 3 * H])
+    row = closed[0].iloc[0]
+    assert row["duration_s"] == 2100 and row["n_events"] == 3
+
+
+def test_streaming_neardup_verified_empty_input_noop(spark, tmp_path):
+    """First-ever call over an existing-but-empty input dir must be a
+    clean no-op (the staged-table source is created empty), not a
+    path-does-not-exist failure."""
+    import os
+
+    from webtableextractionsystem_spark.streaming.stateful import (
+        streaming_neardup_verified,
+    )
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    streaming_neardup_verified(spark, in_dir, str(tmp_path / "out"),
+                               str(tmp_path / "ck"), str(tmp_path / "st"))

@@ -174,6 +174,16 @@ def _decode_gif_impl(payload: bytes) -> np.ndarray:
                 raise ValueError("GIF image has no color table")
             if w <= 0 or h <= 0:
                 raise ValueError("bad GIF image dimensions")
+            if sw * sh > _MAX_CANVAS_PIXELS or w * h > _MAX_CANVAS_PIXELS:
+                # bound BOTH the logical screen and the frame dims here,
+                # BEFORE the LZW decode: dictionary growth amplifies
+                # ~150 KB of crafted codes into a 65535x65535 index
+                # array, and pal[rows] would allocate the 12.8 GB RGB
+                # frame — the giant allocations happen during decode,
+                # not at the canvas composite
+                raise ValueError(
+                    f"GIF dimensions {sw}x{sh} (frame {w}x{h}) exceed "
+                    f"the {_MAX_CANVAS_PIXELS}-pixel decode bound")
             min_code = payload[pos]
             if not 1 <= min_code <= 8:
                 raise ValueError(f"bad GIF LZW min code size {min_code}")
@@ -194,13 +204,6 @@ def _decode_gif_impl(payload: bytes) -> np.ndarray:
                 return frame
             if left + w > sw or top + h > sh or sw <= 0 or sh <= 0:
                 raise ValueError("GIF frame extends beyond logical screen")
-            if sw * sh > _MAX_CANVAS_PIXELS:
-                # the logical-screen dims come straight from the payload;
-                # without a cap a <100-byte GIF declaring 65535x65535 with
-                # a valid 1x1 frame forces a ~12.8 GB canvas allocation
-                raise ValueError(
-                    f"GIF logical screen {sw}x{sh} exceeds the "
-                    f"{_MAX_CANVAS_PIXELS}-pixel decode bound")
             bg = (global_pal[bg_index]
                   if global_pal is not None and bg_index < len(global_pal)
                   else np.zeros(3, dtype=np.uint8))

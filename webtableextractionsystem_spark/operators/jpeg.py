@@ -39,6 +39,10 @@ ZIGZAG = np.array([
 UNZIGZAG = np.argsort(ZIGZAG)
 
 # Annex K.1/K.2 quantization tables (quality-50 bases)
+# Decode-side bound on declared frame pixels (64M px ~ 1.5 GB of f64
+# planes) — header dims are untrusted input.
+_MAX_PIXELS = 1 << 26
+
 QUANT_LUM = np.array([
     16, 11, 10, 16, 24, 40, 51, 61,
     12, 12, 14, 19, 26, 58, 60, 55,
@@ -470,6 +474,15 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
             if body[0] != 8:
                 raise ValueError("only 8-bit JPEG supported")
             fh, fw, ncomp = u16(pos + 3), u16(pos + 5), body[5]
+            if fh * fw > _MAX_PIXELS:
+                # fh/fw are attacker-controlled header fields needing no
+                # entropy data behind them; without a bound a <200-byte
+                # payload declaring 65535x65535 forces ~50 GB of plane
+                # allocations before one Huffman symbol is read (same
+                # threat class as gif._MAX_CANVAS_PIXELS)
+                raise ValueError(
+                    f"JPEG frame {fw}x{fh} exceeds the "
+                    f"{_MAX_PIXELS}-pixel decode bound")
             if ncomp not in (1, 3):
                 # 4-component Adobe CMYK/YCCK would otherwise decode and
                 # have its first three planes misread as YCbCr — silent

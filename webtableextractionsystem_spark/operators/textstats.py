@@ -325,15 +325,28 @@ GROUP BY doc_id
 SAMPLE_PCT = 10  # keep ~10% of docs
 
 
+def _md5_bucket(modulus: int):
+    """Engine-portable deterministic bucket of doc_id (md5 is identical
+    in Spark and DuckDB, unlike xxhash64); shared by doc_sample and
+    pack_sequences so the hashing convention lives in ONE place."""
+    return F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % modulus
+
+
+def _md5_bucket_sql(modulus: int) -> str:
+    return (
+        "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+        f"AS BIGINT) % {modulus}"
+    )
+
+
 def doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible ~SAMPLE_PCT% sample: keep iff an md5-derived hash of
-    doc_id falls under the threshold — engine-portable (md5 is identical
-    in Spark and DuckDB, unlike xxhash64) and stable across runs,
-    partitionings, and cluster sizes, which `.sample()` is not. A narrow
-    map; the filter rides the scan."""
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long") % 100
+    doc_id falls under the threshold — engine-portable and stable across
+    runs, partitionings, and cluster sizes, which `.sample()` is not. A
+    narrow map; the filter rides the scan."""
+    bucket = _md5_bucket(100)
     return load_documents(spark, sf_dir).select(
         "doc_id", bucket.cast("int").alias("sample_bucket"),
         (bucket < SAMPLE_PCT).alias("sampled"),
@@ -342,11 +355,9 @@ def doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_SAMPLE_SQL = f"""
 SELECT doc_id,
-       CAST(h % 100 AS INTEGER) AS sample_bucket,
-       h % 100 < {SAMPLE_PCT} AS sampled
-FROM (SELECT doc_id,
-             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                  AS BIGINT) AS h
+       CAST(h AS INTEGER) AS sample_bucket,
+       h < {SAMPLE_PCT} AS sampled
+FROM (SELECT doc_id, {_md5_bucket_sql(100)} AS h
       FROM documents)
 """
 
@@ -589,10 +600,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     input partitioning because both bucket and order derive from
     doc_id alone."""
     n_tok = F.size(_tokens())
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-               16, 10).cast("long") % N_PACK_BUCKETS
-    ).cast("int")
+    bucket = _md5_bucket(N_PACK_BUCKETS).cast("int")
     d = load_documents(spark, sf_dir).select(
         "doc_id", bucket.alias("bucket"), n_tok.alias("n_tokens"))
     w = (
@@ -618,8 +626,7 @@ FROM (
          sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
                              ROWS UNBOUNDED PRECEDING) AS cum
   FROM (SELECT doc_id,
-               CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                         AS BIGINT) % {N_PACK_BUCKETS} AS INTEGER) AS bucket,
+               CAST({_md5_bucket_sql(N_PACK_BUCKETS)} AS INTEGER) AS bucket,
                len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
         FROM documents)
 )

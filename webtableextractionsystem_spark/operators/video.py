@@ -134,8 +134,9 @@ def decode_video(payload: bytes) -> tuple[np.ndarray, int]:
         derived = [1_000_000 * s // r for s, r in scale_rate if r and s]
         if not derived:
             raise ValueError(
-                "AVI missing its main header (avih) and no usable "
-                "strh scale/rate to derive frame duration")
+                "AVI frame duration unrecoverable: avih absent or its "
+                "dwMicroSecPerFrame is 0, and no usable strh "
+                "scale/rate to derive it")
         us_per_frame = derived[0]
     # codec validation BEFORE any frame decode: a foreign codec must
     # diagnose as unsupported, not as "frame is not JPEG" corruption —

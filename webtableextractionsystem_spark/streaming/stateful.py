@@ -26,6 +26,7 @@ here.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, Tuple
 
 import pandas as pd
@@ -355,7 +356,11 @@ def streaming_neardup_verified(spark: SparkSession, input_dir: str,
     # the pairs pass sources from the STAGED table: availableNow on the
     # stage stream has already landed every input doc's shingles before
     # this stream lists its files, so stage-before-pair holds by
-    # construction rather than by racing two input_dir snapshots
+    # construction rather than by racing two input_dir snapshots.
+    # An empty input_dir stages nothing, so make sure the root exists —
+    # a first call over no data must be a clean no-op, not a
+    # path-does-not-exist failure at stream start.
+    os.makedirs(shingle_root, exist_ok=True)
     stream = spark.readStream.schema(
         "doc_id long, sh array<string>").parquet(shingle_root)
     banded = (
@@ -437,7 +442,15 @@ def _session_fn(key: Tuple[int], pdfs: Iterator[pd.DataFrame],
             sid += 1
             start_s, last_s, n = e, e, 1
         else:
-            last_s, n = e, n + 1
+            # absorb into the open session WITHOUT rewinding its span: a
+            # within-watermark out-of-order arrival from a later
+            # microbatch may precede last_s (or even start_s); min/max
+            # keeps durations non-negative and matches the batch twin
+            # whenever the disorder lands inside the open session's
+            # span. An event older than start_s - gap would belong to an
+            # already-closed session — that re-split is the documented
+            # watermark contract, same as the attribution join's.
+            start_s, last_s, n = min(start_s, e), max(last_s, e), n + 1
     state.update((sid, start_s, last_s, n))
     # close the open session when the watermark passes last + gap
     state.setTimeoutTimestamp((last_s + _SESSION_GAP_S) * 1000)
