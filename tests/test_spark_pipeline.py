@@ -331,3 +331,51 @@ def test_doc_chunks_and_packing_invariants(spark, tmp_path):
     straddles = ((cp["offset_in_pack"] + cp["n_tokens"]) > PACK_CAPACITY)
     assert straddles.any()
     assert (cp["n_tokens"] == 1500).all()
+
+
+def test_event_asof_join_differential_bruteforce(spark, tmp_path):
+    """Differential check of the union+window as-of against a per-row
+    brute force on a dense random corpus: 300 events, 8 users, only 24
+    distinct timestamps — so same-ts click/purchase ties and same-ts
+    duplicate clicks are guaranteed to occur and must follow the >=
+    bound deterministically."""
+    import random
+    from datetime import datetime, timedelta
+
+    from webtableextractionsystem_spark.operators.relational import (
+        event_asof_join,
+    )
+
+    rng = random.Random(77)
+    base = datetime(2024, 5, 1)
+    rows = []
+    for eid in range(300):
+        rows.append((
+            eid,
+            base + timedelta(minutes=5 * rng.randrange(24)),
+            rng.randrange(8),
+            rng.choice(["click", "purchase", "view"]),
+            1.0, "{}",
+        ))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(f"{sf_dir}/events.parquet")
+
+    got = {r["event_id"]: (r["asof_click_ts"], r["gap_us"])
+           for r in event_asof_join(spark, sf_dir).collect()}
+
+    clicks = [(ts, u) for _, ts, u, k, _, _ in rows if k == "click"]
+    want = {}
+    for eid, ts, u, k, _, _ in rows:
+        if k != "purchase":
+            continue
+        prior = [cts for cts, cu in clicks if cu == u and cts <= ts]
+        if prior:
+            c = max(prior)
+            want[eid] = (c.strftime("%Y-%m-%d %H:%M:%S"),
+                         int((ts - c).total_seconds() * 1_000_000))
+    assert got == want
+    # the dense grid actually produced zero-gap (same-ts) matches
+    assert any(g == 0 for _, g in want.values())
