@@ -631,3 +631,89 @@ FROM (
         FROM documents)
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch — implemented IDENTICALLY in Spark
+# and the DuckDB oracle (md5-derived registers), so the estimate itself
+# is oracle-checked exactly, not approximately
+# ---------------------------------------------------------------------------
+
+HLL_P = 8                    # 2^8 = 256 registers
+_HLL_M = 1 << HLL_P
+# Flajolet et al.'s alpha_256, written as the same literal expression in
+# both engines so the doubles are bit-identical
+_HLL_ALPHA_EXPR = f"0.7213 / (1.0 + 1.079 / {_HLL_M}.0)"
+
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct normalized-document estimate via a from-scratch
+    HyperLogLog over the md5 fingerprint: register = first HLL_P hash
+    bits, rho = 1 + leading zeros of the next 52 bits (computed with
+    integer/string ops — ``53 - length(bin(v))`` — NOT floating log2,
+    whose off-by-one-ulp at powers of two would flip floor() in one
+    engine and not the other). The harmonic denominator sums dyadic
+    rationals (2^-rho) plus an integer count, which double addition
+    represents EXACTLY at any summation order for every realistic rho
+    (exactness would only break past ~2^52 distinct docs), so the raw
+    estimate is deterministic and the DuckDB oracle matches it to the
+    last bit — a sketch whose VALUE is correctness-gated, not just its
+    shape. No bias/linear-counting correction: that branch needs ln(),
+    which is not cross-engine bit-stable; raw-vs-exact accuracy is the
+    test's concern, the operator contract is the raw HLL estimator.
+
+    Scale shape: one scan -> map-side partial max per register -> a
+    256-row shuffle -> single-row fold; the classic mergeable-sketch
+    layout (per-partition register vectors union by max)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    h = F.md5(norm)
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    v = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
+    rho = (F.lit(53) - F.when(v > 0, F.length(F.bin(v))).otherwise(0)) \
+        .cast("int")
+    docs = load_documents(spark, sf_dir).select(
+        bucket.alias("b"), rho.alias("r"), h.alias("fp"))
+    regs = docs.groupBy("b").agg(F.max("r").alias("mr"))
+    sketch = regs.agg(
+        F.count("*").alias("n_registers_set"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("zsum"),
+    )
+    est = (F.expr(_HLL_ALPHA_EXPR) * _HLL_M * _HLL_M
+           / (F.col("zsum") + (F.lit(_HLL_M) - F.col("n_registers_set"))))
+    exact = docs.agg(F.countDistinct("fp").alias("exact_distinct"))
+    return (
+        sketch.crossJoin(exact)
+        .select(
+            "n_registers_set",
+            F.round(est, 4).alias("hll_estimate"),
+            "exact_distinct",
+        )
+    )
+
+
+HLL_DISTINCT_SQL = rf"""
+WITH hashed AS (
+  SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+  FROM documents
+),
+docs AS (
+  SELECT CAST('0x' || substring(h, 1, 2) AS BIGINT) AS b,
+         53 - CASE WHEN CAST('0x' || substring(h, 3, 13) AS BIGINT) > 0
+                   THEN length(bin(CAST('0x' || substring(h, 3, 13)
+                                        AS BIGINT)))
+                   ELSE 0 END AS r,
+         h AS fp
+  FROM hashed
+),
+regs AS (SELECT b, max(r) AS mr FROM docs GROUP BY b),
+sketch AS (
+  SELECT count(*) AS n_registers_set,
+         sum(pow(2.0, -mr)) AS zsum
+  FROM regs
+)
+SELECT n_registers_set,
+       round({_HLL_ALPHA_EXPR} * {_HLL_M} * {_HLL_M}
+             / (zsum + ({_HLL_M} - n_registers_set)), 4) AS hll_estimate,
+       (SELECT count(DISTINCT fp) FROM docs) AS exact_distinct
+FROM sketch
+"""
