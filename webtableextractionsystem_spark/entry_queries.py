@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_chunks": TS.doc_chunks,
         "q_doc_pack_sequences": TS.pack_sequences,
         "q_doc_hll_distinct": TS.hll_distinct,
+        "q_doc_cms_heavy_hitters": TS.cms_heavy_hitters,
         # dedup family (F3 at scale)
         "q_doc_exact_dedup": DD.exact_dedup,
         "q_doc_minhash": DD.minhash_signatures,
@@ -337,6 +338,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_chunks": TS.DOC_CHUNKS_SQL,
         "q_doc_pack_sequences": TS.PACK_SEQUENCES_SQL,
         "q_doc_hll_distinct": TS.HLL_DISTINCT_SQL,
+        "q_doc_cms_heavy_hitters": TS.CMS_HEAVY_HITTERS_SQL,
         "q_doc_decontaminate": DD.decontaminate_sql(),
         "q_doc_curation_funnel": DD.curation_funnel_sql(),
         "q_doc_exact_dedup": DD.EXACT_DEDUP_SQL,

@@ -717,3 +717,108 @@ SELECT n_registers_set,
        (SELECT count(DISTINCT fp) FROM docs) AS exact_distinct
 FROM sketch
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters — the counting sibling of the HLL
+# sketch above; every value is an integer, so cross-engine parity is
+# exact by construction
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4       # independent hash rows
+CMS_WIDTH = 256     # counters per row
+CMS_TOP_K = 20      # probe set: exact top-K tokens
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over token occurrences, probed with the exact
+    top-CMS_TOP_K tokens: per occurrence and hash row d, bucket =
+    md5(d || token) % W; the sketch is the (d, bucket) count table and
+    a token's estimate is min over rows of its bucket counter — always
+    >= the true count (one-sided error), equality when no collision.
+    Output (token, cms_estimate, exact_count) is all-integer, so the
+    DuckDB oracle matches exactly.
+
+    Scale shape: the sketch build is explode -> map-side partial counts
+    into a FIXED D x W = 1024-key domain (the definition of a mergeable
+    sketch: per-partition sketches union by +); the probe side is the
+    exact top-k (itself one token shuffle) broadcast-joined against the
+    1024-row sketch."""
+    tok_occ = load_documents(spark, sf_dir).select(
+        F.explode(_tokens()).alias("token"))
+    rows = tok_occ.select(
+        "token",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(d).alias("d"),
+                (F.conv(F.substring(
+                    F.md5(F.concat_ws("_", F.lit(str(d)), F.col("token"))),
+                    1, 8), 16, 10).cast("long") % CMS_WIDTH).alias("c"),
+            ) for d in range(CMS_DEPTH)
+        ])).alias("h"),
+    ).select("token", "h.d", "h.c")
+    sketch = rows.groupBy("d", "c").agg(F.count("*").alias("n"))
+    exact = (
+        tok_occ.groupBy("token").agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("token"))
+        .limit(CMS_TOP_K)
+    )
+    probe = exact.select(
+        "token", "exact_count",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(d).alias("d"),
+                (F.conv(F.substring(
+                    F.md5(F.concat_ws("_", F.lit(str(d)), F.col("token"))),
+                    1, 8), 16, 10).cast("long") % CMS_WIDTH).alias("c"),
+            ) for d in range(CMS_DEPTH)
+        ])).alias("h"),
+    ).select("token", "exact_count", "h.d", "h.c")
+    return (
+        probe.join(F.broadcast(sketch), ["d", "c"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("n").alias("cms_estimate"))
+        .select("token", "cms_estimate", "exact_count")
+    )
+
+
+def _cms_cols_sql(token_expr: str) -> str:
+    return " , ".join(
+        f"({d}, CAST('0x' || substring(md5('{d}_' || {token_expr}), 1, 8) "
+        f"AS BIGINT) % {CMS_WIDTH})"
+        for d in range(CMS_DEPTH)
+    )
+
+
+CMS_HEAVY_HITTERS_SQL = rf"""
+WITH occ AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+),
+hashed AS (
+  SELECT token, h.d, h.c
+  FROM occ, (VALUES {", ".join(f"({d})" for d in range(CMS_DEPTH))}) ds(d),
+       LATERAL (SELECT ds.d AS d,
+                       CAST('0x' || substring(
+                            md5(ds.d || '_' || token), 1, 8) AS BIGINT)
+                       % {CMS_WIDTH} AS c) h
+),
+sketch AS (SELECT d, c, count(*) AS n FROM hashed GROUP BY d, c),
+exact AS (
+  SELECT token, count(*) AS exact_count
+  FROM occ GROUP BY token
+  ORDER BY exact_count DESC, token ASC
+  LIMIT {CMS_TOP_K}
+),
+probe AS (
+  SELECT e.token, e.exact_count, h.d, h.c
+  FROM exact e, (VALUES {", ".join(f"({d})" for d in range(CMS_DEPTH))}) ds(d),
+       LATERAL (SELECT ds.d AS d,
+                       CAST('0x' || substring(
+                            md5(ds.d || '_' || e.token), 1, 8) AS BIGINT)
+                       % {CMS_WIDTH} AS c) h
+)
+SELECT p.token, min(s.n) AS cms_estimate, p.exact_count
+FROM probe p JOIN sketch s ON p.d = s.d AND p.c = s.c
+GROUP BY p.token, p.exact_count
+"""
