@@ -108,6 +108,12 @@ def main() -> None:
         "q_emb_centroid_outliers — tiny (label,pos) centroid agg "
         "broadcast back onto the embeddings scan; per-row JVM dot fold":
             SIM.centroid_outliers(spark, SF),
+        "q_doc_hll_distinct — mergeable-sketch layout: map-side partial "
+        "max per register, one 256-key shuffle, single-row fold":
+            TS.hll_distinct(spark, SF),
+        "q_doc_cms_heavy_hitters — partial counts into a fixed 4x256 "
+        "domain; exact top-k probe broadcast-joined to the sketch":
+            TS.cms_heavy_hitters(spark, SF),
     }
 
     parts = [
