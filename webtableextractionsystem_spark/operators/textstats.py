@@ -673,21 +673,23 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
     docs = load_documents(spark, sf_dir).select(
         bucket.alias("b"), rho.alias("r"), h.alias("fp"))
-    regs = docs.groupBy("b").agg(F.max("r").alias("mr"))
+    # ONE scan: the bucket is a function of fp, so distinct fps
+    # partition by bucket and per-bucket distinct counts sum to the
+    # global exact count — no second pass over the corpus
+    regs = docs.groupBy("b").agg(
+        F.max("r").alias("mr"),
+        F.countDistinct("fp").alias("nd"))
     sketch = regs.agg(
         F.count("*").alias("n_registers_set"),
         F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("zsum"),
+        F.sum("nd").alias("exact_distinct"),
     )
     est = (F.expr(_HLL_ALPHA_EXPR) * _HLL_M * _HLL_M
            / (F.col("zsum") + (F.lit(_HLL_M) - F.col("n_registers_set"))))
-    exact = docs.agg(F.countDistinct("fp").alias("exact_distinct"))
-    return (
-        sketch.crossJoin(exact)
-        .select(
-            "n_registers_set",
-            F.round(est, 4).alias("hll_estimate"),
-            "exact_distinct",
-        )
+    return sketch.select(
+        "n_registers_set",
+        F.round(est, 4).alias("hll_estimate"),
+        "exact_distinct",
     )
 
 
@@ -730,6 +732,20 @@ CMS_WIDTH = 256     # counters per row
 CMS_TOP_K = 20      # probe set: exact top-K tokens
 
 
+def _cms_hash_structs():
+    """The D (row, bucket) pairs for a ``token`` column — build side and
+    probe side MUST hash identically or the probe misses its own sketch
+    buckets, so the expression lives in exactly one place."""
+    return F.array(*[
+        F.struct(
+            F.lit(d).alias("d"),
+            (F.conv(F.substring(
+                F.md5(F.concat_ws("_", F.lit(str(d)), F.col("token"))),
+                1, 8), 16, 10).cast("long") % CMS_WIDTH).alias("c"),
+        ) for d in range(CMS_DEPTH)
+    ])
+
+
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch over token occurrences, probed with the exact
     top-CMS_TOP_K tokens: per occurrence and hash row d, bucket =
@@ -747,15 +763,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_occ = load_documents(spark, sf_dir).select(
         F.explode(_tokens()).alias("token"))
     rows = tok_occ.select(
-        "token",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(d).alias("d"),
-                (F.conv(F.substring(
-                    F.md5(F.concat_ws("_", F.lit(str(d)), F.col("token"))),
-                    1, 8), 16, 10).cast("long") % CMS_WIDTH).alias("c"),
-            ) for d in range(CMS_DEPTH)
-        ])).alias("h"),
+        "token", F.explode(_cms_hash_structs()).alias("h")
     ).select("token", "h.d", "h.c")
     sketch = rows.groupBy("d", "c").agg(F.count("*").alias("n"))
     exact = (
@@ -764,15 +772,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(CMS_TOP_K)
     )
     probe = exact.select(
-        "token", "exact_count",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(d).alias("d"),
-                (F.conv(F.substring(
-                    F.md5(F.concat_ws("_", F.lit(str(d)), F.col("token"))),
-                    1, 8), 16, 10).cast("long") % CMS_WIDTH).alias("c"),
-            ) for d in range(CMS_DEPTH)
-        ])).alias("h"),
+        "token", "exact_count", F.explode(_cms_hash_structs()).alias("h")
     ).select("token", "exact_count", "h.d", "h.c")
     return (
         probe.join(F.broadcast(sketch), ["d", "c"])
@@ -782,13 +782,14 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cms_cols_sql(token_expr: str) -> str:
-    return " , ".join(
-        f"({d}, CAST('0x' || substring(md5('{d}_' || {token_expr}), 1, 8) "
-        f"AS BIGINT) % {CMS_WIDTH})"
-        for d in range(CMS_DEPTH)
-    )
-
+# the SQL twin of _cms_hash_structs — one definition, used by both the
+# build and probe CTEs (the token column name is the LATERAL's scope)
+_CMS_ROWS_SQL = ", ".join(f"({d})" for d in range(CMS_DEPTH))
+_CMS_HASH_SQL = (
+    "LATERAL (SELECT ds.d AS d, "
+    "CAST('0x' || substring(md5(ds.d || '_' || token), 1, 8) AS BIGINT) "
+    f"% {CMS_WIDTH} AS c) h"
+)
 
 CMS_HEAVY_HITTERS_SQL = rf"""
 WITH occ AS (
@@ -797,11 +798,7 @@ WITH occ AS (
 ),
 hashed AS (
   SELECT token, h.d, h.c
-  FROM occ, (VALUES {", ".join(f"({d})" for d in range(CMS_DEPTH))}) ds(d),
-       LATERAL (SELECT ds.d AS d,
-                       CAST('0x' || substring(
-                            md5(ds.d || '_' || token), 1, 8) AS BIGINT)
-                       % {CMS_WIDTH} AS c) h
+  FROM occ, (VALUES {_CMS_ROWS_SQL}) ds(d), {_CMS_HASH_SQL}
 ),
 sketch AS (SELECT d, c, count(*) AS n FROM hashed GROUP BY d, c),
 exact AS (
@@ -811,12 +808,8 @@ exact AS (
   LIMIT {CMS_TOP_K}
 ),
 probe AS (
-  SELECT e.token, e.exact_count, h.d, h.c
-  FROM exact e, (VALUES {", ".join(f"({d})" for d in range(CMS_DEPTH))}) ds(d),
-       LATERAL (SELECT ds.d AS d,
-                       CAST('0x' || substring(
-                            md5(ds.d || '_' || e.token), 1, 8) AS BIGINT)
-                       % {CMS_WIDTH} AS c) h
+  SELECT token, exact_count, h.d, h.c
+  FROM exact, (VALUES {_CMS_ROWS_SQL}) ds(d), {_CMS_HASH_SQL}
 )
 SELECT p.token, min(s.n) AS cms_estimate, p.exact_count
 FROM probe p JOIN sketch s ON p.d = s.d AND p.c = s.c
