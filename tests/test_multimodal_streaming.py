@@ -1253,6 +1253,65 @@ def test_streaming_sessionize_equals_batch(spark, tmp_path):
     assert (1, 1, 3, "2024-03-01 09:50:00", 20 * 60) in got
 
 
+def test_closed_sessions_matches_streaming_emit_rule(spark, tmp_path):
+    """closed_sessions = the batch twin of streaming_sessionize's OUTPUT:
+    every non-final session of a user is in-stream-closed, the final one
+    only once the watermark (max ts - 10h) passes last+gap. Verified
+    directly against what the stream actually emitted BEFORE any
+    watermark-advancing sentinel."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from webtableextractionsystem_spark.operators.relational import (
+        closed_sessions,
+        event_sessions,
+    )
+    from webtableextractionsystem_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    base = datetime(2024, 3, 1, 9, 0, 0)
+    M = timedelta(minutes=1)
+
+    def ev(eid, uid, minutes):
+        return (eid, base + minutes * M, uid, "view", 1.0, "{}")
+
+    SCHEMA = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    # u1: closed session (0-10), then a tail at 50' — the tail is the
+    # user's final session and the max ts (u2 at 26h) leaves the
+    # watermark at 16h, past 50'+30', so the tail is timeout-CLOSED.
+    # u2: single session at 26h — open (watermark never passes it).
+    rows = [ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 50),
+            ev(4, 2, 26 * 60)]
+    batch_dir = str(tmp_path / "batch")
+    spark.createDataFrame(rows, SCHEMA).write.mode("overwrite") \
+        .parquet(f"{batch_dir}/events.parquet")
+
+    got = {tuple(r) for r in closed_sessions(spark, batch_dir).collect()}
+    full = {tuple(r) for r in event_sessions(spark, batch_dir)
+            .select("user_id", "session_id", "n_events",
+                    "session_start", "duration_s").collect()}
+    assert got == {(1, 0, 2, "2024-03-01 09:00:00", 600),
+                   (1, 1, 1, "2024-03-01 09:50:00", 0)}
+    assert got < full  # u2's open session excluded
+
+    # and the stream, run over the same input with NO sentinel, emits
+    # exactly those rows (u1's tail times out because u2's 26h event
+    # advances the watermark at end-of-batch; a second pass fires it)
+    in_dir, out_dir, ck_dir = (str(tmp_path / d) for d in
+                               ("in", "out", "ck"))
+    spark.createDataFrame(rows, SCHEMA).write.mode("overwrite") \
+        .parquet(in_dir)
+    streaming_sessionize(spark, in_dir, out_dir, ck_dir)
+    streaming_sessionize(spark, in_dir, out_dir, ck_dir)  # fire timeouts
+    emitted = {tuple(r) for r in spark.read.parquet(out_dir)
+               .select("user_id", "session_id", "n_events",
+                       "session_start", "duration_s").collect()}
+    assert emitted == got
+
+
 def test_jpeg_giant_declared_dims_bounded():
     """SOF0 fh/fw are untrusted; a tiny payload declaring 65535x65535
     must raise before allocating ~50 GB of planes."""

@@ -289,6 +289,93 @@ GROUP BY user_id, session_id
 """
 
 
+# --- events: watermark-confirmed (closed) sessions ---------------------------
+#
+# Batch twin of streaming/stateful.streaming_sessionize's OUTPUT (not just
+# its session split): the streaming path emits a session only once its
+# close is confirmed — in-stream, when a later event of the same user
+# arrives past the gap (guaranteed for every non-final session of a user
+# once the whole input is consumed), or by timeout, when the event-time
+# watermark (max event ts seen minus the delay) passes last_event + gap
+# (the only close a user's FINAL session can get). This query applies
+# exactly those two rules over the static table, so its row set equals
+# what the stream has emitted after an availableNow pass whose final
+# watermark is max(ts) - delay. Scale: the same single user_id shuffle
+# as event_sessions + a broadcast one-row watermark scalar.
+
+SESSION_WATERMARK_DELAY_S = 10 * 3600  # streaming_sessionize default
+
+
+def closed_sessions(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        _epoch_s() - F.lag(_epoch_s(), 1).over(w) > SESSION_GAP_MIN * 60, 1,
+    ).otherwise(0)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    sessions = (
+        e.withColumn("new_sess", gap)
+        .withColumn("session_id",
+                    F.sum("new_sess").over(
+                        w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), fmt).alias("session_start"),
+            (F.max(_epoch_s()) - F.min(_epoch_s())).alias("duration_s"),
+            F.max(_epoch_s()).alias("last_s"),
+        )
+        .withColumn("max_sid",
+                    F.max("session_id").over(Window.partitionBy("user_id")))
+    )
+    watermark = e.agg(
+        (F.max(_epoch_s()) - SESSION_WATERMARK_DELAY_S).alias("wm_s"))
+    return (
+        sessions.join(F.broadcast(watermark))
+        .where(
+            (F.col("session_id") < F.col("max_sid"))  # in-stream close
+            | (F.col("last_s") + SESSION_GAP_MIN * 60
+               < F.col("wm_s"))                       # timeout close
+        )
+        .select("user_id", "session_id", "n_events",
+                "session_start", "duration_s")
+    )
+
+
+CLOSED_SESSIONS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_id,
+         count(*) AS n_events,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s,
+         max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_s,
+         max(session_id) OVER (PARTITION BY user_id) AS max_sid
+  FROM numbered
+  GROUP BY user_id, session_id
+)
+SELECT user_id, session_id, n_events, session_start, duration_s
+FROM sessions
+WHERE session_id < max_sid
+   OR last_s + {SESSION_GAP_MIN * 60}
+      < (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) - {SESSION_WATERMARK_DELAY_S} FROM events)
+"""
+
+
 # --- rollup (grouping sets) ---------------------------------------------------
 
 def lineitem_rollup(spark, sf_dir):
