@@ -1253,6 +1253,55 @@ def test_streaming_sessionize_equals_batch(spark, tmp_path):
     assert (1, 1, 3, "2024-03-01 09:50:00", 20 * 60) in got
 
 
+def test_sessionize_retain_counters_false_reclaims_state(spark, tmp_path):
+    """retain_counters=False removes a user's state on timeout close:
+    the observable contract is that a reappearing user restarts
+    session_id at 0 (vs 1 with the default counter-retaining state),
+    while the session rows themselves are unchanged."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from webtableextractionsystem_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    base = datetime(2024, 3, 1, 9, 0, 0)
+    M = timedelta(minutes=1)
+
+    def ev(eid, uid, minutes):
+        return (eid, base + minutes * M, uid, "view", 1.0, "{}")
+
+    SCHEMA = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    in_dir, out_dir, ck_dir = (str(tmp_path / d) for d in
+                               ("in", "out", "ck"))
+    # wave 1: u1 one session; sentinel u9999 a month out advances the
+    # watermark so u1's session timeout-closes on the next pass
+    spark.createDataFrame(
+        [ev(1, 1, 0), ev(2, 9999, 30 * 24 * 60)], SCHEMA
+    ).write.mode("overwrite").parquet(in_dir)
+    streaming_sessionize(spark, in_dir, out_dir, ck_dir,
+                         retain_counters=False)
+    streaming_sessionize(spark, in_dir, out_dir, ck_dir,
+                         retain_counters=False)  # fire the timeout
+    # wave 2: u1 reappears (well past the old session); sentinel again
+    spark.createDataFrame(
+        [ev(3, 1, 31 * 24 * 60), ev(4, 9999, 62 * 24 * 60)], SCHEMA
+    ).write.mode("append").parquet(in_dir)
+    streaming_sessionize(spark, in_dir, out_dir, ck_dir,
+                         retain_counters=False)
+    streaming_sessionize(spark, in_dir, out_dir, ck_dir,
+                         retain_counters=False)
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out_dir)
+        .where(F.col("user_id") == 1)
+        .select("session_id", "n_events", "session_start").collect())
+    # both sessions numbered 0 — state was removed between them
+    assert got == [(0, 1, "2024-03-01 09:00:00"),
+                   (0, 1, "2024-04-01 09:00:00")]
+
+
 def test_closed_sessions_matches_streaming_emit_rule(spark, tmp_path):
     """closed_sessions = the batch twin of streaming_sessionize's OUTPUT:
     every non-final session of a user is in-stream-closed, the final one
@@ -1310,6 +1359,53 @@ def test_closed_sessions_matches_streaming_emit_rule(spark, tmp_path):
                .select("user_id", "session_id", "n_events",
                        "session_start", "duration_s").collect()}
     assert emitted == got
+
+
+def test_png_giant_declared_dims_bounded_before_alloc():
+    """IHDR dims are untrusted: a tiny payload declaring 65535x65535 must
+    raise before the h*w canvas allocation OR the IDAT inflate (the Adam7
+    path allocates the full canvas up front)."""
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from webtableextractionsystem_spark.operators import multimodal as MM
+
+    for interlace in (0, 1):
+        enc = bytearray(MM.encode_png(np.full((4, 4, 3), 9, np.uint8),
+                                      interlace=bool(interlace)))
+        sig = len(MM._PNG_SIG)
+        # IHDR data starts after sig + 4-byte len + 4-byte type
+        ih = sig + 8
+        enc[ih:ih + 4] = (65535).to_bytes(4, "big")      # width
+        enc[ih + 4:ih + 8] = (65535).to_bytes(4, "big")  # height
+        # re-stamp the IHDR CRC so the bound (not the CRC check) fires
+        crc = zlib.crc32(bytes(enc[sig + 4:ih + 13])) & 0xFFFFFFFF
+        enc[ih + 13:ih + 17] = crc.to_bytes(4, "big")
+        with pytest.raises(ValueError, match="decode bound"):
+            MM._decode_png(bytes(enc))
+
+
+def test_png_deflate_bomb_inflate_is_capped():
+    """A deflate bomb whose inflated size vastly exceeds the declared
+    dims' scanline bytes must raise from the capped inflate, not
+    materialize the bomb: tiny declared dims + an IDAT inflating to
+    ~64 MB."""
+    import zlib
+
+    import pytest
+
+    from webtableextractionsystem_spark.operators import multimodal as MM
+
+    bomb = zlib.compress(b"\x00" * (64 << 20), 9)  # ~64 KB compressed
+    ihdr = ((4).to_bytes(4, "big") + (4).to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))  # 4x4 RGB sequential
+    payload = (MM._PNG_SIG + MM._png_chunk(b"IHDR", ihdr)
+               + MM._png_chunk(b"IDAT", bomb)
+               + MM._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="longer than header"):
+        MM._decode_png(payload)
 
 
 def test_jpeg_giant_declared_dims_bounded():

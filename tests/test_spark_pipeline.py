@@ -332,6 +332,18 @@ def test_doc_chunks_and_packing_invariants(spark, tmp_path):
     assert straddles.any()
     assert (cp["n_tokens"] == 1500).all()
 
+    # n_buckets is a scale parameter: any value keeps the per-bucket
+    # packing invariant, just sharded differently
+    cp8 = pack_sequences(spark, crafted, n_buckets=8).toPandas()
+    assert set(cp8["bucket"]) <= set(range(8)) and cp8["bucket"].nunique() > 1
+    for bucket, g in cp8.groupby("bucket"):
+        g = g.sort_values("doc_id")
+        cum = 0
+        for _, r in g.iterrows():
+            assert r["pack_id"] == cum // PACK_CAPACITY
+            assert r["offset_in_pack"] == cum % PACK_CAPACITY
+            cum += r["n_tokens"]
+
 
 def test_event_asof_join_differential_bruteforce(spark, tmp_path):
     """Differential check of the union+window as-of against a per-row

@@ -322,7 +322,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_curation_funnel": DD.curation_funnel,
         # newer q_doc (first rowed r04)
         "q_doc_chunks": TS.doc_chunks,
-        "q_doc_pack_sequences": TS.pack_sequences,
+        # n_buckets pinned: the SQL oracle buckets with N_PACK_BUCKETS,
+        # so the adaptive defaultParallelism default must not leak in
+        "q_doc_pack_sequences": lambda spark, sf_dir: TS.pack_sequences(
+            spark, sf_dir, n_buckets=TS.N_PACK_BUCKETS),
         "q_doc_hll_distinct": TS.hll_distinct,
         "q_doc_cms_heavy_hitters": TS.cms_heavy_hitters,
         # --- tail (rotated out this round; green r01-r04) ---

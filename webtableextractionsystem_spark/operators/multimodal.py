@@ -235,6 +235,7 @@ def encode_bmp(img: np.ndarray) -> bytes:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_MAX_PIXELS = 1 << 26  # same decode bound as jpeg/gif (untrusted dims)
 # PNG color type -> samples per pixel (8-bit depth only; no palette)
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
 
@@ -361,15 +362,38 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("PNG missing IDAT")
     if w <= 0 or h <= 0:
         raise ValueError(f"bad PNG dimensions {w}x{h}")
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as e:
-        raise ValueError("corrupt PNG IDAT stream") from e
     ch = 1 if paletted else _PNG_CHANNELS[color]
     bpp = 1 if paletted else ch
+    # IHDR dims are untrusted: bound BEFORE any canvas allocation or
+    # inflate (same threat class and constant as jpeg._MAX_PIXELS /
+    # gif._MAX_CANVAS_PIXELS — a <100-byte payload can declare 4G px)
+    if w * h > _PNG_MAX_PIXELS:
+        raise ValueError(
+            f"PNG dimensions {w}x{h} exceed the "
+            f"{_PNG_MAX_PIXELS}-pixel decode bound")
 
     def stride_of(width: int) -> int:
         return (width * depth + 7) // 8 if paletted else width * ch
+
+    # exact inflated size is known from the header (per-pass for Adam7),
+    # so cap the inflate at it: a deflate bomb (~1000:1) can't expand
+    # past the bounded dims' worth of scanline bytes + 1 probe byte
+    if interlace == 0:
+        expected = h * (1 + stride_of(w))
+    else:
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                expected += ph * (1 + stride_of(pw))
+    dec = zlib.decompressobj()
+    try:
+        raw = dec.decompress(bytes(idat), expected + 1)
+    except zlib.error as e:
+        raise ValueError("corrupt PNG IDAT stream") from e
+    if len(raw) > expected:
+        raise ValueError("PNG pixel data longer than header dimensions")
 
     if interlace == 0:
         rows = _png_unfilter(raw, h, stride_of(w), bpp)

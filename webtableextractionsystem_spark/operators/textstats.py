@@ -581,26 +581,37 @@ FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, {CHUNK_STRIDE}))
 
 
 PACK_CAPACITY = 2048   # tokens per training pack
-N_PACK_BUCKETS = 32    # independent packing streams
+N_PACK_BUCKETS = 32    # default (and sf-dir oracle's pinned) stream count
 
 
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_sequences(spark: SparkSession, sf_dir: str,
+                   n_buckets: int | None = None) -> DataFrame:
     """Concat-and-chunk sequence packing: docs are concatenated in a
     deterministic order and cut every PACK_CAPACITY tokens, so each doc
     gets (pack_id, offset_in_pack) — the GPT-style pretraining layout
     where documents straddle pack boundaries.
 
     Scale shape: a single global order would serialize the cumsum, so
-    packing runs in N_PACK_BUCKETS independent streams keyed by an
+    packing runs in ``n_buckets`` independent streams keyed by an
     md5-derived bucket of doc_id (engine-portable, like doc_sample's
     hash) — ONE shuffle on the bucket key, a running-sum window within
     each bucket ordered by doc_id, integer division for the pack id.
     Buckets pack independently (pack ids are per-bucket), exactly how a
     1000-executor job would shard the corpus; determinism survives any
     input partitioning because both bucket and order derive from
-    doc_id alone."""
+    doc_id alone.
+
+    ``n_buckets`` defaults to the session's defaultParallelism (floored
+    at N_PACK_BUCKETS) — each bucket's window sorts corpus/n_buckets
+    rows on ONE task, so the count must grow with the cluster, not stay
+    a constant: at 100 TB on 1000 executors pass ~4-8x total cores.
+    The registry/oracle query pins n_buckets=N_PACK_BUCKETS so both
+    engines bucket identically."""
+    if n_buckets is None:
+        n_buckets = max(spark.sparkContext.defaultParallelism,
+                        N_PACK_BUCKETS)
     n_tok = F.size(_tokens())
-    bucket = _md5_bucket(N_PACK_BUCKETS).cast("int")
+    bucket = _md5_bucket(n_buckets).cast("int")
     d = load_documents(spark, sf_dir).select(
         "doc_id", bucket.alias("bucket"), n_tok.alias("n_tokens"))
     w = (

@@ -309,48 +309,58 @@ def streaming_neardup_verified(spark: SparkSession, input_dir: str,
     )
 
     def verify_batch(pairs_batch, batch_id: int) -> None:
-        # ONE bounded collect — the microbatch's distinct candidate
-        # pairs (near-dup hits, not the corpus) — yields n_pairs, the
-        # candidate doc set, and the cand side of the verify join; the
-        # only other driver round-trip is the tiny local-relation job
-        # computing the dbucket prune list (Spark's xxhash64 must match
-        # the staged partition values, so it cannot move to Python)
-        pair_rows = pairs_batch.select("doc_a", "doc_b").distinct().collect()
-        cand_docs = sorted({int(r[i]) for r in pair_rows for i in (0, 1)})
+        # pairs stay a DataFrame end-to-end — a degenerate shared band
+        # key makes the pair count quadratic in its bucket size, so
+        # collecting pairs would funnel onto the driver what the batch
+        # pipeline keeps distributed. Driver round-trips are BOUNDED:
+        # the distinct dbucket prune list (<= _N_DBUCKETS rows; Spark's
+        # xxhash64 must match the staged partition values, so it cannot
+        # move to Python) and, only when the candidate doc set is small,
+        # the doc IN-list whose pushdown reaches the parquet row groups
+        # (<= _MAX_INLIST_DOCS rows); past that, a semi join fetches.
+        cand = pairs_batch.select("doc_a", "doc_b").distinct().persist()
+        n_pairs = cand.count()
+        n_cand = 0
         n_fetched = 0
         n_dbuckets = 0
-        if not pair_rows:
+        if n_pairs == 0:
             verified = spark.createDataFrame([], NEARDUP_PAIR_OUTPUT)
         else:
-            buckets = sorted({
-                r["b"] for r in spark.createDataFrame(
-                    [(d,) for d in cand_docs], "doc_id long")
-                .select(F.pmod(F.xxhash64("doc_id"),
-                               F.lit(_N_DBUCKETS)).alias("b"))
-                .collect()
-            })
+            docs = (
+                cand.select(F.col("doc_a").alias("doc_id"))
+                .union(cand.select(F.col("doc_b").alias("doc_id")))
+                .distinct().persist()
+            )
+            n_cand = docs.count()
+            buckets = sorted(
+                r["b"] for r in docs.select(
+                    F.pmod(F.xxhash64("doc_id"), F.lit(_N_DBUCKETS))
+                    .alias("b")).distinct().collect()
+            )
             n_dbuckets = len(buckets)
             sh = (spark.read.parquet(shingle_root)
                   .where(F.col("dbucket").isin(buckets)))
-            if len(cand_docs) <= _MAX_INLIST_DOCS:
-                sh = sh.where(F.col("doc_id").isin(cand_docs))
+            if n_cand <= _MAX_INLIST_DOCS:
+                cand_ids = sorted(int(r[0]) for r in docs.collect())
+                sh = sh.where(F.col("doc_id").isin(cand_ids))
+            else:
+                sh = sh.join(docs, "doc_id", "left_semi")
             sh = sh.select("doc_id", "sh").persist()
             n_fetched = sh.count()
             # the SAME verify expression as the batch pipeline (shared
             # helper — equivalence by construction)
-            cand = spark.createDataFrame(
-                [(int(r[0]), int(r[1])) for r in pair_rows],
-                NEARDUP_PAIR_OUTPUT)
             verified = jaccard_verified(cand, sh)
         verified.write.mode("overwrite").parquet(
             f"{output_dir}/batch={batch_id}")
         spark.createDataFrame(
-            [(len(pair_rows), len(cand_docs), n_fetched, n_dbuckets)],
+            [(n_pairs, n_cand, n_fetched, n_dbuckets)],
             "n_pairs long, n_cand_docs long, n_state_rows_fetched long, "
             "n_dbuckets_read long",
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{metrics_root}/batch={batch_id}")
-        if pair_rows:
+        cand.unpersist()
+        if n_pairs:
+            docs.unpersist()
             sh.unpersist()
 
     # the pairs pass sources from the STAGED table: availableNow on the
@@ -414,14 +424,23 @@ def _session_close(user_id, sid, start_s, last_s, n):
 
 
 def _session_fn(key: Tuple[int], pdfs: Iterator[pd.DataFrame],
-                state: GroupState) -> Iterator[pd.DataFrame]:
+                state: GroupState,
+                retain_counters: bool = True) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.hasTimedOut:
         sid, start_s, last_s, n = state.get
-        # keep ONLY the counter so a later event continues the numbering;
-        # a counter-only state (4 longs) lingers per user — the same
-        # per-user cardinality the batch twin shuffles, not a leak
-        state.update((sid + 1, -1, -1, 0))
+        if retain_counters:
+            # keep ONLY the counter so a later event continues the
+            # numbering; a counter-only state (4 longs) lingers per
+            # user — the same per-user cardinality the batch twin
+            # shuffles, not a leak
+            state.update((sid + 1, -1, -1, 0))
+        else:
+            # unbounded-cardinality contract: reclaim the state slot
+            # entirely; a user who reappears restarts session_id at 0
+            # (documented divergence from the batch twin's per-user
+            # running numbering — the session ROWS are still identical)
+            state.remove()
         yield pd.DataFrame([_session_close(user_id, sid, start_s,
                                            last_s, n)])
         return
@@ -460,7 +479,8 @@ def _session_fn(key: Tuple[int], pdfs: Iterator[pd.DataFrame],
 
 def streaming_sessionize(spark: SparkSession, events_dir: str,
                          output_dir: str, stream_ckpt_dir: str,
-                         watermark: str = "10 hours") -> None:
+                         watermark: str = "10 hours",
+                         retain_counters: bool = True) -> None:
     """Event-time sessionization over an events stream: sessions split
     on >30-min inactivity, exactly like the batch
     ``relational.event_sessions`` — per-user state carries the OPEN
@@ -490,7 +510,14 @@ def streaming_sessionize(spark: SparkSession, events_dir: str,
     Scale: state is (4 longs) x users, hash-partitioned by user_id in
     the state store; per-batch work is one shuffle of the batch's
     events on user_id — the identical exchange the batch twin pays,
-    paid incrementally."""
+    paid incrementally. After a timeout close the default keeps a
+    counter-only state per user so ids keep matching the batch twin's
+    per-user running numbering; for streams with unbounded user
+    cardinality pass ``retain_counters=False`` to ``state.remove()``
+    on timeout — state is then bounded by ACTIVE users, at the cost of
+    a reappearing user's numbering restarting at 0 (session rows are
+    otherwise identical)."""
+    import functools
     stream = (
         spark.readStream
         .schema("event_id long, ts timestamp_ntz, user_id long, "
@@ -502,7 +529,7 @@ def streaming_sessionize(spark: SparkSession, events_dir: str,
         .select("user_id", "ts", "event_id")
     )
     sessions = stream.groupBy("user_id").applyInPandasWithState(
-        _session_fn,
+        functools.partial(_session_fn, retain_counters=retain_counters),
         outputStructType=SESSION_OUTPUT,
         stateStructType=SESSION_STATE,
         outputMode="append",
