@@ -214,11 +214,18 @@ def test_jpeg_roundtrip_and_variants():
         J.decode_jpeg(bytes(payload[:60]))  # truncated pre-scan
     with pytest.raises(ValueError):
         J.decode_jpeg(bytes(payload[:-40]))  # truncated entropy stream
-    # progressive (SOF2) names the unsupported feature
+    # genuinely unsupported SOFs name the feature (SOF2 is now decoded;
+    # SOF3 lossless is not)
     sof0 = bytes(payload).find(b"\xff\xc0")
-    prog = bytes(payload[:sof0 + 1]) + b"\xc2" + bytes(payload[sof0 + 2:])
+    lossless = bytes(payload[:sof0 + 1]) + b"\xc3" + bytes(payload[sof0 + 2:])
     with pytest.raises(ValueError, match="non-baseline"):
-        J.decode_jpeg(prog)
+        J.decode_jpeg(lossless)
+    # a baseline stream whose SOF is flipped to SOF2 is MALFORMED
+    # progressive (a baseline SOS header breaks Annex G's scan rules) —
+    # must diagnose, never silently half-decode
+    flipped = bytes(payload[:sof0 + 1]) + b"\xc2" + bytes(payload[sof0 + 2:])
+    with pytest.raises(ValueError, match="progressive"):
+        J.decode_jpeg(flipped)
 
 
 def test_avi_mjpeg_roundtrip_and_variants():
@@ -801,6 +808,126 @@ def test_jpeg_roundtrip_property():
         assert mse == 0 or 10 * np.log10(255 ** 2 / mse) > floor
 
     check()
+
+
+def test_progressive_jpeg_decodes_bit_identical_to_baseline():
+    """Progressive (SOF2) and baseline (SOF0) encodes of one image carry
+    the SAME quantized coefficients, so their decodes must be
+    bit-identical — across gray/color, every subsampling, odd dims, and
+    quality tiers. This pins the whole spectral-selection +
+    successive-approximation pipeline (scan script, point transforms,
+    EOB/ZRL coding, refinement bits) against the long-golden baseline
+    path."""
+    import numpy as np
+
+    from webtableextractionsystem_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(7)
+    cases = [((16, 16, 3), "444", 75), ((24, 17, 3), "420", 75),
+             ((9, 31, 3), "422", 60), ((8, 8), "444", 95),
+             ((21, 13), "444", 85), ((48, 40, 3), "420", 85)]
+    for shape, sub, q in cases:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = J.encode_jpeg(img, q, subsampling=sub)
+        prog = J.encode_jpeg(img, q, subsampling=sub, progressive=True)
+        assert prog[2:4] != base[2:4] or b"\xff\xc2" in prog  # SOF2 emitted
+        assert np.array_equal(J.decode_jpeg(base), J.decode_jpeg(prog)), \
+            (shape, sub, q)
+
+
+def test_progressive_jpeg_restart_intervals():
+    """RSTn inside SOF2 scans: predictors AND EOB runs reset, stream
+    realigns — decode stays bit-identical to the restart-free baseline
+    decode."""
+    import numpy as np
+
+    from webtableextractionsystem_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    want = J.decode_jpeg(J.encode_jpeg(img, 80, subsampling="420"))
+    for ri in (1, 3, 7):
+        prog = J.encode_jpeg(img, 80, restart_interval=ri,
+                             subsampling="420", progressive=True)
+        assert np.array_equal(J.decode_jpeg(prog), want)
+
+
+def test_progressive_jpeg_eobn_and_scan_prefix():
+    """Hand-built SOF2 stream exercising what our encoder never emits
+    but real files (libjpeg custom tables) do: an EOBn>0 symbol whose
+    run spans multiple blocks, plus a DHT redefinition BETWEEN scans.
+    Also pins the progressive contract that a valid scan PREFIX + EOI
+    renders (coarser), like a browser's progressive paint."""
+    import numpy as np
+    import pytest
+
+    from webtableextractionsystem_spark.operators import jpeg as J
+
+    ones = np.ones((8, 8), dtype=np.int64)
+    sof = J._seg(0xC2, bytes([8]) + (8).to_bytes(2, "big")
+                 + (24).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    # scan 1: DC, Al=0, blocks DC = [4, 8, -4] -> diffs [4, 4, -12]
+    dctab = J._build_code_table(*J.DC_LUM)
+    bw = J._BitWriter()
+    for diff in (4, 4, -12):
+        size, code = J._encode_value(diff)
+        hc, hl = dctab[size]
+        bw.write(hc, hl)
+        bw.write(code, size)
+    scan1 = (J._seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + bw.flush())
+    # scan 2: AC 1..63 Al=0 with a CUSTOM table: 00 -> EOB2-3 (0x10),
+    # 01 -> (run 0, size 2). Block 0 gets zz[1]=3, then EOB with ext
+    # bit 1 = run of 3 blocks total (ends block 0, skips blocks 1, 2).
+    custom = J._dht(1, 0, [0, 2] + [0] * 14, [0x10, 0x02])
+    bw = J._BitWriter()
+    bw.write(0b01, 2)   # (0,2) symbol
+    bw.write(3, 2)      # value 3
+    bw.write(0b00, 2)   # EOBn r=1
+    bw.write(1, 1)      # ext bit -> run 2 + 1 = 3
+    scan2 = J._seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + bw.flush()
+    head = (b"\xff\xd8" + J._dqt(0, ones)
+            + sof + J._dht(0, 0, *J.DC_LUM) + scan1)
+    full = head + custom + scan2 + b"\xff\xd9"
+
+    def expect(dc_ac):  # [(dc, {zz_k: v})] -> 8x(8*n)x3 expected pixels
+        outs = []
+        for dc, acs in dc_ac:
+            r = np.zeros(64)
+            r[J.ZIGZAG[0]] = dc
+            for k, v in acs.items():
+                r[J.ZIGZAG[k]] = v
+            out = J._T.T @ r.reshape(8, 8) @ J._T + 128
+            outs.append(out)
+        y = np.round(np.clip(np.hstack(outs), 0, 255))
+        return np.repeat(y[..., None], 3, axis=2).astype(np.uint8)
+
+    got = J.decode_jpeg(full)
+    assert np.array_equal(got, expect([(4, {1: 3}), (8, {}), (-4, {})]))
+    # prefix: DC scan only + EOI -> DC-only render
+    got_dc = J.decode_jpeg(head + b"\xff\xd9")
+    assert np.array_equal(got_dc, expect([(4, {}), (8, {}), (-4, {})]))
+    # no EOI -> truncation error, not a silent partial image
+    with pytest.raises(ValueError, match="truncated progressive"):
+        J.decode_jpeg(head + custom + scan2)
+
+
+def test_progressive_jpeg_real_reference_photo_bit_exact():
+    """The reference manual's real 734x1234 4:2:0 photo re-encoded
+    progressively decodes bit-identically to its baseline re-encode —
+    real-web content through every progressive scan stage."""
+    import numpy as np
+
+    from webtableextractionsystem_spark.operators import jpeg as J
+
+    with open("/root/reference/file/说明书/images/系统详细设计图.jpg",
+              "rb") as f:
+        px = J.decode_jpeg(f.read())
+    # crop to keep the three decodes inside a few seconds of test budget
+    px = px[:256, :320]
+    base = J.encode_jpeg(px, 60, subsampling="420")
+    prog = J.encode_jpeg(px, 60, subsampling="420", progressive=True)
+    assert b"\xff\xc2" in prog and b"\xff\xc2" not in base
+    assert np.array_equal(J.decode_jpeg(base), J.decode_jpeg(prog))
 
 
 def test_jpeg_zrl_past_block_end_raises():

@@ -1,23 +1,30 @@
-"""Baseline JPEG (JFIF) codec in pure numpy/stdlib — the last media
-format the multimodal family stubbed, now real.
+"""JPEG (JFIF) codec in pure numpy/stdlib — the last media format the
+multimodal family stubbed, now real.
 
-Scope (honest and tested): baseline sequential DCT (SOF0), 8-bit,
-1-component grayscale or 3-component YCbCr with any integer sampling
-factors 1-4 whose ratios divide evenly — 4:4:4, 4:2:0 (the overwhelming
-real-web default) and 4:2:2 are round-trip tested; chroma upsampling on
-decode is nearest-neighbor (sample replication — T.81 leaves the filter
-to the decoder). The paired encoder emits 4:4:4 by default and 4:2:0 /
-4:2:2 on request (box-averaged chroma). Optional restart intervals both
-ways. Progressive (SOF2), arithmetic-coded, and 12-bit streams raise
-ValueError naming the unsupported feature — corrupt data also
-ValueError; the magic-sniff boundary stays in decode_image.
+Scope (honest and tested): baseline sequential DCT (SOF0) AND
+progressive DCT (SOF2 — spectral selection, successive approximation,
+EOBn runs, per-scan DHT redefinition), 8-bit, 1-component grayscale or
+3-component YCbCr with any integer sampling factors 1-4 whose ratios
+divide evenly — 4:4:4, 4:2:0 (the overwhelming real-web default) and
+4:2:2 are round-trip tested; chroma upsampling on decode is
+nearest-neighbor (sample replication — T.81 leaves the filter to the
+decoder). The paired encoder emits 4:4:4 by default, 4:2:0 / 4:2:2 on
+request (box-averaged chroma), and SOF2 with the standard libjpeg scan
+script on ``progressive=True`` — over the SAME quantized coefficients
+as baseline, so the two decodes are bit-identical (the tests'
+invariant). Optional restart intervals both ways and in every
+progressive scan. Arithmetic-coded, hierarchical, lossless, and 12-bit
+streams raise ValueError naming the unsupported feature — corrupt data
+also ValueError; the magic-sniff boundary stays in decode_image.
 
 Everything is from the public standard: ITU-T T.81 — zigzag order
 (§A.3.6), quantization + Huffman tables from Annex K (the "typical"
 tables virtually every encoder ships), byte stuffing (§B.1.1.5), DC
-prediction and (run,size) AC coding (§F.1.2); JFIF YCbCr from the JFIF
-1.02 spec. JPEG is lossy: round-trips assert PSNR bounds, not equality
-(flat images survive near-exactly — DC-only blocks).
+prediction and (run,size) AC coding (§F.1.2), progressive scan
+semantics (Annex G, control flow mirroring the public libjpeg phuff
+coders); JFIF YCbCr from the JFIF 1.02 spec. JPEG is lossy: round-trips
+assert PSNR bounds, not equality (flat images survive near-exactly —
+DC-only blocks).
 
 DCT as an 8x8 matrix sandwich (T @ B @ T.T) over numpy float64; entropy
 coding is bit-level Python — fine for the thumbnail-scale media the
@@ -264,9 +271,25 @@ def _box_downsample(p: np.ndarray, fx: int, fy: int) -> np.ndarray:
 _SUBSAMPLING = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}
 
 
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+        + payload
+
+
+def _dqt(tid: int, tbl: np.ndarray) -> bytes:
+    return _seg(0xDB, bytes([tid])
+                + bytes(int(x) for x in tbl.reshape(-1)[ZIGZAG]))
+
+
+def _dht(tclass: int, tid: int, bits, values) -> bytes:
+    return _seg(0xC4, bytes([(tclass << 4) | tid]) + bytes(bits)
+                + bytes(values))
+
+
 def encode_jpeg(img: np.ndarray, quality: int = 85,
                 restart_interval: int = 0,
-                subsampling: str = "444") -> bytes:
+                subsampling: str = "444",
+                progressive: bool = False) -> bytes:
     """HxW (gray) or HxWx3 uint8 -> baseline JFIF JPEG (Annex K tables).
     ``subsampling`` picks the luma sampling factors: '444' (default,
     bit-identical to the pre-subsampling encoder), '420' (2x2 — the
@@ -274,7 +297,11 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     down accordingly. ``restart_interval`` > 0 emits a DRI segment and
     RSTn markers every that many MCUs (DC predictors reset, stream
     byte-aligned) — the error-resilience feature real encoders use, kept
-    selectable so the decoder's restart path is round-trip tested."""
+    selectable so the decoder's restart path is round-trip tested.
+    ``progressive=True`` emits SOF2 with the standard libjpeg-style scan
+    script (spectral selection + successive approximation) over the SAME
+    quantized coefficients, so its decode is bit-identical to the
+    baseline stream's — the invariant the progressive tests pin."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if h == 0 or w == 0:
@@ -309,6 +336,10 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
                    (0, mcus_x * 8 * hi - p.shape[1])), mode="edge")
         for (hi, vi), p in zip(factors, planes)
     ]
+
+    if progressive:
+        return _encode_progressive(planes, factors, quants, gray, h, w,
+                                   restart_interval, mcus_x, mcus_y)
 
     dc_tabs = [_build_code_table(*DC_LUM)] + (
         [] if gray else [_build_code_table(*DC_CHR)] * 2)
@@ -367,18 +398,6 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
                             ci, planes[ci][by:by + 8, bx:bx + 8] - 128.0)
     scan = bw.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
-            + payload
-
-    def dqt(tid: int, tbl: np.ndarray) -> bytes:
-        return seg(0xDB, bytes([tid])
-                   + bytes(int(x) for x in tbl.reshape(-1)[ZIGZAG]))
-
-    def dht(tclass: int, tid: int, bits, values) -> bytes:
-        return seg(0xC4, bytes([(tclass << 4) | tid]) + bytes(bits)
-                   + bytes(values))
-
     ncomp = 1 if gray else 3
     sof_comps = b"".join(
         bytes([i + 1, (factors[i][0] << 4) | factors[i][1],
@@ -386,18 +405,18 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     sos_comps = b"".join(
         bytes([i + 1, 0x00 if i == 0 else 0x11]) for i in range(ncomp))
     out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
-    out += dqt(0, qlum)
+    out += _seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += _dqt(0, qlum)
     if not gray:
-        out += dqt(1, qchr)
-    out += seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-               + bytes([ncomp]) + sof_comps)
-    out += dht(0, 0, *DC_LUM) + dht(1, 0, *AC_LUM)
+        out += _dqt(1, qchr)
+    out += _seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                + bytes([ncomp]) + sof_comps)
+    out += _dht(0, 0, *DC_LUM) + _dht(1, 0, *AC_LUM)
     if not gray:
-        out += dht(0, 1, *DC_CHR) + dht(1, 1, *AC_CHR)
+        out += _dht(0, 1, *DC_CHR) + _dht(1, 1, *AC_CHR)
     if restart_interval:
-        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
-    out += seg(0xDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+    out += _seg(0xDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
     out += scan
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -423,12 +442,14 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    progressive = False
+    prog = None  # per-component coefficient state, built lazily at 1st SOS
     restart_interval = 0
 
     def u16(o):
         return int.from_bytes(payload[o:o + 2], "big")
 
-    while pos + 4 <= n:
+    while pos + 2 <= n:  # EOI is a bare 2-byte marker at stream end
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
         # T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
@@ -437,12 +458,19 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
             pos += 1
         marker = payload[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if prog is not None:
+                # progressive: the frame is whatever the scans built up
+                # (a truncated-but-valid prefix renders coarser, exactly
+                # like a browser's progressive paint)
+                return _reconstruct_progressive(prog, quant)
             raise ValueError("JPEG stream has no scan")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             # TEM / RSTn are standalone markers with no length field —
             # reading one as a segment would misparse the next bytes
             continue
+        if pos + 4 > n:
+            raise ValueError("truncated JPEG segment header")
         length = u16(pos)
         body = payload[pos + 2:pos + length]
         if marker == 0xDB:  # DQT (possibly several tables)
@@ -466,11 +494,12 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                 tab = _build_decode_table(bits, values)
                 (huff_dc if tc == 0 else huff_ac)[th] = tab
                 i += 17 + nv
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"JPEG SOF{marker - 0xC0} (non-baseline) unsupported")
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             if body[0] != 8:
                 raise ValueError("only 8-bit JPEG supported")
             fh, fw, ncomp = u16(pos + 3), u16(pos + 5), body[5]
@@ -505,6 +534,34 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ncomp = body[0]
+            if progressive:
+                if prog is None:
+                    prog = _progressive_state(frame)
+                scan_cis = []
+                scan_tabs = []
+                frame_ids = [c[0] for c in frame[2]]
+                for c in range(ncomp):
+                    cs = body[1 + 2 * c]
+                    if cs not in frame_ids:
+                        raise ValueError(
+                            "JPEG scan selects a component not in frame")
+                    ci = frame_ids.index(cs)
+                    if scan_cis and ci <= scan_cis[-1]:
+                        # interleaved components must follow frame order
+                        # (T.81 B.2.3) — anything else would silently
+                        # pair the wrong tables/planes
+                        raise ValueError(
+                            "JPEG scan component order differs from frame")
+                    scan_cis.append(ci)
+                    scan_tabs.append((body[2 + 2 * c] >> 4,
+                                      body[2 + 2 * c] & 0xF))
+                ss, se, ahal = body[1 + 2 * ncomp:4 + 2 * ncomp]
+                ah, al = ahal >> 4, ahal & 0xF
+                pos += length
+                pos = _decode_progressive_scan(
+                    payload, pos, prog, scan_cis, scan_tabs,
+                    huff_dc, huff_ac, restart_interval, ss, se, ah, al)
+                continue
             if ncomp != len(frame[2]):
                 raise ValueError(
                     "non-interleaved (per-component) JPEG scans unsupported")
@@ -523,7 +580,9 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
             return _decode_scan(payload, pos, frame, scan_tabs, quant,
                                 huff_dc, huff_ac, restart_interval)
         pos += length
-    raise ValueError("truncated JPEG (no SOS reached)")
+    raise ValueError("truncated JPEG (no SOS reached)"
+                     if prog is None else
+                     "truncated progressive JPEG (no EOI reached)")
 
 
 def _decode_scan(payload, pos, frame, scan_tabs, quant, huff_dc, huff_ac,
@@ -613,8 +672,13 @@ def _decode_scan(payload, pos, frame, scan_tabs, quant, huff_dc, huff_ac,
                             decode_block(ci, tq)
             mcu += 1
 
-    # per-component crop to its true sample grid (T.81 A.1.1 ceil dims),
-    # then nearest-neighbor upsample to full resolution
+    return _finish_planes(planes, factors, fh, fw, hmax, vmax)
+
+
+def _finish_planes(planes, factors, fh, fw, hmax, vmax) -> np.ndarray:
+    """Per-component crop to its true sample grid (T.81 A.1.1 ceil dims),
+    nearest-neighbor upsample to full resolution, color-convert — the
+    shared tail of the baseline and progressive decode paths."""
     full = []
     for ci, (hi, vi) in enumerate(factors):
         cw = (fw * hi + hmax - 1) // hmax
@@ -632,3 +696,434 @@ def _decode_scan(payload, pos, frame, scan_tabs, quant, huff_dc, huff_ac,
         return np.repeat(y[..., None], 3, axis=2).astype(np.uint8)
     ycc = np.stack(full, axis=-1)
     return np.round(_ycbcr_to_rgb(ycc)).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2) — T.81 Annex G. Scans deposit coefficients into
+# per-component arrays; the IDCT runs once at EOI, vectorized over every
+# block. Spectral selection, successive approximation, EOBn runs, and
+# restart intervals are all decoded; the paired encoder emits the standard
+# libjpeg-style scan script over the SAME quantized coefficients as the
+# baseline path, so baseline and progressive decodes of one image are
+# bit-identical (the invariant the tests pin).
+# ---------------------------------------------------------------------------
+
+
+def _read_huff(br: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _progressive_state(frame) -> dict:
+    """Coefficient buffers + grid geometry shared by every scan of a
+    progressive frame. ``coef[ci]`` is (blocks_y, blocks_x, 64) int32 in
+    ZIGZAG order over the MCU-padded grid (interleaved DC scans cover
+    padded blocks; non-interleaved scans only touch the true grid)."""
+    fh, fw, comps = frame
+    if fh == 0 or fw == 0:
+        raise ValueError("bad JPEG dimensions")
+    if len(comps) == 1:
+        factors = [(1, 1)]
+    else:
+        factors = [(hi, vi) for _, hi, vi, _ in comps]
+    hmax = max(hi for hi, _ in factors)
+    vmax = max(vi for _, vi in factors)
+    for hi, vi in factors:
+        if hmax % hi or vmax % vi:
+            raise ValueError(
+                "fractional JPEG sampling-factor ratios unsupported")
+    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+    coef = [np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32)
+            for hi, vi in factors]
+    true_blocks = []
+    for hi, vi in factors:
+        cw = (fw * hi + hmax - 1) // hmax
+        ch = (fh * vi + vmax - 1) // vmax
+        true_blocks.append(((cw + 7) // 8, (ch + 7) // 8))
+    return {"fh": fh, "fw": fw, "comps": comps, "factors": factors,
+            "hmax": hmax, "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y,
+            "coef": coef, "true_blocks": true_blocks}
+
+
+def _decode_progressive_scan(payload, pos, st, scan_cis, scan_tabs,
+                             huff_dc, huff_ac, restart_interval,
+                             ss, se, ah, al) -> int:
+    """Decode ONE SOF2 scan: spectral band [ss, se] of the selected
+    component(s) at successive-approximation stage (ah, al), per T.81
+    §G.2 (the control flow mirrors the public libjpeg phuff decoder,
+    which implements the spec's figures G.6/G.7). Returns the payload
+    offset of the next marker."""
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if not dc_scan and (len(scan_cis) != 1 or se > 63 or ss > se):
+        raise ValueError(
+            "progressive AC scan must cover one component, 1<=Ss<=Se<=63")
+    if al > 13 or (ah and ah != al + 1):
+        raise ValueError("bad successive-approximation parameters")
+    interleaved = len(scan_cis) > 1
+    coef = st["coef"]
+    factors = st["factors"]
+    # validate tables up front so a missing one can't half-decode a scan
+    for i, ci in enumerate(scan_cis):
+        td, ta = scan_tabs[i]
+        if dc_scan and ah == 0 and td not in huff_dc:
+            raise ValueError("JPEG references an undefined table")
+        if not dc_scan and ta not in huff_ac:
+            raise ValueError("JPEG references an undefined table")
+    br = _BitReader(payload, pos)
+    preds = {ci: 0 for ci in scan_cis}
+    eobrun = 0
+    p1 = 1 << al
+
+    def refine_nonzero(blk, k):
+        # G.1.2.3: one correction bit per already-nonzero coefficient;
+        # 1 moves its magnitude up by 2^al (toward the true value)
+        if br.bit():
+            c = int(blk[k])
+            if (c & p1) == 0:
+                blk[k] = c + (p1 if c >= 0 else -p1)
+
+    def dc_block(i, ci, blk):
+        if ah == 0:
+            size = _read_huff(br, huff_dc[scan_tabs[i][0]])
+            preds[ci] += _decode_value(size, br.bits(size))
+            blk[0] = preds[ci] << al
+        elif br.bit():  # refinement: append bit al (two's complement OR)
+            blk[0] = int(blk[0]) | p1
+
+    def ac_first_block(blk):
+        nonlocal eobrun
+        if eobrun:
+            eobrun -= 1
+            return
+        tab = huff_ac[scan_tabs[0][1]]
+        k = ss
+        while k <= se:
+            sym = _read_huff(br, tab)
+            r, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1  # EOBn: this block + eobrun more
+                if r:
+                    eobrun += br.bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run past band end")
+            blk[k] = _decode_value(s, br.bits(s)) << al
+            k += 1
+
+    def ac_refine_block(blk):
+        nonlocal eobrun
+        tab = huff_ac[scan_tabs[0][1]]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = _read_huff(br, tab)
+                r, s = sym >> 4, sym & 0xF
+                sval = 0
+                if s:
+                    if s != 1:
+                        raise ValueError(
+                            "bad magnitude in progressive AC refinement")
+                    sval = p1 if br.bit() else -p1
+                elif r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # advance past r zero-history coefficients (16 for ZRL),
+                # refining every nonzero-history one along the way
+                while k <= se:
+                    if blk[k] != 0:
+                        refine_nonzero(blk, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if sval:
+                    if k > se:
+                        raise ValueError("JPEG AC run past band end")
+                    blk[k] = sval
+                k += 1
+        if eobrun:
+            # EOB run covers this block: only correction bits for its
+            # remaining nonzero-history coefficients appear in the stream
+            while k <= se:
+                if blk[k] != 0:
+                    refine_nonzero(blk, k)
+                k += 1
+            eobrun -= 1
+
+    def expect_rst():
+        nonlocal eobrun
+        br.align()
+        if br.pos + 1 >= len(payload) or payload[br.pos] != 0xFF \
+                or not (0xD0 <= payload[br.pos + 1] <= 0xD7):
+            raise ValueError("missing JPEG restart marker")
+        br.pos += 2
+        for ci in preds:
+            preds[ci] = 0
+        eobrun = 0
+
+    mcu = 0
+    if interleaved:  # DC scan over the MCU grid (AC scans are 1-comp)
+        for my in range(st["mcus_y"]):
+            for mx in range(st["mcus_x"]):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    expect_rst()
+                mcu += 1
+                for i, ci in enumerate(scan_cis):
+                    hi, vi = factors[ci]
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            dc_block(i, ci,
+                                     coef[ci][my * vi + byi, mx * hi + bxi])
+    else:  # non-interleaved: MCU = one block, true (unpadded) grid
+        ci = scan_cis[0]
+        nbx, nby = st["true_blocks"][ci]
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    expect_rst()
+                mcu += 1
+                blk = coef[ci][by, bx]
+                if dc_scan:
+                    dc_block(0, ci, blk)
+                elif ah == 0:
+                    ac_first_block(blk)
+                else:
+                    ac_refine_block(blk)
+
+    # skip to the next marker (stuffed 0x00, fill 0xFF, stray RSTn)
+    p, n = br.pos, len(payload)
+    while p + 1 < n:
+        if payload[p] != 0xFF:
+            p += 1
+        elif payload[p + 1] in (0x00, 0xFF):
+            p += 1
+        elif 0xD0 <= payload[p + 1] <= 0xD7:
+            p += 2
+        else:
+            return p
+    raise ValueError("truncated progressive JPEG scan")
+
+
+def _reconstruct_progressive(st, quant) -> np.ndarray:
+    """Dequantize + IDCT every accumulated block (vectorized einsum —
+    one 8x8 matrix sandwich over all blocks at once) and assemble."""
+    planes = []
+    for ci, (hi, vi) in enumerate(st["factors"]):
+        tq = st["comps"][ci][3]
+        if tq not in quant:
+            raise ValueError("JPEG references an undefined table")
+        qzz = quant[tq].reshape(-1)[ZIGZAG].astype(np.float64)
+        zz = st["coef"][ci].astype(np.float64) * qzz
+        raster = np.zeros_like(zz)
+        raster[..., ZIGZAG] = zz
+        by, bx = raster.shape[:2]
+        blocks = raster.reshape(by, bx, 8, 8)
+        out = np.einsum("ab,xybc,cd->xyad", _T.T, blocks, _T) + 128
+        planes.append(out.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+    return _finish_planes(planes, st["factors"], st["fh"], st["fw"],
+                          st["hmax"], st["vmax"])
+
+
+# --- progressive encoder ----------------------------------------------------
+
+def _encode_progressive(planes, factors, quants, gray, h, w,
+                        restart_interval, mcus_x, mcus_y) -> bytes:
+    """SOF2 stream over the SAME quantized coefficients as the baseline
+    encoder, using the standard libjpeg scan script (DC first at Al=1,
+    luma AC split 1-5/6-63 at Al=2, chroma AC at Al=1, then one
+    refinement pass per band, DC refine last-but-one). EOB runs are
+    flushed per block (EOB0), so the Annex K tables — which carry no
+    EOBn>0 symbols — suffice; decoders must still handle general EOBn,
+    which the hand-built-stream test covers."""
+    coef = []
+    for (hi, vi), p, q in zip(factors, planes, quants):
+        by, bx = p.shape[0] // 8, p.shape[1] // 8
+        blocks = (p - 128.0).reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        c = np.einsum("ab,xybc,cd->xyad", _T, blocks, _T.T)
+        qz = np.round(c / q).astype(np.int64).reshape(by, bx, 64)
+        coef.append(qz[..., ZIGZAG])
+
+    hmax = max(hi for hi, _ in factors)
+    vmax = max(vi for _, vi in factors)
+    true_blocks = []
+    for hi, vi in factors:
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        true_blocks.append(((cw + 7) // 8, (ch + 7) // 8))
+
+    dc_codetabs = [_build_code_table(*DC_LUM)] + (
+        [] if gray else [_build_code_table(*DC_CHR)] * 2)
+    ac_codetabs = [_build_code_table(*AC_LUM)] + (
+        [] if gray else [_build_code_table(*AC_CHR)] * 2)
+
+    ncomp = len(factors)
+    all_cis = list(range(ncomp))
+    if gray:
+        script = [(all_cis, 0, 0, 0, 1), ([0], 1, 63, 0, 2),
+                  ([0], 1, 63, 2, 1), (all_cis, 0, 0, 1, 0),
+                  ([0], 1, 63, 1, 0)]
+    else:
+        script = [(all_cis, 0, 0, 0, 1),
+                  ([0], 1, 5, 0, 2), ([2], 1, 63, 0, 1),
+                  ([1], 1, 63, 0, 1), ([0], 6, 63, 0, 2),
+                  ([0], 1, 63, 2, 1), (all_cis, 0, 0, 1, 0),
+                  ([2], 1, 63, 1, 0), ([1], 1, 63, 1, 0),
+                  ([0], 1, 63, 1, 0)]
+
+    def blocks_of(cis):
+        """Yield (scan comp position, ci, block) in scan order, with a
+        per-MCU restart flag first in each tuple."""
+        mcu = 0
+        if len(cis) > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    at_rst = (restart_interval and mcu
+                              and mcu % restart_interval == 0)
+                    first = True
+                    for i, ci in enumerate(cis):
+                        hi, vi = factors[ci]
+                        for byi in range(vi):
+                            for bxi in range(hi):
+                                yield (at_rst and first, mcu, i, ci,
+                                       coef[ci][my * vi + byi,
+                                                mx * hi + bxi])
+                                first = False
+                    mcu += 1
+        else:
+            ci = cis[0]
+            nbx, nby = true_blocks[ci]
+            for by in range(nby):
+                for bx in range(nbx):
+                    at_rst = (restart_interval and mcu
+                              and mcu % restart_interval == 0)
+                    yield (at_rst, mcu, 0, ci, coef[ci][by, bx])
+                    mcu += 1
+
+    def dc_scan_bytes(cis, ah, al):
+        bw = _BitWriter()
+        preds = {ci: 0 for ci in cis}
+        for at_rst, mcu, i, ci, blk in blocks_of(cis):
+            if at_rst:
+                bw.restart_marker(mcu // restart_interval - 1)
+                for c in preds:
+                    preds[c] = 0
+            v = int(blk[0])
+            if ah == 0:
+                t = v >> al  # arithmetic shift per G.1.2.1
+                size, code = _encode_value(t - preds[ci])
+                preds[ci] = t
+                hc, hl = dc_codetabs[ci][size]
+                bw.write(hc, hl)
+                if size:
+                    bw.write(code, size)
+            else:
+                bw.write((v >> al) & 1, 1)
+        return bw.flush()
+
+    def ac_first_bytes(ci, ss, se, al):
+        bw = _BitWriter()
+        actab = ac_codetabs[ci]
+        for at_rst, mcu, _i, _ci, blk in blocks_of([ci]):
+            if at_rst:
+                bw.restart_marker(mcu // restart_interval - 1)
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                t = abs(v) >> al  # AC point transform: toward zero
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    hc, hl = actab[0xF0]
+                    bw.write(hc, hl)
+                    r -= 16
+                size, code = _encode_value(t if v > 0 else -t)
+                hc, hl = actab[(r << 4) | size]
+                bw.write(hc, hl)
+                bw.write(code, size)
+                r = 0
+            if r > 0:
+                hc, hl = actab[0x00]  # per-block EOB0 flush
+                bw.write(hc, hl)
+        return bw.flush()
+
+    def ac_refine_bytes(ci, ss, se, al):
+        bw = _BitWriter()
+        actab = ac_codetabs[ci]
+        for at_rst, mcu, _i, _ci, blk in blocks_of([ci]):
+            if at_rst:
+                bw.restart_marker(mcu // restart_interval - 1)
+            r = 0
+            pending = []  # correction bits buffered until the next symbol
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    hc, hl = actab[0xF0]
+                    bw.write(hc, hl)
+                    r -= 16
+                    for b in pending:
+                        bw.write(b, 1)
+                    pending = []
+                if t > 1:  # already nonzero at the prior precision
+                    pending.append(t & 1)
+                    continue
+                hc, hl = actab[(r << 4) | 1]
+                bw.write(hc, hl)
+                bw.write(1 if v > 0 else 0, 1)  # sign: 1 = positive
+                for b in pending:
+                    bw.write(b, 1)
+                pending = []
+                r = 0
+            if r > 0 or pending:
+                hc, hl = actab[0x00]
+                bw.write(hc, hl)
+                for b in pending:
+                    bw.write(b, 1)
+        return bw.flush()
+
+    sof_comps = b"".join(
+        bytes([i + 1, (factors[i][0] << 4) | factors[i][1],
+               0 if i == 0 else 1]) for i in range(ncomp))
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += _dqt(0, quants[0])
+    if not gray:
+        out += _dqt(1, quants[1])
+    out += _seg(0xC2, bytes([8]) + h.to_bytes(2, "big")
+                + w.to_bytes(2, "big") + bytes([ncomp]) + sof_comps)
+    out += _dht(0, 0, *DC_LUM) + _dht(1, 0, *AC_LUM)
+    if not gray:
+        out += _dht(0, 1, *DC_CHR) + _dht(1, 1, *AC_CHR)
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+    for cis, ss, se, ah, al in script:
+        hdr = bytes([len(cis)]) + b"".join(
+            bytes([ci + 1, 0x00 if ci == 0 else 0x11]) for ci in cis
+        ) + bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, hdr)
+        if ss == 0:
+            out += dc_scan_bytes(cis, ah, al)
+        elif ah == 0:
+            out += ac_first_bytes(cis[0], ss, se, al)
+        else:
+            out += ac_refine_bytes(cis[0], ss, se, al)
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -66,10 +66,11 @@ N_IMG_FEATURES = 16
 def synth_media_for_spans(spans_out: DataFrame) -> DataFrame:
     """Deterministic media table for every media span: REAL encoded
     image payloads (PPM / BMP / PNG-RGB / PNG-RGBA / PNG-palette /
-    baseline JPEG 4:4:4 and subsampled 4:2:0/4:2:2 / GIF; PNG rows cycle
-    through all five scanline filters and alternate Adam7 interlacing,
-    palette PNGs through depths 1/2/4/8, JPEG across qualities 75-95,
-    GIF alternating interlace) with pixels seeded from md5(media_ref). Stands in for the real
+    JPEG 4:4:4 baseline and subsampled 4:2:0/4:2:2 baseline OR
+    progressive / GIF; PNG rows cycle through all five scanline filters
+    and alternate Adam7 interlacing, palette PNGs through depths
+    1/2/4/8, JPEG across qualities 75-95, GIF alternating interlace)
+    with pixels seeded from md5(media_ref). Stands in for the real
     object store; every payload decodes through the real codec path
     (``decode_image(fake=False)``)."""
 
@@ -121,9 +122,14 @@ def synth_media_for_spans(spans_out: DataFrame) -> DataFrame:
                 else:
                     from .jpeg import encode_jpeg
 
+                    # half of these are progressive (SOF2) — decode is
+                    # pinned bit-identical to baseline, so the oracle
+                    # values don't move but the driver gate now runs
+                    # the Annex G scan machinery end-to-end
                     payload = encode_jpeg(
                         img, quality=75 + h[3] % 21,
-                        subsampling="420" if h[4] % 2 else "422")
+                        subsampling="420" if h[4] % 2 else "422",
+                        progressive=bool(h[5] % 2))
                     mime = "image/jpeg"
                 rows.append({
                     "media_ref": ref,
