@@ -345,6 +345,41 @@ def test_doc_chunks_and_packing_invariants(spark, tmp_path):
             cum += r["n_tokens"]
 
 
+def test_hll_linear_counting_complete_domain_cross_engine(spark):
+    """The HLL small-cardinality branch uses ln(), which is NOT
+    cross-engine bit-stable (18/255 inputs differ by one ulp between the
+    JVM and DuckDB libm — measured). The branch is sound anyway because
+    its input domain is FINITE: V = empty registers in 1..255. This
+    sweeps the COMPLETE domain through both engines and asserts the
+    round(4)-guarded linear-counting value is identical everywhere —
+    exhaustive proof, not sampling."""
+    import duckdb
+
+    from webtableextractionsystem_spark.operators.textstats import _HLL_M
+
+    s = {r["v"]: repr(r["lc"]) for r in spark.createDataFrame(
+        [(v,) for v in range(1, _HLL_M)], "v int"
+    ).selectExpr(
+        "v",
+        f"round({_HLL_M}.0 * ln({_HLL_M}.0 / CAST(v AS DOUBLE)), 4) AS lc"
+    ).collect()}
+    d = {int(v): repr(lc) for v, lc in duckdb.sql(
+        f"SELECT v, round({_HLL_M}.0 * ln({_HLL_M}.0 / CAST(v AS DOUBLE)), 4)"
+        f" AS lc FROM (SELECT unnest(range(1, {_HLL_M})) AS v)"
+    ).fetchall()}
+    assert s == d
+    # and the branch actually FIRES on the sf0.01 corpus (500 docs over
+    # 256 registers leaves empty registers and raw < 2.5m) — the oracle
+    # row is exercising linear counting, not just the raw path
+    from webtableextractionsystem_spark.operators.textstats import (
+        hll_distinct,
+    )
+    row = hll_distinct(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row["used_linear_counting"] == 1
+    assert abs(row["hll_estimate"] - row["exact_distinct"]) \
+        < 0.15 * row["exact_distinct"]
+
+
 def test_event_asof_join_differential_bruteforce(spark, tmp_path):
     """Differential check of the union+window as-of against a per-row
     brute force on a dense random corpus: 300 events, 8 users, only 24

@@ -669,9 +669,17 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exactness would only break past ~2^52 distinct docs), so the raw
     estimate is deterministic and the DuckDB oracle matches it to the
     last bit — a sketch whose VALUE is correctness-gated, not just its
-    shape. No bias/linear-counting correction: that branch needs ln(),
-    which is not cross-engine bit-stable; raw-vs-exact accuracy is the
-    test's concern, the operator contract is the raw HLL estimator.
+    shape.
+
+    Small-cardinality branch (the full Flajolet estimator): when
+    raw <= 2.5m and V = empty registers > 0, linear counting
+    m*ln(m/V) replaces the raw estimate. ln() is NOT cross-engine
+    bit-stable (measured: 18/255 inputs differ by one ulp between the
+    JVM and DuckDB libm), but the branch's inputs ARE bit-stable (raw
+    is dyadic-exact arithmetic, V is an integer) and V's domain is
+    FINITE — 1..255 — so round(..., 4) provably erases the ulp
+    divergence: the test sweeps every possible V through both engines
+    and asserts equality over the complete domain.
 
     Scale shape: one scan -> map-side partial max per register -> a
     256-row shuffle -> single-row fold; the classic mergeable-sketch
@@ -695,11 +703,17 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("zsum"),
         F.sum("nd").alias("exact_distinct"),
     )
-    est = (F.expr(_HLL_ALPHA_EXPR) * _HLL_M * _HLL_M
+    raw = (F.expr(_HLL_ALPHA_EXPR) * _HLL_M * _HLL_M
            / (F.col("zsum") + (F.lit(_HLL_M) - F.col("n_registers_set"))))
+    vempty = F.lit(_HLL_M) - F.col("n_registers_set")
+    use_lc = (raw <= F.lit(2.5 * _HLL_M)) & (vempty > 0)
+    lc = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M))
+                                      / vempty.cast("double"))
     return sketch.select(
         "n_registers_set",
-        F.round(est, 4).alias("hll_estimate"),
+        F.when(use_lc, F.round(lc, 4))
+        .otherwise(F.round(raw, 4)).alias("hll_estimate"),
+        use_lc.cast("int").alias("used_linear_counting"),
         "exact_distinct",
     )
 
@@ -723,12 +737,22 @@ sketch AS (
   SELECT count(*) AS n_registers_set,
          sum(pow(2.0, -mr)) AS zsum
   FROM regs
+),
+est AS (
+  SELECT n_registers_set,
+         {_HLL_ALPHA_EXPR} * {_HLL_M} * {_HLL_M}
+           / (zsum + ({_HLL_M} - n_registers_set)) AS raw,
+         {_HLL_M} - n_registers_set AS vempty
+  FROM sketch
 )
 SELECT n_registers_set,
-       round({_HLL_ALPHA_EXPR} * {_HLL_M} * {_HLL_M}
-             / (zsum + ({_HLL_M} - n_registers_set)), 4) AS hll_estimate,
+       CASE WHEN raw <= {2.5 * _HLL_M} AND vempty > 0
+            THEN round({_HLL_M}.0 * ln({_HLL_M}.0 / CAST(vempty AS DOUBLE)), 4)
+            ELSE round(raw, 4) END AS hll_estimate,
+       CAST(raw <= {2.5 * _HLL_M} AND vempty > 0 AS INTEGER)
+         AS used_linear_counting,
        (SELECT count(DISTINCT fp) FROM docs) AS exact_distinct
-FROM sketch
+FROM est
 """
 
 
