@@ -114,6 +114,21 @@ def main() -> None:
         "q_doc_cms_heavy_hitters — partial counts into a fixed 4x256 "
         "domain; exact top-k probe broadcast-joined to the sketch":
             TS.cms_heavy_hitters(spark, SF),
+        "q_events_interval_join — bucketed interval join: one equi-join "
+        "on (user, hour bucket), range predicate after, NO cross join":
+            REL.event_interval_join(spark, SF),
+        "q_events_closed_sessions — one user_id sort-shuffle (window + "
+        "agg share it) + broadcast one-row watermark scalar":
+            REL.closed_sessions(spark, SF),
+        "q_doc_bloom_filter — mergeable bit-set build (distinct bits), "
+        "probes broadcast-joined to the <=4096-row bit table":
+            DD.bloom_filter_stats(spark, SF),
+        "q_doc_length_quantiles — exact disc quantiles: one source "
+        "sort-shuffle, agg reuses the window partitioning":
+            TS.length_quantiles(spark, SF),
+        "q_doc_hll_by_source — grouped mergeable sketch: partial max per "
+        "(source, register), one composite-key shuffle":
+            TS.hll_by_source(spark, SF),
     }
 
     parts = [

@@ -282,6 +282,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rel_region_part_volume": REL.region_part_volume,
         # new in round 5
         "q_events_closed_sessions": REL.closed_sessions,
+        "q_events_interval_join": REL.event_interval_join,
+        "q_doc_bloom_filter": DD.bloom_filter_stats,
+        "q_doc_length_quantiles": TS.length_quantiles,
+        "q_doc_hll_by_source": TS.hll_by_source,
+        # changed in round 5 (linear-counting branch) — must stay rowed
+        "q_doc_hll_distinct": TS.hll_distinct,
         # extraction engine (T1-T18, C1-C8, E1-E4, F4-F10 composed)
         "x_spans_by_kind": x_spans_by_kind,
         "x_tables_by_type": x_tables_by_type,
@@ -310,25 +316,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family (F3 at scale)
         "q_doc_exact_dedup": DD.exact_dedup,
         "q_doc_minhash": DD.minhash_signatures,
-        "q_doc_lsh_bands": DD.lsh_band_keys,
         "q_doc_lsh_pairs": DD.lsh_candidate_pairs,
-        "q_doc_simhash": DD.simhash_signatures,
         "q_doc_simhash_pairs": DD.simhash_neardup_pairs,
         "q_doc_ngram_jaccard": DD.ngram_jaccard_pairs,
         "q_doc_neardup_canonical": DD.neardup_canonical,
         "q_doc_neardup_components": DD.neardup_components,
-        "q_doc_neardup_components_lsss": DD.neardup_components_lsss,
         "q_doc_decontaminate": DD.decontaminate,
         "q_doc_curation_funnel": DD.curation_funnel,
-        # newer q_doc (first rowed r04)
+        # --- tail (rotated out this round; all green r01-r04 and
+        # unchanged; lsh_bands/simhash are the signature halves of the
+        # still-rowed *_pairs queries, components_lsss shares
+        # neardup_components' oracle) ---
+        "q_doc_neardup_components_lsss": DD.neardup_components_lsss,
+        "q_doc_lsh_bands": DD.lsh_band_keys,
+        "q_doc_simhash": DD.simhash_signatures,
         "q_doc_chunks": TS.doc_chunks,
         # n_buckets pinned: the SQL oracle buckets with N_PACK_BUCKETS,
         # so the adaptive defaultParallelism default must not leak in
         "q_doc_pack_sequences": lambda spark, sf_dir: TS.pack_sequences(
             spark, sf_dir, n_buckets=TS.N_PACK_BUCKETS),
-        "q_doc_hll_distinct": TS.hll_distinct,
         "q_doc_cms_heavy_hitters": TS.cms_heavy_hitters,
-        # --- tail (rotated out this round; green r01-r04) ---
         "q_doc_token_stats": TS.token_stats,
         "q_doc_quality": TS.quality_stats,
         "q_doc_lang_id": TS.lang_id,
@@ -393,6 +400,10 @@ def oracle_sql() -> dict[str, str]:
         "q_events_user_profiles": REL.USER_PROFILES_SQL,
         "q_events_sessionize": REL.EVENT_SESSIONS_SQL,
         "q_events_closed_sessions": REL.CLOSED_SESSIONS_SQL,
+        "q_events_interval_join": REL.EVENT_INTERVAL_JOIN_SQL,
+        "q_doc_bloom_filter": DD.bloom_filter_sql(),
+        "q_doc_length_quantiles": TS.LENGTH_QUANTILES_SQL,
+        "q_doc_hll_by_source": TS.HLL_BY_SOURCE_SQL,
         "q_events_attribution": REL.EVENT_ATTRIBUTION_SQL,
         "q_events_funnel": REL.EVENT_FUNNEL_SQL,
         "q_events_asof_join": REL.EVENT_ASOF_SQL,

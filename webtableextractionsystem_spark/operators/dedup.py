@@ -1004,3 +1004,115 @@ verdict AS (
 )
 SELECT doc_id, reason, reason = 'kept' AS keep FROM verdict
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter sketch — the set-membership sibling of the HLL/CMS sketches
+# (textstats.py): all-integer construction, so the sketch's CONTENT is
+# oracle-exact, and the false-positive count — Bloom's defining error
+# mode — is itself a pinned, deterministic value.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 4096           # m: filter width
+BLOOM_K = 3                 # hash functions
+BLOOM_ABSENT_PROBES = 500   # deterministic not-in-set probe keys
+
+
+def _bloom_bits(key):
+    """The K bit positions for ``key`` — like the CMS sketch, build and
+    probe MUST hash identically, so the expression lives in one place:
+    bit_i = int(md5(i || '_' || key)[:8], 16) % BLOOM_BITS."""
+    return F.array(*[
+        (F.conv(F.substring(
+            F.md5(F.concat_ws("_", F.lit(str(i)), key)), 1, 8),
+            16, 10).cast("long") % BLOOM_BITS)
+        for i in range(BLOOM_K)
+    ])
+
+
+def _bloom_bits_sql(key_expr: str) -> str:
+    cols = ", ".join(
+        f"CAST('0x' || substring(md5('{i}_' || {key_expr}), 1, 8) "
+        f"AS BIGINT) % {BLOOM_BITS}"
+        for i in range(BLOOM_K))
+    return f"[{cols}]"
+
+
+def bloom_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter over the distinct exact-dedup fingerprints, reported
+    as one all-integer row: bits set, present-probe hits (must equal the
+    key count — pins build/probe hash consistency, the bug class the CMS
+    review caught), and the false-positive count over
+    BLOOM_ABSENT_PROBES deterministic absent keys (``absent_<i>``) —
+    the one-sided error made measurable and hash-gated.
+
+    Scale shape: build = distinct keys -> explode K bit positions ->
+    distinct bits, i.e. map-side partial sketches merged by OR (set
+    union) — the canonical mergeable-filter layout; at 100 TB each
+    partition emits <= BLOOM_BITS rows regardless of input size. Probes
+    are a broadcast join against the <= BLOOM_BITS-row bit table. A
+    membership probe matches iff ALL K of its exploded rows hit, so a
+    key whose hashes collide internally still counts correctly (its
+    duplicate rows hit or miss together)."""
+    fp = F.md5(F.concat_ws(" ", F.slice(_tokens(), 1, 5)))
+    keys = load_documents(spark, sf_dir).select(fp.alias("key")).distinct()
+    bits = (keys.select(F.explode(_bloom_bits(F.col("key"))).alias("bit"))
+            .distinct())
+
+    def probe_hits(probe_keys: DataFrame):
+        rows = probe_keys.select(
+            "key", F.explode(_bloom_bits(F.col("key"))).alias("bit"))
+        return (
+            rows.join(F.broadcast(bits), "bit")
+            .groupBy("key").agg(F.count("*").alias("n_hit"))
+            .where(F.col("n_hit") == BLOOM_K)
+        )
+
+    absent = spark.range(BLOOM_ABSENT_PROBES).select(
+        F.concat(F.lit("absent_"), F.col("id")).alias("key"))
+    return (
+        keys.agg(F.count("*").alias("n_keys"))
+        .join(bits.agg(F.count("*").alias("n_bits_set")))
+        .join(probe_hits(keys).agg(F.count("*").alias("n_present_hits")))
+        .join(probe_hits(absent).agg(
+            F.count("*").alias("n_false_positives")))
+        .select("n_keys", "n_bits_set", "n_present_hits",
+                F.lit(BLOOM_ABSENT_PROBES).alias("n_absent_probes"),
+                "n_false_positives")
+    )
+
+
+def bloom_filter_sql() -> str:
+    key = ("md5(array_to_string(regexp_split_to_array(trim(text), "
+           r"'\s+')[1:5], ' '))")
+    return rf"""
+WITH keys AS (SELECT DISTINCT {key} AS key FROM documents),
+bits AS (
+  SELECT DISTINCT unnest({_bloom_bits_sql("key")}) AS bit FROM keys
+),
+absent AS (
+  SELECT 'absent_' || CAST(v AS VARCHAR) AS key
+  FROM (SELECT unnest(range({BLOOM_ABSENT_PROBES})) AS v)
+),
+present_hits AS (
+  SELECT count(*) AS n FROM (
+    SELECT k.key
+    FROM (SELECT key, unnest({_bloom_bits_sql("key")}) AS bit
+          FROM keys) k
+    JOIN bits USING (bit)
+    GROUP BY k.key HAVING count(*) = {BLOOM_K})
+),
+fp_hits AS (
+  SELECT count(*) AS n FROM (
+    SELECT a.key
+    FROM (SELECT key, unnest({_bloom_bits_sql("key")}) AS bit
+          FROM absent) a
+    JOIN bits USING (bit)
+    GROUP BY a.key HAVING count(*) = {BLOOM_K})
+)
+SELECT (SELECT count(*) FROM keys) AS n_keys,
+       (SELECT count(*) FROM bits) AS n_bits_set,
+       (SELECT n FROM present_hits) AS n_present_hits,
+       {BLOOM_ABSENT_PROBES} AS n_absent_probes,
+       (SELECT n FROM fp_hits) AS n_false_positives
+"""

@@ -376,6 +376,62 @@ WHERE session_id < max_sid
 """
 
 
+# --- events: bucketed interval join -------------------------------------------
+#
+# Every view paired with the same user's purchases in the NEXT HOUR
+# (view_ts, view_ts + 1h]. A naive range join is a per-user cross
+# product; the scalable shape hashes both sides into hour buckets: each
+# purchase lands in exactly ONE bucket, each view probes the TWO buckets
+# its window can span, so the join is a plain (user_id, bucket)
+# equi-join (one shuffle per side) with the exact range predicate
+# applied after. The view's two probe buckets are always distinct
+# (+3600s advances the hour by exactly 1), so each qualifying pair
+# matches exactly once — no dedup pass. Oracle independence: DuckDB
+# evaluates the same semantics as a NATIVE inequality join, a genuinely
+# different formulation (like the as-of oracle).
+
+INTERVAL_JOIN_WINDOW_S = 3600
+
+
+def event_interval_join(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    epoch = _epoch_s()
+    v = e.where(F.col("event_type") == "view").select(
+        "user_id", epoch.alias("v_s"), F.col("event_id").alias("view_id"))
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", epoch.alias("p_s"),
+        (epoch - F.pmod(epoch, INTERVAL_JOIN_WINDOW_S))
+        .alias("bucket"),
+        F.col("value").cast("decimal(18,2)").alias("p_value"))
+    vb = F.col("v_s") - F.pmod(F.col("v_s"), INTERVAL_JOIN_WINDOW_S)
+    probes = v.select(
+        "user_id", "v_s", "view_id",
+        F.explode(F.array(vb, vb + INTERVAL_JOIN_WINDOW_S)).alias("bucket"))
+    pairs = probes.join(p, ["user_id", "bucket"]).where(
+        (F.col("p_s") > F.col("v_s"))
+        & (F.col("p_s") <= F.col("v_s") + INTERVAL_JOIN_WINDOW_S))
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("view_id").alias("n_views_converted"),
+        F.sum("p_value").cast("double").alias("attributed_value"),
+    )
+
+
+EVENT_INTERVAL_JOIN_SQL = f"""
+SELECT v.user_id, count(*) AS n_pairs,
+       count(DISTINCT v.event_id) AS n_views_converted,
+       CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+FROM (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS v_s
+      FROM events WHERE event_type = 'view') v
+JOIN (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS p_s, value
+      FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.p_s > v.v_s
+ AND p.p_s <= v.v_s + {INTERVAL_JOIN_WINDOW_S}
+GROUP BY v.user_id
+"""
+
+
 # --- rollup (grouping sets) ---------------------------------------------------
 
 def lineitem_rollup(spark, sf_dir):

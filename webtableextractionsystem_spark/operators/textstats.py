@@ -850,3 +850,137 @@ SELECT p.token, min(s.n) AS cms_estimate, p.exact_count
 FROM probe p JOIN sketch s ON p.d = s.d AND p.c = s.c
 GROUP BY p.token, p.exact_count
 """
+
+
+# ---------------------------------------------------------------------------
+# exact per-group quantiles — rank arithmetic, integer in / integer out
+# ---------------------------------------------------------------------------
+
+QUANTILE_PCTS = (25, 50, 75, 90)
+
+
+def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-source document-length quantiles with percentile_disc
+    semantics (smallest value whose cume_dist >= p), computed by rank
+    arithmetic: rn*100 >= n*p selects the qualifying tail, min() picks
+    its first value. Integer in, integer out — no interpolation, so the
+    oracle hash cannot drift on float arithmetic, and no
+    approx_percentile, whose sketch is engine-specific by design.
+
+    Scale shape: ONE sort-shuffle on source (the window), then the agg
+    reuses the same partitioning — per key group this is the sort a
+    1000-executor exact-quantile pass pays; for truly massive single
+    groups you'd swap in a two-pass histogram refinement, same contract."""
+    d = load_documents(spark, sf_dir).select("source", "n_chars", "doc_id")
+    ranked = d.select(
+        "source", "n_chars",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("n_chars", "doc_id")
+        ).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    return ranked.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        *[F.min(F.when(F.col("rn") * 100 >= F.col("n") * p,
+                       F.col("n_chars"))).alias(f"p{p}")
+          for p in QUANTILE_PCTS],
+    )
+
+
+_QUANTILE_COLS_SQL = ",\n       ".join(
+    f"min(CASE WHEN rn*100 >= n*{p} THEN n_chars END) AS p{p}"
+    for p in QUANTILE_PCTS)
+
+LENGTH_QUANTILES_SQL = f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source, max(n) AS n_docs,
+       {_QUANTILE_COLS_SQL}
+FROM ranked
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-group HLL — the mergeable-sketch layout applied per key, sharing
+# the global sketch's bit-stable estimator (incl. the linear-counting
+# branch, whose finite input domain is cross-engine-proven by test)
+# ---------------------------------------------------------------------------
+
+def hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hll_distinct per source: registers keyed by (source, bucket), so
+    partial aggregates merge per group exactly like the global sketch —
+    the GROUP BY form a warehouse "distinct users per day" rollup takes
+    at 100 TB (one shuffle on the composite key, 256 rows per group).
+    Small groups (25 docs over 256 registers at sf0.01) drive the
+    linear-counting branch, so the driver row gates it per group."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    h = F.md5(norm)
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    v = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
+    rho = (F.lit(53) - F.when(v > 0, F.length(F.bin(v))).otherwise(0)) \
+        .cast("int")
+    docs = load_documents(spark, sf_dir).select(
+        "source", bucket.alias("b"), rho.alias("r"), h.alias("fp"))
+    regs = docs.groupBy("source", "b").agg(
+        F.max("r").alias("mr"), F.countDistinct("fp").alias("nd"))
+    sketch = regs.groupBy("source").agg(
+        F.count("*").alias("n_registers_set"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("zsum"),
+        F.sum("nd").alias("exact_distinct"),
+    )
+    raw = (F.expr(_HLL_ALPHA_EXPR) * _HLL_M * _HLL_M
+           / (F.col("zsum") + (F.lit(_HLL_M) - F.col("n_registers_set"))))
+    vempty = F.lit(_HLL_M) - F.col("n_registers_set")
+    use_lc = (raw <= F.lit(2.5 * _HLL_M)) & (vempty > 0)
+    lc = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M))
+                                      / vempty.cast("double"))
+    return sketch.select(
+        "source", "n_registers_set",
+        F.when(use_lc, F.round(lc, 4))
+        .otherwise(F.round(raw, 4)).alias("hll_estimate"),
+        use_lc.cast("int").alias("used_linear_counting"),
+        "exact_distinct",
+    )
+
+
+HLL_BY_SOURCE_SQL = rf"""
+WITH docs AS (
+  SELECT source,
+         CAST('0x' || substring(h, 1, 2) AS BIGINT) AS b,
+         53 - CASE WHEN CAST('0x' || substring(h, 3, 13) AS BIGINT) > 0
+                   THEN length(bin(CAST('0x' || substring(h, 3, 13)
+                                        AS BIGINT)))
+                   ELSE 0 END AS r,
+         h AS fp
+  FROM (SELECT source,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+        FROM documents)
+),
+regs AS (
+  SELECT source, b, max(r) AS mr, count(DISTINCT fp) AS nd
+  FROM docs GROUP BY source, b
+),
+est AS (
+  SELECT source,
+         count(*) AS n_registers_set,
+         {_HLL_ALPHA_EXPR} * {_HLL_M} * {_HLL_M}
+           / (sum(pow(2.0, -mr)) + ({_HLL_M} - count(*))) AS raw,
+         {_HLL_M} - count(*) AS vempty,
+         CAST(sum(nd) AS BIGINT) AS exact_distinct
+  FROM regs GROUP BY source
+)
+SELECT source, n_registers_set,
+       CASE WHEN raw <= {2.5 * _HLL_M} AND vempty > 0
+            THEN round({_HLL_M}.0 * ln({_HLL_M}.0 / CAST(vempty AS DOUBLE)), 4)
+            ELSE round(raw, 4) END AS hll_estimate,
+       CAST(raw <= {2.5 * _HLL_M} AND vempty > 0 AS INTEGER)
+         AS used_linear_counting,
+       exact_distinct
+FROM est
+"""
