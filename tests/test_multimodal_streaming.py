@@ -833,6 +833,18 @@ def test_progressive_jpeg_decodes_bit_identical_to_baseline():
         assert prog[2:4] != base[2:4] or b"\xff\xc2" in prog  # SOF2 emitted
         assert np.array_equal(J.decode_jpeg(base), J.decode_jpeg(prog)), \
             (shape, sub, q)
+    # regression: these seeds produce a coefficient sitting EXACTLY on a
+    # .5 quantization boundary — a batched-einsum DCT summed in a
+    # different order than the baseline matmul and rounded it the other
+    # way (review finding; fuzz 2/120). Both paths must share the exact
+    # per-block expression.
+    for hh, ww, qq in [(42, 34, 84), (42, 41, 72)]:
+        img = np.random.default_rng(0).integers(
+            0, 256, size=(hh, ww), dtype=np.uint8)
+        assert np.array_equal(
+            J.decode_jpeg(J.encode_jpeg(img, qq)),
+            J.decode_jpeg(J.encode_jpeg(img, qq, progressive=True))), \
+            (hh, ww, qq)
 
 
 def test_progressive_jpeg_restart_intervals():
@@ -909,6 +921,16 @@ def test_progressive_jpeg_eobn_and_scan_prefix():
     # no EOI -> truncation error, not a silent partial image
     with pytest.raises(ValueError, match="truncated progressive"):
         J.decode_jpeg(head + custom + scan2)
+    # ZRL runs past the band end must raise (the baseline decoder's
+    # pinned contract, regressed-then-fixed in review for progressive):
+    # a 1-bit only-ZRL table, five ZRLs -> k = 1 + 80 > 63
+    zrl_tab = J._dht(1, 0, [1] + [0] * 15, [0xF0])
+    bw = J._BitWriter()
+    for _ in range(5):
+        bw.write(0, 1)
+    zrl_scan = J._seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + bw.flush()
+    with pytest.raises(ValueError, match="AC run past band end"):
+        J.decode_jpeg(head + zrl_tab + zrl_scan + b"\xff\xd9")
 
 
 def test_progressive_jpeg_real_reference_photo_bit_exact():

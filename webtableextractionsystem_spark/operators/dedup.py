@@ -1055,9 +1055,14 @@ def bloom_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     key whose hashes collide internally still counts correctly (its
     duplicate rows hit or miss together)."""
     fp = F.md5(F.concat_ws(" ", F.slice(_tokens(), 1, 5)))
-    keys = load_documents(spark, sf_dir).select(fp.alias("key")).distinct()
+    # persisted: keys feeds three consumers (count, bit build, present
+    # probe) and bits feeds three (count, two probe joins) — without the
+    # persists this one-row query re-scans the corpus three times
+    # (review finding; cf. curation_funnel's single-scan discipline)
+    keys = (load_documents(spark, sf_dir)
+            .select(fp.alias("key")).distinct().persist())
     bits = (keys.select(F.explode(_bloom_bits(F.col("key"))).alias("bit"))
-            .distinct())
+            .distinct().persist())
 
     def probe_hits(probe_keys: DataFrame):
         rows = probe_keys.select(

@@ -612,12 +612,7 @@ def _decode_scan(payload, pos, frame, scan_tabs, quant, huff_dc, huff_ac,
     prev_dc = [0] * len(comps)
 
     def read_symbol(table) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | br.bit()
-            if (length, code) in table:
-                return table[(length, code)]
-        raise ValueError("invalid JPEG Huffman code")
+        return _read_huff(br, table)  # shared canonical-code walk
 
     def decode_block(ci, tq) -> np.ndarray:
         td, ta = scan_tabs[ci]
@@ -810,6 +805,11 @@ def _decode_progressive_scan(payload, pos, st, scan_cis, scan_tabs,
             if s == 0:
                 if r == 15:  # ZRL
                     k += 16
+                    if k > se:
+                        # same contract as baseline: a zero tail is
+                        # coded with EOB, never ZRL — silence here
+                        # desyncs every later block
+                        raise ValueError("JPEG AC run past band end")
                     continue
                 eobrun = (1 << r) - 1  # EOBn: this block + eobrun more
                 if r:
@@ -854,6 +854,10 @@ def _decode_progressive_scan(payload, pos, st, scan_cis, scan_tabs,
                     if k > se:
                         raise ValueError("JPEG AC run past band end")
                     blk[k] = sval
+                elif r:
+                    # ZRL whose 16-zero advance ran off the band end —
+                    # corrupt/desynced stream, same class as above
+                    raise ValueError("JPEG AC run past band end")
                 k += 1
         if eobrun:
             # EOB run covers this block: only correction bits for its
@@ -919,21 +923,27 @@ def _decode_progressive_scan(payload, pos, st, scan_cis, scan_tabs,
 
 
 def _reconstruct_progressive(st, quant) -> np.ndarray:
-    """Dequantize + IDCT every accumulated block (vectorized einsum —
-    one 8x8 matrix sandwich over all blocks at once) and assemble."""
+    """Dequantize + IDCT every accumulated block and assemble. The
+    per-block matmul is the EXACT expression of the baseline decoder
+    (decode_block) — a batched einsum sums in a different order, and a
+    one-ulp difference before the final round() flips pixels sitting on
+    .5 boundaries, breaking baseline==progressive bit-identity."""
     planes = []
     for ci, (hi, vi) in enumerate(st["factors"]):
         tq = st["comps"][ci][3]
         if tq not in quant:
             raise ValueError("JPEG references an undefined table")
-        qzz = quant[tq].reshape(-1)[ZIGZAG].astype(np.float64)
-        zz = st["coef"][ci].astype(np.float64) * qzz
-        raster = np.zeros_like(zz)
-        raster[..., ZIGZAG] = zz
-        by, bx = raster.shape[:2]
-        blocks = raster.reshape(by, bx, 8, 8)
-        out = np.einsum("ab,xybc,cd->xyad", _T.T, blocks, _T) + 128
-        planes.append(out.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+        zz = st["coef"][ci]
+        by, bx = zz.shape[:2]
+        plane = np.zeros((by * 8, bx * 8), dtype=np.float64)
+        q = quant[tq]
+        for y in range(by):
+            for x in range(bx):
+                coefs = np.zeros(64, dtype=np.float64)
+                coefs[ZIGZAG] = zz[y, x]
+                plane[y * 8:y * 8 + 8, x * 8:x * 8 + 8] = \
+                    _T.T @ (coefs.reshape(8, 8) * q) @ _T + 128
+        planes.append(plane)
     return _finish_planes(planes, st["factors"], st["fh"], st["fw"],
                           st["hmax"], st["vmax"])
 
@@ -952,9 +962,18 @@ def _encode_progressive(planes, factors, quants, gray, h, w,
     coef = []
     for (hi, vi), p, q in zip(factors, planes, quants):
         by, bx = p.shape[0] // 8, p.shape[1] // 8
-        blocks = (p - 128.0).reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
-        c = np.einsum("ab,xybc,cd->xyad", _T, blocks, _T.T)
-        qz = np.round(c / q).astype(np.int64).reshape(by, bx, 64)
+        qz = np.zeros((by, bx, 64), dtype=np.int64)
+        for y in range(by):
+            for x in range(bx):
+                # the EXACT per-block expression of the baseline
+                # encoder (encode_block) — a batched einsum sums in a
+                # different order and can round a coefficient sitting
+                # exactly on a .5 quantization boundary the other way,
+                # breaking the bit-identical-decode invariant (caught
+                # by fuzzing: 2/120 random images differed)
+                block = p[y * 8:y * 8 + 8, x * 8:x * 8 + 8] - 128.0
+                c = _T @ block @ _T.T
+                qz[y, x] = np.round(c / q).astype(np.int64).reshape(-1)
         coef.append(qz[..., ZIGZAG])
 
     hmax = max(hi for hi, _ in factors)

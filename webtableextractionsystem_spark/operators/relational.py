@@ -236,10 +236,11 @@ def _epoch_s():
     return F.col("ts").cast("timestamp").cast("long")
 
 
-def event_sessions(spark, sf_dir):
-    """Sessions split on >30-min inactivity gaps: classic lag + running
-    sum of gap flags. Per-user windows — shuffle on user_id only."""
-    e = _t(spark, sf_dir, "events")
+def _session_table(e):
+    """The session-split rule in ONE place (gap flag -> running-sum ids
+    -> per-session agg), shared by event_sessions and closed_sessions so
+    the two can't disagree about what a session is. Returns one row per
+    (user_id, session_id) with last_s retained for close-rule filters."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.when(
         _epoch_s()
@@ -248,7 +249,7 @@ def event_sessions(spark, sf_dir):
         1,
     ).otherwise(0)
     fmt = "yyyy-MM-dd HH:mm:ss"
-    sessions = (
+    return (
         e.withColumn("new_sess", gap)
         .withColumn("session_id",
                     F.sum("new_sess").over(
@@ -259,13 +260,20 @@ def event_sessions(spark, sf_dir):
             F.date_format(F.min("ts"), fmt).alias("session_start"),
             (F.max(_epoch_s())
              - F.min(_epoch_s())).alias("duration_s"),
+            F.max(_epoch_s()).alias("last_s"),
         )
     )
-    return sessions
 
 
-EVENT_SESSIONS_SQL = f"""
-WITH flagged AS (
+def event_sessions(spark, sf_dir):
+    """Sessions split on >30-min inactivity gaps: classic lag + running
+    sum of gap flags. Per-user windows — shuffle on user_id only."""
+    return _session_table(_t(spark, sf_dir, "events")).drop("last_s")
+
+
+# the session-split CTEs in ONE place (twin of _session_table), shared
+# by the plain and the watermark-closed session oracles
+_SESSION_CTES_SQL = f"""flagged AS (
   SELECT user_id, event_id, ts,
          CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT))
                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -279,13 +287,21 @@ numbered AS (
                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
            AS session_id
   FROM flagged
-)
-SELECT user_id, session_id,
-       count(*) AS n_events,
-       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s
-FROM numbered
-GROUP BY user_id, session_id
+),
+sessions AS (
+  SELECT user_id, session_id,
+         count(*) AS n_events,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s,
+         max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_s
+  FROM numbered
+  GROUP BY user_id, session_id
+)"""
+
+EVENT_SESSIONS_SQL = f"""
+WITH {_SESSION_CTES_SQL}
+SELECT user_id, session_id, n_events, session_start, duration_s
+FROM sessions
 """
 
 
@@ -308,26 +324,8 @@ SESSION_WATERMARK_DELAY_S = 10 * 3600  # streaming_sessionize default
 
 def closed_sessions(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.when(
-        _epoch_s() - F.lag(_epoch_s(), 1).over(w) > SESSION_GAP_MIN * 60, 1,
-    ).otherwise(0)
-    fmt = "yyyy-MM-dd HH:mm:ss"
-    sessions = (
-        e.withColumn("new_sess", gap)
-        .withColumn("session_id",
-                    F.sum("new_sess").over(
-                        w.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy("user_id", "session_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.date_format(F.min("ts"), fmt).alias("session_start"),
-            (F.max(_epoch_s()) - F.min(_epoch_s())).alias("duration_s"),
-            F.max(_epoch_s()).alias("last_s"),
-        )
-        .withColumn("max_sid",
-                    F.max("session_id").over(Window.partitionBy("user_id")))
-    )
+    sessions = _session_table(e).withColumn(
+        "max_sid", F.max("session_id").over(Window.partitionBy("user_id")))
     watermark = e.agg(
         (F.max(_epoch_s()) - SESSION_WATERMARK_DELAY_S).alias("wm_s"))
     return (
@@ -343,33 +341,13 @@ def closed_sessions(spark, sf_dir):
 
 
 CLOSED_SESSIONS_SQL = f"""
-WITH flagged AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT))
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > {SESSION_GAP_MIN * 60}
-              THEN 1 ELSE 0 END AS new_sess
-  FROM events
-),
-numbered AS (
-  SELECT user_id, ts,
-         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
-           AS session_id
-  FROM flagged
-),
-sessions AS (
-  SELECT user_id, session_id,
-         count(*) AS n_events,
-         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-         max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s,
-         max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_s,
-         max(session_id) OVER (PARTITION BY user_id) AS max_sid
-  FROM numbered
-  GROUP BY user_id, session_id
+WITH {_SESSION_CTES_SQL},
+scoped AS (
+  SELECT *, max(session_id) OVER (PARTITION BY user_id) AS max_sid
+  FROM sessions
 )
 SELECT user_id, session_id, n_events, session_start, duration_s
-FROM sessions
+FROM scoped
 WHERE session_id < max_sid
    OR last_s + {SESSION_GAP_MIN * 60}
       < (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) - {SESSION_WATERMARK_DELAY_S} FROM events)

@@ -684,12 +684,7 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one scan -> map-side partial max per register -> a
     256-row shuffle -> single-row fold; the classic mergeable-sketch
     layout (per-partition register vectors union by max)."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    h = F.md5(norm)
-    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
-    v = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
-    rho = (F.lit(53) - F.when(v > 0, F.length(F.bin(v))).otherwise(0)) \
-        .cast("int")
+    bucket, rho, h = _hll_doc_cols()
     docs = load_documents(spark, sf_dir).select(
         bucket.alias("b"), rho.alias("r"), h.alias("fp"))
     # ONE scan: the bucket is a function of fp, so distinct fps
@@ -703,54 +698,73 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("zsum"),
         F.sum("nd").alias("exact_distinct"),
     )
+    return sketch.select(
+        "n_registers_set", *_hll_estimate_cols(), "exact_distinct")
+
+
+def _hll_doc_cols():
+    """(bucket, rho, fingerprint) expressions over the text column —
+    the single home of the register construction, shared by the global
+    and per-group sketches (divergence here would silently decouple the
+    two from each other and their oracles)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    h = F.md5(norm)
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    v = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
+    rho = (F.lit(53) - F.when(v > 0, F.length(F.bin(v))).otherwise(0)) \
+        .cast("int")
+    return bucket, rho, h
+
+
+def _hll_estimate_cols():
+    """(hll_estimate, used_linear_counting) over a sketch relation
+    carrying n_registers_set + zsum — the single home of the estimator
+    including the linear-counting branch."""
     raw = (F.expr(_HLL_ALPHA_EXPR) * _HLL_M * _HLL_M
            / (F.col("zsum") + (F.lit(_HLL_M) - F.col("n_registers_set"))))
     vempty = F.lit(_HLL_M) - F.col("n_registers_set")
     use_lc = (raw <= F.lit(2.5 * _HLL_M)) & (vempty > 0)
     lc = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M))
                                       / vempty.cast("double"))
-    return sketch.select(
-        "n_registers_set",
+    return (
         F.when(use_lc, F.round(lc, 4))
         .otherwise(F.round(raw, 4)).alias("hll_estimate"),
         use_lc.cast("int").alias("used_linear_counting"),
-        "exact_distinct",
     )
 
 
-HLL_DISTINCT_SQL = rf"""
-WITH hashed AS (
-  SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
-  FROM documents
-),
-docs AS (
-  SELECT CAST('0x' || substring(h, 1, 2) AS BIGINT) AS b,
+# SQL twins of _hll_doc_cols / _hll_estimate_cols — one home each, so
+# the global and per-group oracles can't drift from each other
+def _hll_docs_sql(extra: str = "") -> str:
+    return rf"""SELECT {extra}CAST('0x' || substring(h, 1, 2) AS BIGINT) AS b,
          53 - CASE WHEN CAST('0x' || substring(h, 3, 13) AS BIGINT) > 0
                    THEN length(bin(CAST('0x' || substring(h, 3, 13)
                                         AS BIGINT)))
                    ELSE 0 END AS r,
          h AS fp
-  FROM hashed
-),
-regs AS (SELECT b, max(r) AS mr FROM docs GROUP BY b),
-sketch AS (
-  SELECT count(*) AS n_registers_set,
-         sum(pow(2.0, -mr)) AS zsum
-  FROM regs
-),
-est AS (
-  SELECT n_registers_set,
-         {_HLL_ALPHA_EXPR} * {_HLL_M} * {_HLL_M}
-           / (zsum + ({_HLL_M} - n_registers_set)) AS raw,
-         {_HLL_M} - n_registers_set AS vempty
-  FROM sketch
-)
-SELECT n_registers_set,
-       CASE WHEN raw <= {2.5 * _HLL_M} AND vempty > 0
+  FROM (SELECT {extra}md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+        FROM documents)"""
+
+
+_HLL_EST_SQL = f"""CASE WHEN raw <= {2.5 * _HLL_M} AND vempty > 0
             THEN round({_HLL_M}.0 * ln({_HLL_M}.0 / CAST(vempty AS DOUBLE)), 4)
             ELSE round(raw, 4) END AS hll_estimate,
        CAST(raw <= {2.5 * _HLL_M} AND vempty > 0 AS INTEGER)
-         AS used_linear_counting,
+         AS used_linear_counting"""
+
+
+HLL_DISTINCT_SQL = rf"""
+WITH docs AS ({_hll_docs_sql()}),
+regs AS (SELECT b, max(r) AS mr FROM docs GROUP BY b),
+est AS (
+  SELECT count(*) AS n_registers_set,
+         {_HLL_ALPHA_EXPR} * {_HLL_M} * {_HLL_M}
+           / (sum(pow(2.0, -mr)) + ({_HLL_M} - count(*))) AS raw,
+         {_HLL_M} - count(*) AS vempty
+  FROM regs
+)
+SELECT n_registers_set,
+       {_HLL_EST_SQL},
        (SELECT count(DISTINCT fp) FROM docs) AS exact_distinct
 FROM est
 """
@@ -874,9 +888,12 @@ def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_documents(spark, sf_dir).select("source", "n_chars", "doc_id")
     ranked = d.select(
         "source", "n_chars",
+        # long, NOT int: rn*100 wraps a 32-bit rank past ~21.4M rows per
+        # group — exactly the scale the docstring claims (and DuckDB's
+        # row_number is already BIGINT)
         F.row_number().over(
             Window.partitionBy("source").orderBy("n_chars", "doc_id")
-        ).alias("rn"),
+        ).cast("long").alias("rn"),
         F.count("*").over(Window.partitionBy("source")).alias("n"),
     )
     return ranked.groupBy("source").agg(
@@ -919,12 +936,7 @@ def hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB (one shuffle on the composite key, 256 rows per group).
     Small groups (25 docs over 256 registers at sf0.01) drive the
     linear-counting branch, so the driver row gates it per group."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    h = F.md5(norm)
-    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
-    v = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
-    rho = (F.lit(53) - F.when(v > 0, F.length(F.bin(v))).otherwise(0)) \
-        .cast("int")
+    bucket, rho, h = _hll_doc_cols()
     docs = load_documents(spark, sf_dir).select(
         "source", bucket.alias("b"), rho.alias("r"), h.alias("fp"))
     regs = docs.groupBy("source", "b").agg(
@@ -934,34 +946,13 @@ def hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("zsum"),
         F.sum("nd").alias("exact_distinct"),
     )
-    raw = (F.expr(_HLL_ALPHA_EXPR) * _HLL_M * _HLL_M
-           / (F.col("zsum") + (F.lit(_HLL_M) - F.col("n_registers_set"))))
-    vempty = F.lit(_HLL_M) - F.col("n_registers_set")
-    use_lc = (raw <= F.lit(2.5 * _HLL_M)) & (vempty > 0)
-    lc = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M))
-                                      / vempty.cast("double"))
     return sketch.select(
-        "source", "n_registers_set",
-        F.when(use_lc, F.round(lc, 4))
-        .otherwise(F.round(raw, 4)).alias("hll_estimate"),
-        use_lc.cast("int").alias("used_linear_counting"),
-        "exact_distinct",
-    )
+        "source", "n_registers_set", *_hll_estimate_cols(),
+        "exact_distinct")
 
 
 HLL_BY_SOURCE_SQL = rf"""
-WITH docs AS (
-  SELECT source,
-         CAST('0x' || substring(h, 1, 2) AS BIGINT) AS b,
-         53 - CASE WHEN CAST('0x' || substring(h, 3, 13) AS BIGINT) > 0
-                   THEN length(bin(CAST('0x' || substring(h, 3, 13)
-                                        AS BIGINT)))
-                   ELSE 0 END AS r,
-         h AS fp
-  FROM (SELECT source,
-               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
-        FROM documents)
-),
+WITH docs AS ({_hll_docs_sql("source, ")}),
 regs AS (
   SELECT source, b, max(r) AS mr, count(DISTINCT fp) AS nd
   FROM docs GROUP BY source, b
@@ -976,11 +967,7 @@ est AS (
   FROM regs GROUP BY source
 )
 SELECT source, n_registers_set,
-       CASE WHEN raw <= {2.5 * _HLL_M} AND vempty > 0
-            THEN round({_HLL_M}.0 * ln({_HLL_M}.0 / CAST(vempty AS DOUBLE)), 4)
-            ELSE round(raw, 4) END AS hll_estimate,
-       CAST(raw <= {2.5 * _HLL_M} AND vempty > 0 AS INTEGER)
-         AS used_linear_counting,
+       {_HLL_EST_SQL},
        exact_distinct
 FROM est
 """
