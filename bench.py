@@ -110,6 +110,12 @@ def main() -> None:
             .agg(F.count("*")).collect(),
             "q_emb_centroid_outliers": lambda: SIM.centroid_outliers(
                 spark, sf_dir).agg(F.count("*")).collect(),
+            "q_events_interval_join": lambda: REL.event_interval_join(
+                spark, sf_dir).agg(F.count("*")).collect(),
+            "q_doc_bloom_filter": lambda: DD.bloom_filter_stats(
+                spark, sf_dir).collect(),
+            "q_doc_length_quantiles": lambda: TS.length_quantiles(
+                spark, sf_dir).agg(F.count("*")).collect(),
         }
         for name, fn in bench_set.items():
             queries[name] = timed(fn)

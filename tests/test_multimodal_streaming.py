@@ -1651,3 +1651,147 @@ def test_streaming_neardup_verified_empty_input_noop(spark, tmp_path):
     os.makedirs(in_dir)
     streaming_neardup_verified(spark, in_dir, str(tmp_path / "out"),
                                str(tmp_path / "ck"), str(tmp_path / "st"))
+
+
+def test_pdf_roundtrip_and_layout():
+    """encode_pdf -> decode_pdf is exact on positions/sizes/text for
+    Flate and plain streams, multi-page, with every string-escape class;
+    extract_pdf_text orders two-column layouts in reading order no
+    matter the content-stream emission order."""
+    from webtableextractionsystem_spark.operators import pdf as P
+
+    pages = [
+        [(72.0, 720.0, 12.0, "Hello world"),
+         (72.0, 700.0, 12.0, "escapes: (parens) \\ back\nnewline"),
+         (300.5, 720.0, 10.0, "latin-1: \xe9\xfc\xdf")],
+        [(72.0, 720.0, 14.0, "page two")],
+    ]
+    for compress in (True, False):
+        got = P.decode_pdf(P.encode_pdf(pages, compress=compress))
+        assert [[(round(x, 2), round(y, 2), s, t) for x, y, s, t in pg]
+                for pg in got] == pages
+
+    # two columns, emitted right-column-first: reading order must
+    # interleave by line (top-to-bottom, left-to-right)
+    twocol = [[(320.0, 720.0, 10.0, "R1"), (320.0, 704.0, 10.0, "R2"),
+               (72.0, 720.0, 10.0, "L1"), (72.0, 704.0, 10.0, "L2")]]
+    assert P.extract_pdf_text(P.encode_pdf(twocol)) == ["L1 R1\nL2 R2"]
+
+
+def test_pdf_content_operators_hand_built():
+    """The operator set our encoder never emits but real PDFs use:
+    TD/T*/'/" line stepping, TJ arrays with kerning numbers, hex
+    strings, q/cm/Q graphics-state translation of text space."""
+    import zlib
+
+    from webtableextractionsystem_spark.operators import pdf as P
+
+    content = b"""
+q 1 0 0 1 10 20 cm
+BT
+/F1 12 Tf
+1 0 0 1 100 700 Tm
+[ (ab) -120 (cd) ] TJ
+0 -14 TD
+(line2) Tj
+T*
+(line3) Tj
+(line4) '
+<6869> Tj
+ET
+Q
+BT /F1 9 Tf 5 5 Td (after Q) Tj ET
+"""
+    data = zlib.compress(content)
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>",
+        3: (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        4: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+        5: (b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(data)
+            + data + b"\nendstream"),
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for oid in sorted(objs):
+        offs[oid] = len(out)
+        out += b"%d 0 obj\n" % oid + objs[oid] + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 6\n0000000000 65535 f \n"
+    for oid in range(1, 6):
+        out += b"%010d 00000 n \n" % offs[oid]
+    out += (b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+            % xref_at)
+
+    (runs,) = P.decode_pdf(bytes(out))
+    # q/cm translates everything by (10, 20); TD sets leading 14
+    assert runs == [
+        (110.0, 720.0, 12.0, "abcd"),       # TJ concat, kerning dropped
+        (110.0, 706.0, 12.0, "line2"),      # TD
+        (110.0, 692.0, 12.0, "line3"),      # T*
+        (110.0, 678.0, 12.0, "line4"),      # ' (next line + show)
+        (110.0, 678.0, 12.0, "hi"),         # hex string, same line
+        (5.0, 5.0, 9.0, "after Q"),         # CTM restored by Q
+    ]
+
+
+def test_pdf_honest_boundaries_and_dos():
+    """Encrypted, xref-stream (1.5+), Type0-font, non-Flate-filter and
+    deflate-bomb payloads raise ValueError naming the feature; bad xref
+    offsets and truncated streams diagnose instead of misparse."""
+    import re
+    import zlib
+
+    import pytest
+
+    from webtableextractionsystem_spark.operators import pdf as P
+
+    base = P.encode_pdf([[(72.0, 720.0, 12.0, "x")]], compress=False)
+
+    with pytest.raises(ValueError, match="not a PDF"):
+        P.decode_pdf(b"GIF89a junk")
+    # encrypted: inject /Encrypt into the trailer
+    enc = base.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    with pytest.raises(ValueError, match="encrypted"):
+        P.decode_pdf(enc)
+    # xref stream: point startxref at an object header
+    xs = re.sub(rb"startxref\n\d+", b"startxref\n9", base)
+    with pytest.raises(ValueError, match="cross-reference streams"):
+        P.decode_pdf(xs)
+    # Type0 font
+    t0 = base.replace(b"/Subtype /Type1", b"/Subtype /Type0")
+    with pytest.raises(ValueError, match="Type0"):
+        P.decode_pdf(t0)
+    # non-Flate filter: SAME-LENGTH name swap so xref offsets stay valid
+    basec = P.encode_pdf([[(72.0, 720.0, 12.0, "x")]], compress=True)
+    lzw = basec.replace(b"/FlateDecode", b"/LZWDecode  ")
+    assert len(lzw) == len(basec)
+    with pytest.raises(ValueError, match="LZWDecode"):
+        P.decode_pdf(lzw)
+
+    # deflate bomb in a content stream: inflate is capped. Hand-built so
+    # every xref offset is correct.
+    bomb = zlib.compress(b"BT ET " * (24 << 20))  # ~67 KB -> ~144 MB
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>",
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        4: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+        5: (b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(bomb)
+            + bomb + b"\nendstream"),
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for oid in sorted(objs):
+        offs[oid] = len(out)
+        out += b"%d 0 obj\n" % oid + objs[oid] + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 6\n0000000000 65535 f \n"
+    for oid in range(1, 6):
+        out += b"%010d 00000 n \n" % offs[oid]
+    out += (b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+            % xref_at)
+    with pytest.raises(ValueError, match="inflate bound"):
+        P.decode_pdf(bytes(out))

@@ -209,6 +209,19 @@ def x_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(synth_audio_for_spans(spans))
 
 
+def x_pdf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF e2e through the REAL classic-PDF parser + layout
+    reading-order pass (pinned-literal oracle — PDF parse is not
+    SQL-expressible): media spans -> deterministic multi-page PDFs
+    (shuffled content order, two-column layouts, Flate and plain
+    streams) -> batched decode + per-doc layout-text digest, so a
+    parser or layout regression fails the driver gate."""
+    from .operators.multimodal import pdf_features, synth_pdfs_for_spans
+
+    spans = spans_view(_extracted(spark))
+    return pdf_features(synth_pdfs_for_spans(spans))
+
+
 def x_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video e2e through the REAL MJPEG/AVI codec (pinned-literal
     oracle): media spans -> deterministic AVI payloads -> batched
@@ -229,6 +242,7 @@ PINNED = (
     "x_spans_by_kind", "x_tables_by_type", "x_triples_by_rel",
     "x_entities_fused", "x_doc_totals", "x_table_records", "x_url_filter",
     "x_media_features", "x_audio_features", "x_video_features",
+    "x_pdf_features",
     "x_tables_docx", "x_er_graph", "q_emb_ivf_topk", "q_emb_ivf_recall",
 )
 
@@ -299,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_media_features": x_media_features,   # multimodal image path
         "x_audio_features": x_audio_features,   # multimodal audio path
         "x_video_features": x_video_features,   # multimodal video path
+        "x_pdf_features": x_pdf_features,       # PDF text+layout parse
         "x_tables_docx": x_tables_docx,         # S13 docx sink digest
         "x_er_graph": x_er_graph,               # S15 graph sink digest
         # relational surface already rowed r04 (keep while slots allow)
@@ -314,7 +329,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_emb_ivf_recall": SIM.ivf_recall,
         "q_emb_centroid_outliers": SIM.centroid_outliers,
         # dedup family (F3 at scale)
-        "q_doc_exact_dedup": DD.exact_dedup,
         "q_doc_minhash": DD.minhash_signatures,
         "q_doc_lsh_pairs": DD.lsh_candidate_pairs,
         "q_doc_simhash_pairs": DD.simhash_neardup_pairs,
@@ -328,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # still-rowed *_pairs queries, components_lsss shares
         # neardup_components' oracle) ---
         "q_doc_neardup_components_lsss": DD.neardup_components_lsss,
+        "q_doc_exact_dedup": DD.exact_dedup,
         "q_doc_lsh_bands": DD.lsh_band_keys,
         "q_doc_simhash": DD.simhash_signatures,
         "q_doc_chunks": TS.doc_chunks,

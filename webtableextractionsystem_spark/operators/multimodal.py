@@ -25,9 +25,11 @@ Codecs — ALL REAL, pure numpy/stdlib: binary PPM (P6), uncompressed
 24-bit BMP, non-interlaced 8-bit gray/RGB/RGBA or 1/2/4/8-bit palette
 PNG (zlib inflate + all five scanline filters, CRC-checked), GIF87a/89a
 (operators/gif.py — full LZW, interlace), baseline JFIF JPEG
-(operators/jpeg.py — DCT + Annex K tables, 4:4:4/4:2:0/4:2:2; lossy, so
-round-trips assert PSNR), WAV PCM16 audio,
-and MJPEG/AVI video. Unknown magic raises NotImplementedError unless
+(operators/jpeg.py — DCT + Annex K tables, 4:4:4/4:2:0/4:2:2, baseline
+AND progressive SOF2; lossy, so round-trips assert PSNR), WAV PCM16
+audio, MJPEG/AVI video, and classic-PDF text+layout parse
+(operators/pdf.py — xref tables, FlateDecode, full positioned-text
+operator set, reading-order layout pass). Unknown magic raises NotImplementedError unless
 ``fake=True``, which substitutes the deterministic md5-seeded decoder
 (kept for tests that need arbitrary payloads to decode). The Spark
 plumbing — schema, batching, partitioning, UDF signatures — is the same
@@ -872,4 +874,90 @@ def video_features(media: DataFrame) -> DataFrame:
         run,
         schema=("media_ref string, n_frames int, width int, height int, "
                 "us_per_frame int, mean_luma int, motion int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents: REAL PDF text+layout extraction (operators/pdf.py) — the
+# north rule's "PDF/layout parse" clause, integrated exactly like the
+# image/audio/video codec paths
+# ---------------------------------------------------------------------------
+
+def synth_pdfs_for_spans(spans_out: DataFrame) -> DataFrame:
+    """Deterministic PDF table for every media span: REAL classic-PDF
+    payloads (md5-seeded 1-3 pages; runs emitted in SHUFFLED content
+    order and, on odd refs, laid out in two columns — so the features
+    below only pin if the layout reading-order pass works; alternating
+    FlateDecode/plain streams)."""
+    from .pdf import encode_pdf
+
+    _WORDS = ("table", "spark", "corpus", "extract", "span", "layout",
+              "query", "join", "column", "page", "anchor", "cell")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for ref in pdf["media_ref"].tolist():
+                h = hashlib.md5(ref.encode()).digest()
+                rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+                n_pages = 1 + h[1] % 3
+                two_col = bool(h[2] % 2)
+                pages = []
+                for p in range(n_pages):
+                    n_lines = 2 + int(rng.integers(0, 4))
+                    runs = []
+                    for i in range(n_lines):
+                        words = " ".join(
+                            _WORDS[int(w)] for w in
+                            rng.integers(0, len(_WORDS), size=3))
+                        x = 320.0 if (two_col and i % 2) else 72.0
+                        y = 720.0 - 16.0 * (i // 2 if two_col else i)
+                        runs.append((x, y, 10 + int(rng.integers(0, 4)),
+                                     f"p{p} {words}"))
+                    rng.shuffle(runs)  # content order != reading order
+                    pages.append(runs)
+                payload = encode_pdf(pages, compress=bool(h[3] % 2))
+                rows.append({
+                    "media_ref": ref, "kind": "pdf", "payload": payload,
+                    "meta": {"width": 612, "height": 792,
+                             "n_frames": n_pages, "sample_rate": 0,
+                             "mime": "application/pdf"},
+                })
+            yield pd.DataFrame(rows)
+
+    refs = spans_out.where(F.col("kind") == "media") \
+        .select("media_ref").distinct()
+    return refs.mapInPandas(gen, schema=MEDIA)
+
+
+def pdf_features(media: DataFrame) -> DataFrame:
+    """(media_ref, n_pages, n_runs, n_chars, text_md5) through the REAL
+    PDF parse + layout reading-order pass: text_md5 digests the
+    page-ordered, line-ordered extracted text, so a regression in the
+    xref walk, Flate bound, content interpreter, matrix composition, or
+    the layout sort all fail the pinned driver row. Narrow mapInPandas,
+    same partition-local shape as the other codec features."""
+    from .pdf import decode_pdf, extract_pdf_text
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("media_ref", "n_pages", "n_runs",
+                                   "n_chars", "text_md5")}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                payload = bytes(payload)
+                pages = decode_pdf(payload)
+                text = extract_pdf_text(payload)
+                joined = "\x0c".join(text)
+                out["media_ref"].append(ref)
+                out["n_pages"].append(len(pages))
+                out["n_runs"].append(sum(len(p) for p in pages))
+                out["n_chars"].append(len(joined))
+                out["text_md5"].append(
+                    hashlib.md5(joined.encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run,
+        schema=("media_ref string, n_pages int, n_runs int, "
+                "n_chars int, text_md5 string"),
     )

@@ -1,0 +1,647 @@
+"""PDF text + layout extraction in pure stdlib — the north rule's
+"PDF/layout parse" clause, built like the other codecs (jpeg.py,
+multimodal.py): a real spec-driven decoder with honest ValueError
+boundaries, a paired encoder so round-trips are testable without
+external libs, and DoS bounds on every untrusted size.
+
+Scope (honest and tested): classic PDFs — %PDF-1.x header, xref TABLES
+(with /Prev chains), direct or /FlateDecode content streams, literal
+(with all §7.3.4.2 escapes) and hex strings, the full positioned-text
+operator set (BT/ET, Tf, Td, TD, TL, T*, Tm, Tj, ', ", TJ) with q/Q +
+cm graphics-state matrix composition, simple (1-byte, latin-1-decoded)
+fonts, and page trees of any nesting. Raises ValueError naming the
+feature for: encrypted files, cross-reference STREAMS (PDF 1.5+ —
+object streams likewise), CID/Type0 composite fonts (extracting their
+bytes as text would be silent garbage), and non-Flate filters.
+
+Layout parse: runs carry the device-space position of their text matrix
+(Tm composed with the CTM), and ``extract_pdf_text`` groups runs into
+lines by y (fixed tolerance), orders lines top-to-bottom and runs
+left-to-right — the reading-order pass a layout-aware corpus extractor
+performs before boilerplate stripping.
+
+Everything from the public spec: ISO 32000-1 / Adobe PDF Reference
+(file structure §7.5, filters §7.4, text §9.4, matrices §8.3.4,
+string escapes §7.3.4.2).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_MAX_STREAM_BYTES = 1 << 26   # inflate cap per content stream (DoS bound)
+_MAX_XREF_CHAIN = 64          # /Prev chain bound (cycle/DoS)
+_MAX_OBJECTS = 1 << 20        # xref entry bound
+
+_PAGE_W, _PAGE_H = 612, 792   # US Letter, the encoder's MediaBox
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+def _esc_string(s: str) -> bytes:
+    """Text -> PDF literal string bytes (latin-1 payload, §7.3.4.2
+    escapes). Non-latin-1 raises — simple fonts address 256 glyphs."""
+    try:
+        raw = s.encode("latin-1")
+    except UnicodeEncodeError as e:
+        raise ValueError(
+            "encode_pdf text outside latin-1 needs a composite font, "
+            "which this encoder does not emit") from e
+    out = bytearray()
+    for b in raw:
+        if b in (0x28, 0x29, 0x5C):  # ( ) \
+            out += b"\\" + bytes([b])
+        elif 32 <= b <= 126:
+            out.append(b)
+        else:
+            out += b"\\%03o" % b
+    return bytes(out)
+
+
+def encode_pdf(pages, compress: bool = True) -> bytes:
+    """pages = list of pages; each page a list of (x, y, size, text)
+    runs -> a classic PDF (xref table, Helvetica, one content stream per
+    page, FlateDecode when ``compress``). Positions are PDF user-space
+    points (origin bottom-left)."""
+    if not pages:
+        raise ValueError("encode_pdf needs at least one page")
+    objs: dict[int, bytes] = {}
+    n_pages = len(pages)
+    # 1 catalog, 2 pages root, 3 font; then per page: page obj, content
+    page_ids = [4 + 2 * i for i in range(n_pages)]
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    objs[2] = (f"<< /Type /Pages /Kids [ {kids} ] /Count {n_pages} >>"
+               ).encode()
+    objs[3] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+               b"/Encoding /WinAnsiEncoding >>")
+    for i, runs in enumerate(pages):
+        pid, cid = page_ids[i], page_ids[i] + 1
+        content = bytearray(b"BT\n")
+        for x, y, size, text in runs:
+            content += b"/F1 %s Tf\n" % _num(size)
+            content += b"1 0 0 1 %s %s Tm\n" % (_num(x), _num(y))
+            content += b"(" + _esc_string(text) + b") Tj\n"
+        content += b"ET"
+        data = bytes(content)
+        filt = b""
+        if compress:
+            data = zlib.compress(data)
+            filt = b"/Filter /FlateDecode "
+        objs[cid] = (b"<< " + filt + b"/Length %d >>\nstream\n" % len(data)
+                     + data + b"\nendstream")
+        objs[pid] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {_PAGE_W} "
+            f"{_PAGE_H}] /Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {cid} 0 R >>").encode()
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for oid in sorted(objs):
+        offsets[oid] = len(out)
+        out += b"%d 0 obj\n" % oid + objs[oid] + b"\nendobj\n"
+    xref_at = len(out)
+    n = max(objs) + 1
+    out += b"xref\n0 %d\n" % n
+    out += b"0000000000 65535 f \n"
+    for oid in range(1, n):
+        out += b"%010d 00000 n \n" % offsets[oid]
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+            % (n, xref_at))
+    return bytes(out)
+
+
+def _num(v) -> bytes:
+    s = f"{v:.2f}".rstrip("0").rstrip(".") if isinstance(v, float) else str(v)
+    return s.encode()
+
+
+# ---------------------------------------------------------------------------
+# object / token parsing
+# ---------------------------------------------------------------------------
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # % comment to EOL
+                while self.pos < n and d[self.pos] not in b"\r\n":
+                    self.pos += 1
+            else:
+                return
+
+    def peek_bytes(self, k: int) -> bytes:
+        self._skip_ws()
+        return self.data[self.pos:self.pos + k]
+
+    def token(self):
+        """Next syntactic token: returns a python value for atoms, or
+        one of the marker strings '<<' '>>' '[' ']' or an operator/
+        keyword name."""
+        self._skip_ws()
+        d, n = self.data, len(self.data)
+        if self.pos >= n:
+            raise ValueError("truncated PDF object")
+        c = d[self.pos]
+        if d[self.pos:self.pos + 2] == b"<<":
+            self.pos += 2
+            return "<<"
+        if d[self.pos:self.pos + 2] == b">>":
+            self.pos += 2
+            return ">>"
+        if c == 0x5B:
+            self.pos += 1
+            return "["
+        if c == 0x5D:
+            self.pos += 1
+            return "]"
+        if c == 0x2F:  # /Name
+            self.pos += 1
+            start = self.pos
+            while self.pos < n and d[self.pos] not in _WS \
+                    and d[self.pos] not in _DELIM:
+                self.pos += 1
+            return _Name(d[start:self.pos].decode("latin-1"))
+        if c == 0x28:  # (literal string)
+            return self._literal_string()
+        if c == 0x3C:  # <hex string>
+            return self._hex_string()
+        # number / keyword / operator
+        start = self.pos
+        while self.pos < n and d[self.pos] not in _WS \
+                and d[self.pos] not in _DELIM:
+            self.pos += 1
+        word = d[start:self.pos]
+        if not word:
+            raise ValueError(f"bad PDF token at offset {start}")
+        try:
+            return int(word)
+        except ValueError:
+            pass
+        try:
+            return float(word)
+        except ValueError:
+            pass
+        return word.decode("latin-1")
+
+    def _literal_string(self) -> bytes:
+        d, n = self.data, len(self.data)
+        self.pos += 1  # (
+        out = bytearray()
+        depth = 1
+        while self.pos < n:
+            c = d[self.pos]
+            if c == 0x5C:  # backslash escape
+                self.pos += 1
+                if self.pos >= n:
+                    break
+                e = d[self.pos]
+                esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12,
+                       0x28: 40, 0x29: 41, 0x5C: 92}
+                if e in esc:
+                    out.append(esc[e])
+                    self.pos += 1
+                elif 0x30 <= e <= 0x37:  # \ooo (1-3 octal digits)
+                    o = 0
+                    for _ in range(3):
+                        if self.pos < n and 0x30 <= d[self.pos] <= 0x37:
+                            o = o * 8 + (d[self.pos] - 0x30)
+                            self.pos += 1
+                        else:
+                            break
+                    out.append(o & 0xFF)
+                elif e in (13, 10):  # line continuation
+                    self.pos += 1
+                    if e == 13 and self.pos < n and d[self.pos] == 10:
+                        self.pos += 1
+                else:  # unknown escape: the char itself (§7.3.4.2)
+                    out.append(e)
+                    self.pos += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                self.pos += 1
+            elif c == 0x29:
+                depth -= 1
+                self.pos += 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(c)
+            else:
+                out.append(c)
+                self.pos += 1
+        raise ValueError("unterminated PDF literal string")
+
+    def _hex_string(self) -> bytes:
+        d, n = self.data, len(self.data)
+        self.pos += 1  # <
+        digits = []
+        while self.pos < n and d[self.pos] != 0x3E:
+            c = d[self.pos]
+            if c not in _WS:
+                digits.append(chr(c))
+            self.pos += 1
+        if self.pos >= n:
+            raise ValueError("unterminated PDF hex string")
+        self.pos += 1  # >
+        if len(digits) % 2:
+            digits.append("0")
+        try:
+            return bytes.fromhex("".join(digits))
+        except ValueError as e:
+            raise ValueError("bad PDF hex string") from e
+
+
+class _Name(str):
+    """PDF /Name — distinct from strings so dict keys and operator
+    operands keep their identity."""
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+    def __repr__(self):
+        return f"_Ref({self.num})"
+
+
+def _parse_value(lx: _Lexer):
+    tok = lx.token()
+    return _parse_from(lx, tok)
+
+
+def _parse_from(lx: _Lexer, tok):
+    if tok == "<<":
+        d = {}
+        while True:
+            k = lx.token()
+            if k == ">>":
+                return d
+            if not isinstance(k, _Name):
+                raise ValueError("PDF dict key is not a name")
+            d[str(k)] = _parse_value(lx)
+    if tok == "[":
+        arr = []
+        while True:
+            t = lx.token()
+            if t == "]":
+                return arr
+            arr.append(_parse_from(lx, t))
+    if isinstance(tok, int):
+        # possible "N G R" indirect reference
+        save = lx.pos
+        try:
+            g = lx.token()
+            r = lx.token()
+        except ValueError:
+            lx.pos = save
+            return tok
+        if isinstance(g, int) and r == "R":
+            return _Ref(tok)
+        lx.pos = save
+        return tok
+    if tok == "true":
+        return True
+    if tok == "false":
+        return False
+    if tok == "null":
+        return None
+    return tok
+
+
+# ---------------------------------------------------------------------------
+# document structure
+# ---------------------------------------------------------------------------
+
+class _Doc:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.offsets: dict[int, int] = {}
+        self.trailer: dict = {}
+        self._cache: dict[int, object] = {}
+        self._parse_xref_chain()
+
+    def _parse_xref_chain(self) -> None:
+        d = self.data
+        at = d.rfind(b"startxref")
+        if at < 0:
+            raise ValueError("PDF has no startxref")
+        lx = _Lexer(d, at + len(b"startxref"))
+        off = lx.token()
+        if not isinstance(off, int):
+            raise ValueError("bad startxref offset")
+        for _ in range(_MAX_XREF_CHAIN):
+            lx = _Lexer(d, off)
+            first = lx.token()
+            if first != "xref":
+                # an integer here means "N G obj" — a PDF 1.5+ xref
+                # STREAM; decoding those needs object streams too
+                raise ValueError(
+                    "PDF cross-reference streams (1.5+) unsupported; "
+                    "classic xref tables only")
+            while True:
+                t = lx.token()
+                if t == "trailer":
+                    break
+                start = t
+                count = lx.token()
+                if not isinstance(start, int) or not isinstance(count, int) \
+                        or count < 0 or start + count > _MAX_OBJECTS:
+                    raise ValueError("bad PDF xref subsection header")
+                for i in range(count):
+                    o = lx.token()
+                    _gen = lx.token()
+                    kind = lx.token()
+                    if kind == "n" and (start + i) not in self.offsets:
+                        self.offsets[start + i] = o
+            trailer = _parse_value(lx)
+            if not isinstance(trailer, dict):
+                raise ValueError("bad PDF trailer")
+            for k, v in trailer.items():
+                self.trailer.setdefault(k, v)
+            if "Encrypt" in trailer:
+                raise ValueError("encrypted PDF unsupported")
+            prev = trailer.get("Prev")
+            if prev is None:
+                return
+            off = prev
+        raise ValueError("PDF xref /Prev chain too long")
+
+    def resolve(self, v):
+        if isinstance(v, _Ref):
+            return self.obj(v.num)
+        return v
+
+    def obj(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        off = self.offsets.get(num)
+        if off is None or not (0 <= off < len(self.data)):
+            raise ValueError(f"PDF object {num} missing from xref")
+        lx = _Lexer(self.data, off)
+        n_, g_, kw = lx.token(), lx.token(), lx.token()
+        if n_ != num or kw != "obj":
+            raise ValueError(f"PDF xref offset for object {num} is wrong")
+        val = _parse_value(lx)
+        if isinstance(val, dict):
+            save = lx.pos
+            try:
+                nxt = lx.token()
+            except ValueError:
+                nxt = None
+            if nxt == "stream":
+                val = ("stream", val, self._stream_data(lx, val))
+            else:
+                lx.pos = save
+        self._cache[num] = val
+        return val
+
+    def _stream_data(self, lx: _Lexer, sdict: dict) -> bytes:
+        d = lx.data
+        p = lx.pos
+        # EOL after 'stream' keyword: CRLF or LF (§7.3.8.1)
+        if d[p:p + 2] == b"\r\n":
+            p += 2
+        elif d[p:p + 1] == b"\n":
+            p += 1
+        length = self.resolve(sdict.get("Length"))
+        if not isinstance(length, int) or length < 0 \
+                or p + length > len(d):
+            raise ValueError("bad PDF stream /Length")
+        raw = d[p:p + length]
+        filt = self.resolve(sdict.get("Filter"))
+        if filt is None:
+            return raw
+        filts = filt if isinstance(filt, list) else [filt]
+        for f in filts:
+            f = self.resolve(f)
+            if str(f) != "FlateDecode":
+                raise ValueError(f"PDF filter {f} unsupported "
+                                 "(FlateDecode only)")
+            dec = zlib.decompressobj()
+            try:
+                raw = dec.decompress(raw, _MAX_STREAM_BYTES + 1)
+            except zlib.error as e:
+                raise ValueError("corrupt PDF Flate stream") from e
+            if len(raw) > _MAX_STREAM_BYTES:
+                raise ValueError("PDF stream exceeds the inflate bound")
+        return raw
+
+    def pages(self) -> list[dict]:
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            raise ValueError("PDF trailer has no /Root catalog")
+        tree = self.resolve(root.get("Pages"))
+        out: list[dict] = []
+
+        def walk(node, depth: int) -> None:
+            if depth > 64:
+                raise ValueError("PDF page tree too deep")
+            node = self.resolve(node)
+            if not isinstance(node, dict):
+                raise ValueError("bad PDF page tree node")
+            t = str(node.get("Type", ""))
+            if t == "Pages":
+                for kid in self.resolve(node.get("Kids")) or []:
+                    walk(kid, depth + 1)
+            elif t == "Page":
+                out.append(node)
+            else:
+                raise ValueError(f"bad PDF page tree node type {t!r}")
+
+        walk(tree, 0)
+        return out
+
+    def page_content(self, page: dict) -> bytes:
+        c = self.resolve(page.get("Contents"))
+        parts = c if isinstance(c, list) else [c]
+        data = bytearray()
+        for part in parts:
+            part = self.resolve(part)
+            if not (isinstance(part, tuple) and part[0] == "stream"):
+                raise ValueError("PDF page /Contents is not a stream")
+            data += part[2]
+            data += b"\n"
+        return bytes(data)
+
+    def page_fonts(self, page: dict) -> dict[str, dict]:
+        res = self.resolve(page.get("Resources")) or {}
+        fonts = self.resolve(res.get("Font")) or {}
+        return {k: self.resolve(v) for k, v in fonts.items()}
+
+
+# ---------------------------------------------------------------------------
+# content-stream interpretation (text + layout)
+# ---------------------------------------------------------------------------
+
+def _mat_mul(a, b):
+    """2D affine (a0 a1 a2 a3 a4 a5) as the PDF row-vector convention:
+    result = a THEN b (i.e. [x y 1] * a * b)."""
+    return (
+        a[0] * b[0] + a[1] * b[2],
+        a[0] * b[1] + a[1] * b[3],
+        a[2] * b[0] + a[3] * b[2],
+        a[2] * b[1] + a[3] * b[3],
+        a[4] * b[0] + a[5] * b[2] + b[4],
+        a[4] * b[1] + a[5] * b[3] + b[5],
+    )
+
+
+_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _decode_text(raw: bytes) -> str:
+    return raw.decode("latin-1")
+
+
+def decode_pdf(payload: bytes):
+    """payload -> list of pages, each a list of (x, y, size, text) runs
+    in content order. x/y are device-space positions of the run's text
+    matrix (Tm composed with the CTM at show time)."""
+    if not payload.startswith(b"%PDF-"):
+        raise ValueError("not a PDF payload")
+    doc = _Doc(payload)
+    pages_out = []
+    for page in doc.pages():
+        fonts = doc.page_fonts(page)
+        for fname, fdict in fonts.items():
+            sub = str((fdict or {}).get("Subtype", ""))
+            if sub == "Type0":
+                raise ValueError(
+                    "PDF CID-keyed (Type0) fonts unsupported — extracting "
+                    "their bytes as text would be silent garbage")
+        runs = _interpret_content(doc.page_content(page))
+        pages_out.append(runs)
+    return pages_out
+
+
+def _interpret_content(content: bytes):
+    lx = _Lexer(content)
+    stack: list = []
+    ctm = _ID
+    gstack: list = []
+    tm = lm = _ID
+    size = 0.0
+    leading = 0.0
+    in_text = False
+    runs = []
+
+    def show(raw: bytes) -> None:
+        if not in_text:
+            raise ValueError("PDF text shown outside BT/ET")
+        dev = _mat_mul(tm, ctm)
+        runs.append((dev[4], dev[5], size, _decode_text(raw)))
+
+    while True:
+        lx._skip_ws()
+        if lx.pos >= len(lx.data):
+            break
+        tok = lx.token()
+        if tok in ("<<", "["):
+            stack.append(_parse_from(lx, tok))
+            continue
+        if isinstance(tok, (int, float, bytes, _Name)) or tok is None \
+                or isinstance(tok, (dict, list, bool)):
+            stack.append(tok)
+            continue
+        op = tok
+        try:
+            if op == "q":
+                gstack.append(ctm)
+                if len(gstack) > 256:
+                    raise ValueError("PDF graphics-state stack too deep")
+            elif op == "Q":
+                ctm = gstack.pop() if gstack else _ID
+            elif op == "cm":
+                m = tuple(float(v) for v in stack[-6:])
+                ctm = _mat_mul(m, ctm)
+            elif op == "BT":
+                in_text = True
+                tm = lm = _ID
+            elif op == "ET":
+                in_text = False
+            elif op == "Tf":
+                size = float(stack[-1])
+            elif op == "TL":
+                leading = float(stack[-1])
+            elif op == "Td":
+                tx, ty = float(stack[-2]), float(stack[-1])
+                lm = _mat_mul((1, 0, 0, 1, tx, ty), lm)
+                tm = lm
+            elif op == "TD":
+                tx, ty = float(stack[-2]), float(stack[-1])
+                leading = -ty
+                lm = _mat_mul((1, 0, 0, 1, tx, ty), lm)
+                tm = lm
+            elif op == "Tm":
+                tm = lm = tuple(float(v) for v in stack[-6:])
+            elif op == "T*":
+                lm = _mat_mul((1, 0, 0, 1, 0, -leading), lm)
+                tm = lm
+            elif op == "Tj":
+                show(stack[-1])
+            elif op == "'":
+                lm = _mat_mul((1, 0, 0, 1, 0, -leading), lm)
+                tm = lm
+                show(stack[-1])
+            elif op == '"':
+                lm = _mat_mul((1, 0, 0, 1, 0, -leading), lm)
+                tm = lm
+                show(stack[-1])
+            elif op == "TJ":
+                arr = stack[-1]
+                if not isinstance(arr, list):
+                    raise ValueError("TJ operand is not an array")
+                text = b"".join(p for p in arr if isinstance(p, bytes))
+                show(text)
+            # every other operator (colors, paths, Tc/Tw/Tz/Ts, Do, BI…)
+            # is a no-op for text extraction
+        except (IndexError, TypeError) as e:
+            raise ValueError(f"malformed PDF content near {op!r}") from e
+        stack.clear()
+    return runs
+
+
+# ---------------------------------------------------------------------------
+# layout reading order
+# ---------------------------------------------------------------------------
+
+_LINE_TOL = 2.0  # y tolerance (points) for same-line grouping
+
+
+def extract_pdf_text(payload: bytes) -> list[str]:
+    """One string per page in reading order: runs grouped into lines by
+    y (within _LINE_TOL), lines sorted top-to-bottom, runs within a line
+    left-to-right, space-joined; lines newline-joined. The deterministic
+    layout pass the extraction pipeline applies before text analysis."""
+    out = []
+    for runs in decode_pdf(payload):
+        ordered = sorted(runs, key=lambda r: (-r[1], r[0]))
+        lines: list[list] = []
+        for r in ordered:
+            if lines and abs(lines[-1][0][1] - r[1]) <= _LINE_TOL:
+                lines[-1].append(r)
+            else:
+                lines.append([r])
+        page_lines = []
+        for line in lines:
+            line.sort(key=lambda r: r[0])
+            page_lines.append(" ".join(r[3] for r in line))
+        out.append("\n".join(page_lines))
+    return out
