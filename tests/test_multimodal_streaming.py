@@ -1795,3 +1795,89 @@ def test_pdf_honest_boundaries_and_dos():
             % xref_at)
     with pytest.raises(ValueError, match="inflate bound"):
         P.decode_pdf(bytes(out))
+
+
+def _mini_pdf(objs: dict) -> bytes:
+    """Assemble a classic PDF from {obj_num: body bytes} with a correct
+    xref table — shared by the hand-built PDF tests."""
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for oid in sorted(objs):
+        offs[oid] = len(out)
+        out += b"%d 0 obj\n" % oid + objs[oid] + b"\nendobj\n"
+    xref_at = len(out)
+    n = max(objs) + 1
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % n
+    for oid in range(1, n):
+        out += (b"%010d 00000 n \n" % offs[oid]) if oid in offs \
+            else b"0000000000 00000 f \n"
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+            % (n, xref_at))
+    return bytes(out)
+
+
+def test_pdf_review_fixes_inheritance_inline_images_and_robustness():
+    """Review-pass findings, each pinned: (1) /Resources inherited from
+    the /Pages root still trips the Type0 guard; (2) inline-image data
+    (BI..ID..EI) never reaches the lexer even when it contains
+    '(x) Tj'-shaped bytes; (3) a page without /Contents is a blank page,
+    not an error; (4) unbalanced Q keeps the CTM; (5) a non-string Tj
+    operand and a malformed xref offset raise ValueError, never
+    AttributeError/TypeError."""
+    import pytest
+
+    from webtableextractionsystem_spark.operators import pdf as P
+
+    def page_objs(content: bytes, font: bytes, resources_on_root: bool):
+        res = b"/Resources << /Font << /F1 3 0 R >> >> "
+        return {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: (b"<< /Type /Pages /Kids [ 4 0 R ] /Count 1 "
+                + (res if resources_on_root else b"") + b">>"),
+            3: font,
+            4: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                + (b"" if resources_on_root else res)
+                + b"/Contents 5 0 R >>"),
+            5: (b"<< /Length %d >>\nstream\n" % len(content)
+                + content + b"\nendstream"),
+        }
+
+    simple = b"BT /F1 12 Tf 10 20 Td (ok) Tj ET"
+    t1 = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    t0 = b"<< /Type /Font /Subtype /Type0 /BaseFont /X >>"
+    # (1) inherited resources: Type1 works, Type0 raises — from the ROOT
+    assert P.decode_pdf(_mini_pdf(page_objs(simple, t1, True))) == \
+        [[(10.0, 20.0, 12.0, "ok")]]
+    with pytest.raises(ValueError, match="Type0"):
+        P.decode_pdf(_mini_pdf(page_objs(simple, t0, True)))
+
+    # (2) inline image whose raw data contains text-operator bytes
+    ii = (b"BT /F1 12 Tf 10 20 Td (real) Tj ET\n"
+          b"BI /W 2 /H 2 /BPC 8 /CS /RGB ID \x00(fake) Tj\xff\x28 EI\n"
+          b"BT /F1 12 Tf 10 40 Td (after) Tj ET")
+    got = P.decode_pdf(_mini_pdf(page_objs(ii, t1, False)))
+    assert got == [[(10.0, 20.0, 12.0, "real"), (10.0, 40.0, 12.0, "after")]]
+
+    # (3) blank page: no /Contents at all
+    objs = page_objs(simple, t1, False)
+    objs[4] = (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+               b"/Resources << /Font << /F1 3 0 R >> >> >>")
+    assert P.decode_pdf(_mini_pdf(objs)) == [[]]
+
+    # (4) unbalanced Q: CTM survives (run stays translated by cm)
+    uq = b"2 0 0 2 0 0 cm Q BT /F1 12 Tf 1 0 0 1 50 50 Tm (x) Tj ET"
+    assert P.decode_pdf(_mini_pdf(page_objs(uq, t1, False))) == \
+        [[(100.0, 100.0, 12.0, "x")]]
+
+    # (5a) non-string show operand -> ValueError
+    bad = b"BT /F1 12 Tf 5 Tj ET"
+    with pytest.raises(ValueError, match="malformed PDF content|not a string"):
+        P.decode_pdf(_mini_pdf(page_objs(bad, t1, False)))
+    # (5b) non-integer xref offset -> ValueError at parse
+    doc = bytearray(_mini_pdf(page_objs(simple, t1, False)))
+    at = doc.find(b"\n0000000009")  # first 'n' entry (after the f row)
+    first_n = doc.find(b" n \n")    # locate any in-use entry
+    row_start = doc.rfind(b"\n", 0, first_n) + 1
+    doc[row_start:row_start + 10] = b"00000000xx"
+    with pytest.raises(ValueError):
+        P.decode_pdf(bytes(doc))

@@ -937,16 +937,15 @@ def pdf_features(media: DataFrame) -> DataFrame:
     xref walk, Flate bound, content interpreter, matrix composition, or
     the layout sort all fail the pinned driver row. Narrow mapInPandas,
     same partition-local shape as the other codec features."""
-    from .pdf import decode_pdf, extract_pdf_text
+    from .pdf import decode_pdf, layout_pages
 
     def run(batches):
         for pdf in batches:
             out = {k: [] for k in ("media_ref", "n_pages", "n_runs",
                                    "n_chars", "text_md5")}
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
-                payload = bytes(payload)
-                pages = decode_pdf(payload)
-                text = extract_pdf_text(payload)
+                pages = decode_pdf(bytes(payload))  # parse ONCE
+                text = layout_pages(pages)
                 joined = "\x0c".join(text)
                 out["media_ref"].append(ref)
                 out["n_pages"].append(len(pages))

@@ -369,6 +369,11 @@ class _Doc:
                     _gen = lx.token()
                     kind = lx.token()
                     if kind == "n" and (start + i) not in self.offsets:
+                        if not isinstance(o, int):
+                            # a malformed offset must fail HERE as a
+                            # ValueError, not later as a TypeError when
+                            # obj() compares it to ints
+                            raise ValueError("bad PDF xref entry offset")
                         self.offsets[start + i] = o
             trailer = _parse_value(lx)
             if not isinstance(trailer, dict):
@@ -470,6 +475,8 @@ class _Doc:
 
     def page_content(self, page: dict) -> bytes:
         c = self.resolve(page.get("Contents"))
+        if c is None:
+            return b""  # /Contents is optional (§7.7.3.3): a blank page
         parts = c if isinstance(c, list) else [c]
         data = bytearray()
         for part in parts:
@@ -481,9 +488,23 @@ class _Doc:
         return bytes(data)
 
     def page_fonts(self, page: dict) -> dict[str, dict]:
-        res = self.resolve(page.get("Resources")) or {}
-        fonts = self.resolve(res.get("Font")) or {}
-        return {k: self.resolve(v) for k, v in fonts.items()}
+        # /Resources is INHERITABLE (§7.7.3.4): real files commonly
+        # declare fonts once on the /Pages root — walk the /Parent
+        # chain until a Resources dict appears, or the CID-font guard
+        # in decode_pdf would silently scan nothing
+        node: dict | None = page
+        for _ in range(64):
+            if node is None or not isinstance(node, dict):
+                break
+            res = self.resolve(node.get("Resources"))
+            if res is not None:
+                fonts = self.resolve(res.get("Font")) or {}
+                return {k: self.resolve(v) for k, v in fonts.items()}
+            parent = node.get("Parent")
+            if parent is None:
+                break
+            node = self.resolve(parent)
+        return {}
 
 
 # ---------------------------------------------------------------------------
@@ -542,11 +563,35 @@ def _interpret_content(content: bytes):
     in_text = False
     runs = []
 
-    def show(raw: bytes) -> None:
+    def show(raw) -> None:
         if not in_text:
             raise ValueError("PDF text shown outside BT/ET")
+        if not isinstance(raw, bytes):
+            # '5 Tj' / '/X Tj' must fail as the documented ValueError,
+            # not an AttributeError escaping decode_pdf
+            raise ValueError("PDF show operand is not a string")
         dev = _mat_mul(tm, ctm)
         runs.append((dev[4], dev[5], size, _decode_text(raw)))
+
+    _EI = re.compile(rb"(?<=[\x00\t\n\x0c\r ])EI(?=[\x00\t\n\x0c\r/%<>\[\](]|$)")
+
+    def skip_inline_image() -> None:
+        # BI <dict entries> ID <raw bytes> EI (§8.9.7): the raw bytes
+        # must NOT reach the lexer — '(…) Tj'-shaped bytes inside image
+        # data would otherwise emit phantom runs
+        while True:
+            t = lx.token()
+            if t == "ID":
+                break
+            if not isinstance(t, (_Name, int, float, bytes, bool, list)) \
+                    and t not in ("<<",):
+                raise ValueError("malformed PDF inline image header")
+            if t == "<<":
+                _parse_from(lx, t)
+        m = _EI.search(lx.data, lx.pos)
+        if m is None:
+            raise ValueError("unterminated PDF inline image")
+        lx.pos = m.end()
 
     while True:
         lx._skip_ws()
@@ -567,7 +612,10 @@ def _interpret_content(content: bytes):
                 if len(gstack) > 256:
                     raise ValueError("PDF graphics-state stack too deep")
             elif op == "Q":
-                ctm = gstack.pop() if gstack else _ID
+                # unbalanced Q: real interpreters ignore it — resetting
+                # to identity would silently move every later run
+                if gstack:
+                    ctm = gstack.pop()
             elif op == "cm":
                 m = tuple(float(v) for v in stack[-6:])
                 ctm = _mat_mul(m, ctm)
@@ -610,9 +658,11 @@ def _interpret_content(content: bytes):
                     raise ValueError("TJ operand is not an array")
                 text = b"".join(p for p in arr if isinstance(p, bytes))
                 show(text)
-            # every other operator (colors, paths, Tc/Tw/Tz/Ts, Do, BI…)
-            # is a no-op for text extraction
-        except (IndexError, TypeError) as e:
+            elif op == "BI":
+                skip_inline_image()
+            # every other operator (colors, paths, Tc/Tw/Tz/Ts, Do…) is
+            # a no-op for text extraction
+        except (IndexError, TypeError, AttributeError) as e:
             raise ValueError(f"malformed PDF content near {op!r}") from e
         stack.clear()
     return runs
@@ -625,13 +675,14 @@ def _interpret_content(content: bytes):
 _LINE_TOL = 2.0  # y tolerance (points) for same-line grouping
 
 
-def extract_pdf_text(payload: bytes) -> list[str]:
-    """One string per page in reading order: runs grouped into lines by
-    y (within _LINE_TOL), lines sorted top-to-bottom, runs within a line
-    left-to-right, space-joined; lines newline-joined. The deterministic
-    layout pass the extraction pipeline applies before text analysis."""
+def layout_pages(pages) -> list[str]:
+    """decode_pdf output -> one string per page in reading order: runs
+    grouped into lines by y (within _LINE_TOL), lines sorted
+    top-to-bottom, runs within a line left-to-right, space-joined;
+    lines newline-joined. Separate from decode_pdf so feature
+    extractors parse each payload ONCE."""
     out = []
-    for runs in decode_pdf(payload):
+    for runs in pages:
         ordered = sorted(runs, key=lambda r: (-r[1], r[0]))
         lines: list[list] = []
         for r in ordered:
@@ -645,3 +696,9 @@ def extract_pdf_text(payload: bytes) -> list[str]:
             page_lines.append(" ".join(r[3] for r in line))
         out.append("\n".join(page_lines))
     return out
+
+
+def extract_pdf_text(payload: bytes) -> list[str]:
+    """decode + layout in one call (the deterministic reading-order pass
+    the extraction pipeline applies before text analysis)."""
+    return layout_pages(decode_pdf(payload))
