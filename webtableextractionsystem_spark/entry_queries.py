@@ -300,6 +300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_bloom_filter": DD.bloom_filter_stats,
         "q_doc_length_quantiles": TS.length_quantiles,
         "q_doc_hll_by_source": TS.hll_by_source,
+        "q_events_retention": REL.event_retention,
+        "q_doc_stratified_sample": TS.stratified_sample,
         # changed in round 5 (linear-counting branch) — must stay rowed
         "q_doc_hll_distinct": TS.hll_distinct,
         # extraction engine (T1-T18, C1-C8, E1-E4, F4-F10 composed)
@@ -328,11 +330,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_emb_ivf_topk": SIM.ivf_topk,
         "q_emb_ivf_recall": SIM.ivf_recall,
         "q_emb_centroid_outliers": SIM.centroid_outliers,
-        # dedup family (F3 at scale)
-        "q_doc_minhash": DD.minhash_signatures,
+        # dedup family (F3 at scale; minhash/ngram_jaccard rotated to
+        # the tail — their composed consumers lsh_pairs and
+        # neardup_canonical stay rowed and exercise the same machinery)
         "q_doc_lsh_pairs": DD.lsh_candidate_pairs,
         "q_doc_simhash_pairs": DD.simhash_neardup_pairs,
-        "q_doc_ngram_jaccard": DD.ngram_jaccard_pairs,
         "q_doc_neardup_canonical": DD.neardup_canonical,
         "q_doc_neardup_components": DD.neardup_components,
         "q_doc_decontaminate": DD.decontaminate,
@@ -342,6 +344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # still-rowed *_pairs queries, components_lsss shares
         # neardup_components' oracle) ---
         "q_doc_neardup_components_lsss": DD.neardup_components_lsss,
+        "q_doc_minhash": DD.minhash_signatures,
+        "q_doc_ngram_jaccard": DD.ngram_jaccard_pairs,
         "q_doc_exact_dedup": DD.exact_dedup,
         "q_doc_lsh_bands": DD.lsh_band_keys,
         "q_doc_simhash": DD.simhash_signatures,
@@ -415,6 +419,8 @@ def oracle_sql() -> dict[str, str]:
         "q_events_user_profiles": REL.USER_PROFILES_SQL,
         "q_events_sessionize": REL.EVENT_SESSIONS_SQL,
         "q_events_closed_sessions": REL.CLOSED_SESSIONS_SQL,
+        "q_events_retention": REL.EVENT_RETENTION_SQL,
+        "q_doc_stratified_sample": TS.STRATIFIED_SAMPLE_SQL,
         "q_events_interval_join": REL.EVENT_INTERVAL_JOIN_SQL,
         "q_doc_bloom_filter": DD.bloom_filter_sql(),
         "q_doc_length_quantiles": TS.LENGTH_QUANTILES_SQL,

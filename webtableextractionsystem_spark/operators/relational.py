@@ -410,6 +410,45 @@ GROUP BY v.user_id
 """
 
 
+# --- events: retention cohorts ------------------------------------------------
+#
+# Users cohorted by first-active day; each later active day lands in
+# (cohort_day, day_offset) with a distinct-user count — the classic
+# warehouse retention matrix. Scale shape: distinct user-days (one
+# shuffle), first-day window on user_id (same key, exchange reused),
+# one (cohort, offset) agg shuffle. All outputs integer/string.
+
+def event_retention(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    user_days = e.select(
+        "user_id", F.to_date("ts").alias("day")).distinct()
+    cohorted = user_days.withColumn(
+        "cohort", F.min("day").over(Window.partitionBy("user_id")))
+    return (
+        cohorted
+        .groupBy(F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+                 F.datediff("day", "cohort").alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+EVENT_RETENTION_SQL = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+cohorted AS (
+  SELECT user_id, day,
+         min(day) OVER (PARTITION BY user_id) AS cohort
+  FROM user_days
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', cohort, day) AS INTEGER) AS day_offset,
+       count(DISTINCT user_id) AS n_users
+FROM cohorted
+GROUP BY cohort, day_offset
+"""
+
+
 # --- rollup (grouping sets) ---------------------------------------------------
 
 def lineitem_rollup(spark, sf_dir):

@@ -362,6 +362,50 @@ FROM (SELECT doc_id, {_md5_bucket_sql(100)} AS h
 """
 
 
+STRATIFIED_TARGET = 10  # expected docs kept per stratum
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-stratum sampling: each source keeps ~TARGET docs
+    regardless of stratum size — keep iff h32 * n_stratum <
+    TARGET * 2^32, where h32 is a salted md5-derived 32-bit value
+    (uniform), so the keep RATE is TARGET/n per stratum with ZERO
+    floating point: the comparison is exact 64-bit integer arithmetic,
+    identical in both engines (sound for strata up to 2^31 rows;
+    h32*n < 2^63). Strata at or under TARGET keep everything.
+
+    Scale shape: one count-per-source agg broadcast back onto the scan
+    (tiny: one row per stratum), then a narrow filter — no sort, no
+    window, unlike rate-free reservoir approaches."""
+    h32 = F.conv(
+        F.substring(F.md5(F.concat_ws(
+            "_", F.lit("strat"), F.col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long")
+    d = load_documents(spark, sf_dir).select("doc_id", "source",
+                                             h32.alias("h32"))
+    counts = d.groupBy("source").agg(F.count("*").alias("n_stratum"))
+    return (
+        d.join(F.broadcast(counts), "source")
+        .where(F.col("h32") * F.col("n_stratum")
+               < F.lit(STRATIFIED_TARGET) * F.lit(1 << 32))
+        .select("doc_id", "source", "n_stratum")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST('0x' || substring(md5('strat_' || CAST(doc_id AS VARCHAR)),
+                                1, 8) AS BIGINT) AS h32
+  FROM documents
+),
+counts AS (SELECT source, count(*) AS n_stratum FROM d GROUP BY source)
+SELECT doc_id, d.source, n_stratum
+FROM d JOIN counts ON d.source = counts.source
+WHERE h32 * n_stratum < {STRATIFIED_TARGET} * {1 << 32}
+"""
+
+
 def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-length histogram in power-of-two buckets (the shape a
     packing/batching planner consumes): bucket = floor(log2(n_tokens)),
