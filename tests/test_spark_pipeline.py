@@ -380,6 +380,41 @@ def test_hll_linear_counting_complete_domain_cross_engine(spark):
         < 0.15 * row["exact_distinct"]
 
 
+def test_pagerank_crafted_star_differential(spark):
+    """Differential check of the int64 fixed-point PageRank on an
+    IRREGULAR crafted graph (a 4-leaf star + an isolated node) against
+    an independent per-step Python evaluation of the same integer
+    recurrence — the corpus near-dup graph is degree-regular, so this
+    covers the hub/leaf asymmetry the oracle query can't."""
+    from webtableextractionsystem_spark.operators.dedup import (
+        PR_D_NUM,
+        PR_ITERS,
+        PR_SCALE,
+        pagerank,
+    )
+
+    nodes = list(range(6))  # 0 = hub, 1-4 = leaves, 5 = isolated
+    pairs = [(0, i) for i in range(1, 5)]
+    docs = spark.createDataFrame([(i,) for i in nodes], "doc_id long")
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["rank_fp"]
+           for r in pagerank(docs, pdf).collect()}
+
+    deg = {0: 4, 1: 1, 2: 1, 3: 1, 4: 1}
+    base = PR_SCALE // len(nodes)
+    teleport = base * 15 // 100
+    r = {i: base for i in nodes}
+    for _ in range(PR_ITERS):
+        s = {i: 0 for i in nodes}
+        for a, b in pairs:
+            s[b] += r[a] // deg[a]
+            s[a] += r[b] // deg[b]
+        r = {i: teleport + PR_D_NUM * s[i] // 100 for i in nodes}
+    assert got == r
+    # the asymmetry is real: hub > leaf > isolated
+    assert got[0] > got[1] > got[5]
+
+
 def test_event_asof_join_differential_bruteforce(spark, tmp_path):
     """Differential check of the union+window as-of against a per-row
     brute force on a dense random corpus: 300 events, 8 users, only 24

@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_hll_by_source": TS.hll_by_source,
         "q_events_retention": REL.event_retention,
         "q_doc_stratified_sample": TS.stratified_sample,
+        "q_doc_neardup_pagerank": DD.neardup_pagerank,
         # changed in round 5 (linear-counting branch) — must stay rowed
         "q_doc_hll_distinct": TS.hll_distinct,
         # extraction engine (T1-T18, C1-C8, E1-E4, F4-F10 composed)
@@ -334,7 +335,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the tail — their composed consumers lsh_pairs and
         # neardup_canonical stay rowed and exercise the same machinery)
         "q_doc_lsh_pairs": DD.lsh_candidate_pairs,
-        "q_doc_simhash_pairs": DD.simhash_neardup_pairs,
         "q_doc_neardup_canonical": DD.neardup_canonical,
         "q_doc_neardup_components": DD.neardup_components,
         "q_doc_decontaminate": DD.decontaminate,
@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # still-rowed *_pairs queries, components_lsss shares
         # neardup_components' oracle) ---
         "q_doc_neardup_components_lsss": DD.neardup_components_lsss,
+        "q_doc_simhash_pairs": DD.simhash_neardup_pairs,
         "q_doc_minhash": DD.minhash_signatures,
         "q_doc_ngram_jaccard": DD.ngram_jaccard_pairs,
         "q_doc_exact_dedup": DD.exact_dedup,
@@ -421,6 +422,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_closed_sessions": REL.CLOSED_SESSIONS_SQL,
         "q_events_retention": REL.EVENT_RETENTION_SQL,
         "q_doc_stratified_sample": TS.STRATIFIED_SAMPLE_SQL,
+        "q_doc_neardup_pagerank": DD.neardup_pagerank_sql(),
         "q_events_interval_join": REL.EVENT_INTERVAL_JOIN_SQL,
         "q_doc_bloom_filter": DD.bloom_filter_sql(),
         "q_doc_length_quantiles": TS.LENGTH_QUANTILES_SQL,

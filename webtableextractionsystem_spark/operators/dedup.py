@@ -1131,3 +1131,118 @@ SELECT (SELECT count(*) FROM keys) AS n_keys,
        {BLOOM_ABSENT_PROBES} AS n_absent_probes,
        (SELECT n FROM fp_hits) AS n_false_positives
 """
+
+
+# ---------------------------------------------------------------------------
+# integer fixed-point PageRank over the near-dup graph — an ITERATIVE
+# numeric algorithm whose every value is exact: ranks are int64 fixed
+# point, so sums commute and both engines agree to the last unit (a
+# float PageRank can never be hash-gated across engines — summation
+# order drifts the low bits).
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 10 ** 12   # fixed-point unit: rank 1.0/N == PR_SCALE // N
+PR_ITERS = 5          # fixed iteration count (deterministic contract)
+PR_D_NUM = 85         # damping d = 85/100
+
+
+def neardup_pagerank(spark: SparkSession, sf_dir: str,
+                     iters: int = PR_ITERS) -> DataFrame:
+    """PageRank (Brin/Page 1998) over the symmetric verified near-dup
+    graph in int64 fixed point: r0 = SCALE//N; each iteration
+    r'_v = teleport + d * (sum over in-edges of r_u DIV deg_u) DIV 100,
+    with teleport = (SCALE//N)*15 DIV 100. Every operation is integer
+    (DIV floors identically in Spark and DuckDB for the non-negative
+    domain), and integer addition is order-independent — so the oracle
+    matches bit-for-bit at any parallelism, unlike any float PageRank.
+    Dangling mass is NOT redistributed (both engines identical; the
+    usual normalization is a rendering concern, documented here).
+
+    Scale shape: the classic Pregel-style loop as DataFrames — edges
+    pre-joined with out-degrees once and persisted; per iteration ONE
+    shuffle keyed by dst for the contribution sum plus a broadcast of
+    nothing (ranks join edges on src — at 100 TB you'd co-partition
+    edges and ranks on the same key so the per-iteration join reuses
+    the exchange). Iterations are a fixed small count, so the unrolled
+    plan stays shallow; for hundreds of iterations you'd checkpoint
+    every ~10 to cut lineage.
+
+    Note on discrimination: at sf0.01 the verified graph happens to be
+    degree-regular (22 pairs + one triangle), so connected docs share
+    one fixed point — the crafted-star differential test
+    (test_spark_pipeline) covers the irregular-graph arithmetic the
+    corpus can't."""
+    docs = load_documents(spark, sf_dir).select("doc_id")
+    pairs = _verified_pairs(spark, sf_dir)
+    return pagerank(docs, pairs, iters)
+
+
+def pagerank(docs: DataFrame, pairs: DataFrame,
+             iters: int = PR_ITERS) -> DataFrame:
+    """The int64 fixed-point PR loop over any (doc_id) node set and
+    (doc_a, doc_b) undirected pair set — factored so crafted-graph
+    tests exercise the same code path as the corpus query."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"),
+                            F.col("doc_a").alias("dst")))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = edges.join(deg, "src").persist()
+    n = docs.agg(F.count("*").alias("n"))
+    base = (F.lit(PR_SCALE) / F.col("n")).cast("long")
+    r = docs.join(F.broadcast(n)).select(
+        "doc_id", base.alias("rank_fp"), "n")
+    teleport = (base * 15 / 100).cast("long")
+    for _ in range(iters):
+        contrib = (
+            edges_deg.join(r.select(F.col("doc_id").alias("src"),
+                                    "rank_fp"), "src")
+            .select("dst",
+                    (F.col("rank_fp") / F.col("deg")).cast("long")
+                    .alias("c"))
+            .groupBy("dst").agg(F.sum("c").alias("s"))
+        )
+        r = (
+            docs.join(F.broadcast(n))
+            .join(contrib, docs.doc_id == contrib.dst, "left")
+            .select(
+                "doc_id",
+                (teleport
+                 + (F.lit(PR_D_NUM) * F.coalesce(F.col("s"), F.lit(0))
+                    / 100).cast("long")).alias("rank_fp"),
+                "n",
+            )
+        )
+    edges_deg.unpersist()  # lazy plans hold the lineage; cache is warm
+    return r.select("doc_id", "rank_fp")
+
+
+def neardup_pagerank_sql(iters: int = PR_ITERS) -> str:
+    base = f"({PR_SCALE} // n)"
+    teleport = f"({base} * 15 // 100)"
+    parts = [f"WITH {_verified_sql()},",
+             "docs AS (SELECT doc_id FROM documents),",
+             "edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified"
+             " UNION ALL SELECT doc_b AS src, doc_a AS dst FROM verified),",
+             "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),",
+             "n AS (SELECT count(*) AS n FROM docs),",
+             f"r0 AS (SELECT doc_id, CAST({base} AS BIGINT) AS rank_fp"
+             " FROM docs, n),"]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"s{i} AS (SELECT e.dst, sum(r.rank_fp // e.deg) AS s "
+            f"FROM (SELECT edges.src, edges.dst, deg.deg FROM edges "
+            f"JOIN deg USING (src)) e "
+            f"JOIN {prev} r ON r.doc_id = e.src GROUP BY e.dst),")
+        parts.append(
+            # explicit CROSS JOIN: a comma join binds LOOSER than LEFT
+            # JOIN, which would scope d.doc_id out of the ON clause
+            f"r{i} AS (SELECT d.doc_id, CAST({teleport} + "
+            f"{PR_D_NUM} * COALESCE(s.s, 0) // 100 AS BIGINT) AS rank_fp "
+            f"FROM docs d CROSS JOIN n LEFT JOIN s{i} s "
+            f"ON s.dst = d.doc_id),")
+        prev = f"r{i}"
+    sql = "\n".join(parts).rstrip(",")
+    return f"{sql}\nSELECT doc_id, rank_fp FROM {prev}"
