@@ -303,6 +303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_retention": REL.event_retention,
         "q_doc_stratified_sample": TS.stratified_sample,
         "q_doc_neardup_pagerank": DD.neardup_pagerank,
+        "q_events_anomalies": REL.event_anomalies,
+        "q_doc_bigram_lm": TS.bigram_lm_score,
         # changed in round 5 (linear-counting branch) — must stay rowed
         "q_doc_hll_distinct": TS.hll_distinct,
         # extraction engine (T1-T18, C1-C8, E1-E4, F4-F10 composed)
@@ -322,11 +324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational surface already rowed r04 (keep while slots allow)
         "q_rel_pricing_summary": REL.pricing_summary,
         "q_rel_revenue_by_nation": REL.revenue_by_nation,
-        "q_rel_top_orders": REL.top_orders_per_customer,
         "q_rel_anti_join": REL.customers_without_orders,
         # embedding similarity
         "q_emb_topk_cosine": SIM.topk_bruteforce,
-        "q_emb_lsh_buckets": SIM.lsh_buckets,
         "q_emb_neardup_pairs": SIM.neardup_pairs,
         "q_emb_ivf_topk": SIM.ivf_topk,
         "q_emb_ivf_recall": SIM.ivf_recall,
@@ -345,6 +345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # neardup_components' oracle) ---
         "q_doc_neardup_components_lsss": DD.neardup_components_lsss,
         "q_doc_simhash_pairs": DD.simhash_neardup_pairs,
+        "q_rel_top_orders": REL.top_orders_per_customer,
+        "q_emb_lsh_buckets": SIM.lsh_buckets,
         "q_doc_minhash": DD.minhash_signatures,
         "q_doc_ngram_jaccard": DD.ngram_jaccard_pairs,
         "q_doc_exact_dedup": DD.exact_dedup,
@@ -423,6 +425,8 @@ def oracle_sql() -> dict[str, str]:
         "q_events_retention": REL.EVENT_RETENTION_SQL,
         "q_doc_stratified_sample": TS.STRATIFIED_SAMPLE_SQL,
         "q_doc_neardup_pagerank": DD.neardup_pagerank_sql(),
+        "q_events_anomalies": REL.EVENT_ANOMALIES_SQL,
+        "q_doc_bigram_lm": TS.BIGRAM_LM_SQL,
         "q_events_interval_join": REL.EVENT_INTERVAL_JOIN_SQL,
         "q_doc_bloom_filter": DD.bloom_filter_sql(),
         "q_doc_length_quantiles": TS.LENGTH_QUANTILES_SQL,

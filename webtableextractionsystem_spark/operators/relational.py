@@ -449,6 +449,61 @@ GROUP BY cohort, day_offset
 """
 
 
+# --- events: trailing-window anomaly flags ------------------------------------
+#
+# Hours whose event count exceeds 2x the trailing-24h mean. The usual
+# z-score needs float stddev (not cross-engine hash-stable); the
+# threshold form cross-multiplies instead — count * n_trailing >
+# 2 * trailing_sum — ALL integer, exact in both engines. One shuffle to
+# hourly counts (tiny domain), one ordered window over it.
+
+ANOMALY_TRAIL_H = 24
+ANOMALY_FACTOR = 2
+
+
+def event_anomalies(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    hour = F.date_format(
+        F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00")
+    hourly = e.groupBy(hour.alias("hour")).agg(F.count("*").alias("n"))
+    w = (Window.orderBy("hour")
+         .rowsBetween(-ANOMALY_TRAIL_H, -1))
+    return hourly.select(
+        "hour", "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("trail_sum"),
+        F.count("n").over(w).alias("trail_n"),
+    ).select(
+        "hour", "n", "trail_sum", "trail_n",
+        ((F.col("trail_n") > 0)
+         & (F.col("n") * F.col("trail_n")
+            > ANOMALY_FACTOR * F.col("trail_sum"))).alias("anomaly"),
+    )
+
+
+EVENT_ANOMALIES_SQL = f"""
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+         count(*) AS n
+  FROM events GROUP BY 1
+),
+trailed AS (
+  SELECT hour, n,
+         CAST(COALESCE(sum(n) OVER (ORDER BY hour
+                                    ROWS BETWEEN {ANOMALY_TRAIL_H} PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+           AS trail_sum,
+         count(n) OVER (ORDER BY hour
+                        ROWS BETWEEN {ANOMALY_TRAIL_H} PRECEDING
+                        AND 1 PRECEDING) AS trail_n
+  FROM hourly
+)
+SELECT hour, n, trail_sum, trail_n,
+       trail_n > 0 AND n * trail_n > {ANOMALY_FACTOR} * trail_sum
+         AS anomaly
+FROM trailed
+"""
+
+
 # --- rollup (grouping sets) ---------------------------------------------------
 
 def lineitem_rollup(spark, sf_dir):

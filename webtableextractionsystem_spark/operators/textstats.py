@@ -362,6 +362,65 @@ FROM (SELECT doc_id, {_md5_bucket_sql(100)} AS h
 """
 
 
+# ---------------------------------------------------------------------------
+# bigram LM frequency score — the CCNet-style "LM quality filter" shape:
+# score each document by how typical its bigrams are of the corpus.
+# True perplexity needs log-probs (float, not cross-engine-stable); the
+# integer twin keeps the sum of corpus frequencies and the bigram count
+# separately, so ordering/filtering on typicality is exact.
+# ---------------------------------------------------------------------------
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc: n_bigrams and the SUM of corpus-wide occurrence counts
+    of its bigrams (a doc of common bigrams scores high per bigram; rare
+    or garbled text scores ~1 per bigram). Integer in, integer out.
+
+    Scale shape: one explode -> bigram-count shuffle builds the corpus
+    LM (the vocabulary domain, far smaller than the corpus); the doc
+    side re-derives bigrams and equi-joins the LM — at 100 TB the LM
+    side is the broadcast/bucketed dimension. No float anywhere."""
+    toks = _tokens()
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = load_documents(spark, sf_dir).select(
+        "doc_id", F.explode_outer(bigrams).alias("bg"))
+    lm = d.where(F.col("bg").isNotNull()) \
+        .groupBy("bg").agg(F.count("*").alias("freq"))
+    return (
+        d.join(lm, "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.col("bg")).alias("n_bigrams"),
+            F.coalesce(F.sum("freq"), F.lit(0)).cast("long")
+            .alias("sum_corpus_freq"),
+        )
+    )
+
+
+BIGRAM_LM_SQL = r"""
+WITH d AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+           [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+         ELSE [NULL] END) AS bg
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents)
+),
+lm AS (SELECT bg, count(*) AS freq FROM d WHERE bg IS NOT NULL GROUP BY bg)
+SELECT d.doc_id,
+       count(d.bg) AS n_bigrams,
+       CAST(COALESCE(sum(lm.freq), 0) AS BIGINT) AS sum_corpus_freq
+FROM d LEFT JOIN lm ON d.bg = lm.bg
+GROUP BY d.doc_id
+"""
+
+
 STRATIFIED_TARGET = 10  # expected docs kept per stratum
 
 
