@@ -129,6 +129,21 @@ def main() -> None:
         "q_doc_hll_by_source — grouped mergeable sketch: partial max per "
         "(source, register), one composite-key shuffle":
             TS.hll_by_source(spark, SF),
+        "q_events_retention — distinct user-days, first-day window "
+        "reusing the user_id exchange, one cohort/offset agg":
+            REL.event_retention(spark, SF),
+        "q_doc_stratified_sample — tiny per-stratum counts broadcast "
+        "back onto the scan; integer threshold filter, no sort":
+            TS.stratified_sample(spark, SF),
+        "q_doc_neardup_pagerank — Pregel-style loop: persisted "
+        "edges+degrees, one dst shuffle per iteration":
+            DD.neardup_pagerank(spark, SF),
+        "q_events_anomalies — hourly agg then ONE ordered window over "
+        "the tiny hour domain":
+            REL.event_anomalies(spark, SF),
+        "q_doc_bigram_lm — bigram-count LM dimension equi-joined back "
+        "to the exploded doc side":
+            TS.bigram_lm_score(spark, SF),
     }
 
     parts = [

@@ -1188,7 +1188,14 @@ def pagerank(docs: DataFrame, pairs: DataFrame,
                             F.col("doc_a").alias("dst")))
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # persist AND materialize now: a lazy persist would never warm
+    # before the single final action, so every iteration would re-run
+    # the expensive pair derivation through lineage. The cache is one
+    # row per edge (near-dup graphs are sparse); it stays resident
+    # until the session drops it — the price of returning a lazy,
+    # corpus-sized result that cannot be eagerly collected.
     edges_deg = edges.join(deg, "src").persist()
+    edges_deg.count()
     n = docs.agg(F.count("*").alias("n"))
     base = (F.lit(PR_SCALE) / F.col("n")).cast("long")
     r = docs.join(F.broadcast(n)).select(
@@ -1214,7 +1221,6 @@ def pagerank(docs: DataFrame, pairs: DataFrame,
                 "n",
             )
         )
-    edges_deg.unpersist()  # lazy plans hold the lineage; cache is warm
     return r.select("doc_id", "rank_fp")
 
 
