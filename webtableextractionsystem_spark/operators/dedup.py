@@ -1173,41 +1173,59 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str,
     (test_spark_pipeline) covers the irregular-graph arithmetic the
     corpus can't."""
     docs = load_documents(spark, sf_dir).select("doc_id")
-    pairs = _verified_pairs(spark, sf_dir)
-    return pagerank(docs, pairs, iters)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    edges_deg = _PR_EDGE_CACHE.get(key)
+    if edges_deg is None:
+        # persist AND materialize now: a lazy persist would never warm
+        # before the single final action, so every iteration would
+        # re-run the expensive LSH+Jaccard derivation through lineage.
+        # Cached per (app, sf_dir) like entry_queries._EXT_CACHE so
+        # repeated calls (gate, bench, audit) reuse ONE resident copy
+        # instead of accumulating persists.
+        edges_deg = _edges_with_deg(
+            _verified_pairs(spark, sf_dir)).persist()
+        edges_deg.count()
+        _PR_EDGE_CACHE[key] = edges_deg
+    return pagerank(docs, edges_deg=edges_deg, iters=iters)
 
 
-def pagerank(docs: DataFrame, pairs: DataFrame,
-             iters: int = PR_ITERS) -> DataFrame:
-    """The int64 fixed-point PR loop over any (doc_id) node set and
-    (doc_a, doc_b) undirected pair set — factored so crafted-graph
-    tests exercise the same code path as the corpus query."""
+# one materialized edge relation per (SparkContext, sf_dir)
+_PR_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _edges_with_deg(pairs: DataFrame) -> DataFrame:
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"),
                             F.col("doc_a").alias("dst")))
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    # persist AND materialize now: a lazy persist would never warm
-    # before the single final action, so every iteration would re-run
-    # the expensive pair derivation through lineage. The cache is one
-    # row per edge (near-dup graphs are sparse); it stays resident
-    # until the session drops it — the price of returning a lazy,
-    # corpus-sized result that cannot be eagerly collected.
-    edges_deg = edges.join(deg, "src").persist()
-    edges_deg.count()
+    return edges.join(deg, "src")
+
+
+def pagerank(docs: DataFrame, pairs: DataFrame | None = None,
+             iters: int = PR_ITERS,
+             edges_deg: DataFrame | None = None) -> DataFrame:
+    """The int64 fixed-point PR loop over any (doc_id) node set and
+    (doc_a, doc_b) undirected pair set — factored so crafted-graph
+    tests exercise the same code path as the corpus query. Pass a
+    pre-persisted ``edges_deg`` (src, dst, deg) to reuse across calls.
+
+    All divisions are Spark's integral ``div`` — NOT double ``/`` with
+    a cast, whose exactness would silently depend on intermediates
+    staying under 2^53 (a PR_SCALE bump to 10^15 would cross it)."""
+    if edges_deg is None:
+        edges_deg = _edges_with_deg(pairs)
     n = docs.agg(F.count("*").alias("n"))
-    base = (F.lit(PR_SCALE) / F.col("n")).cast("long")
+    base = F.expr(f"{PR_SCALE} div n")
     r = docs.join(F.broadcast(n)).select(
         "doc_id", base.alias("rank_fp"), "n")
-    teleport = (base * 15 / 100).cast("long")
+    teleport = F.expr(f"(({PR_SCALE} div n) * 15) div 100")
     for _ in range(iters):
         contrib = (
             edges_deg.join(r.select(F.col("doc_id").alias("src"),
                                     "rank_fp"), "src")
-            .select("dst",
-                    (F.col("rank_fp") / F.col("deg")).cast("long")
-                    .alias("c"))
+            .select("dst", F.expr("rank_fp div deg").alias("c"))
             .groupBy("dst").agg(F.sum("c").alias("s"))
         )
         r = (
@@ -1216,8 +1234,8 @@ def pagerank(docs: DataFrame, pairs: DataFrame,
             .select(
                 "doc_id",
                 (teleport
-                 + (F.lit(PR_D_NUM) * F.coalesce(F.col("s"), F.lit(0))
-                    / 100).cast("long")).alias("rank_fp"),
+                 + F.expr(f"({PR_D_NUM} * coalesce(s, 0L)) div 100"))
+                .alias("rank_fp"),
                 "n",
             )
         )

@@ -420,15 +420,22 @@ GROUP BY v.user_id
 
 def event_retention(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    user_days = e.select(
-        "user_id", F.to_date("ts").alias("day")).distinct()
+    # explicit repartition on user_id: HashPartitioning(user_id)
+    # satisfies BOTH the (user_id, day) distinct's clustering and the
+    # first-day window's — ONE exchange instead of two (plan-audited)
+    user_days = (
+        e.select("user_id", F.to_date("ts").alias("day"))
+        .repartition("user_id").distinct()
+    )
     cohorted = user_days.withColumn(
         "cohort", F.min("day").over(Window.partitionBy("user_id")))
     return (
         cohorted
         .groupBy(F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
                  F.datediff("day", "cohort").alias("day_offset"))
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        # plain count: a user appears at most once per (cohort, offset)
+        # by construction, so a three-phase distinct agg buys nothing
+        .agg(F.count("*").alias("n_users"))
     )
 
 
@@ -443,7 +450,7 @@ cohorted AS (
 )
 SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
        CAST(date_diff('day', cohort, day) AS INTEGER) AS day_offset,
-       count(DISTINCT user_id) AS n_users
+       count(*) AS n_users
 FROM cohorted
 GROUP BY cohort, day_offset
 """
@@ -455,7 +462,12 @@ GROUP BY cohort, day_offset
 # z-score needs float stddev (not cross-engine hash-stable); the
 # threshold form cross-multiplies instead — count * n_trailing >
 # 2 * trailing_sum — ALL integer, exact in both engines. One shuffle to
-# hourly counts (tiny domain), one ordered window over it.
+# hourly counts (tiny domain: one row per hour of history), one ordered
+# window over it. The frame is a RANGE over an integer hour index, so
+# the baseline is the last 24 WALL-CLOCK hours: zero-traffic hours are
+# genuinely absent from it (after an outage trail_n is 0 -> not
+# anomalous by definition), where a ROWS frame would silently reach
+# back across the gap to days-old traffic.
 
 ANOMALY_TRAIL_H = 24
 ANOMALY_FACTOR = 2
@@ -463,13 +475,16 @@ ANOMALY_FACTOR = 2
 
 def event_anomalies(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    hour = F.date_format(
-        F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00")
-    hourly = e.groupBy(hour.alias("hour")).agg(F.count("*").alias("n"))
-    w = (Window.orderBy("hour")
-         .rowsBetween(-ANOMALY_TRAIL_H, -1))
+    hour_idx = (_epoch_s() / 3600).cast("long")
+    hourly = e.groupBy(hour_idx.alias("hour_idx")).agg(
+        F.count("*").alias("n"))
+    w = (Window.orderBy("hour_idx")
+         .rangeBetween(-ANOMALY_TRAIL_H, -1))
     return hourly.select(
-        "hour", "n",
+        F.date_format(
+            F.timestamp_seconds(F.col("hour_idx") * 3600),
+            "yyyy-MM-dd HH:00:00").alias("hour"),
+        "n",
         F.coalesce(F.sum("n").over(w), F.lit(0)).alias("trail_sum"),
         F.count("n").over(w).alias("trail_n"),
     ).select(
@@ -482,22 +497,23 @@ def event_anomalies(spark, sf_dir):
 
 EVENT_ANOMALIES_SQL = f"""
 WITH hourly AS (
-  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_idx,
          count(*) AS n
   FROM events GROUP BY 1
 ),
 trailed AS (
-  SELECT hour, n,
-         CAST(COALESCE(sum(n) OVER (ORDER BY hour
-                                    ROWS BETWEEN {ANOMALY_TRAIL_H} PRECEDING
+  SELECT hour_idx, n,
+         CAST(COALESCE(sum(n) OVER (ORDER BY hour_idx
+                                    RANGE BETWEEN {ANOMALY_TRAIL_H} PRECEDING
                                     AND 1 PRECEDING), 0) AS BIGINT)
            AS trail_sum,
-         count(n) OVER (ORDER BY hour
-                        ROWS BETWEEN {ANOMALY_TRAIL_H} PRECEDING
+         count(n) OVER (ORDER BY hour_idx
+                        RANGE BETWEEN {ANOMALY_TRAIL_H} PRECEDING
                         AND 1 PRECEDING) AS trail_n
   FROM hourly
 )
-SELECT hour, n, trail_sum, trail_n,
+SELECT strftime(to_timestamp(hour_idx * 3600), '%Y-%m-%d %H:00:00') AS hour,
+       n, trail_sum, trail_n,
        trail_n > 0 AND n * trail_n > {ANOMALY_FACTOR} * trail_sum
          AS anomaly
 FROM trailed

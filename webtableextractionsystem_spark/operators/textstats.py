@@ -325,20 +325,30 @@ GROUP BY doc_id
 SAMPLE_PCT = 10  # keep ~10% of docs
 
 
+def _md5_u32(salt: str | None = None):
+    """Engine-portable uniform 32-bit hash of doc_id (md5 is identical
+    in Spark and DuckDB, unlike xxhash64), optionally salted — the ONE
+    home of the hashing convention (doc_sample, pack_sequences,
+    stratified_sample all derive from it)."""
+    key = F.col("doc_id").cast("string")
+    if salt is not None:
+        key = F.concat_ws("_", F.lit(salt), key)
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+
+def _md5_u32_sql(salt: str | None = None) -> str:
+    key = "CAST(doc_id AS VARCHAR)"
+    if salt is not None:
+        key = f"'{salt}_' || {key}"
+    return f"CAST('0x' || substring(md5({key}), 1, 8) AS BIGINT)"
+
+
 def _md5_bucket(modulus: int):
-    """Engine-portable deterministic bucket of doc_id (md5 is identical
-    in Spark and DuckDB, unlike xxhash64); shared by doc_sample and
-    pack_sequences so the hashing convention lives in ONE place."""
-    return F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long") % modulus
+    return _md5_u32() % modulus
 
 
 def _md5_bucket_sql(modulus: int) -> str:
-    return (
-        "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
-        f"AS BIGINT) % {modulus}"
-    )
+    return f"{_md5_u32_sql()} % {modulus}"
 
 
 def doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,12 +446,8 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one count-per-source agg broadcast back onto the scan
     (tiny: one row per stratum), then a narrow filter — no sort, no
     window, unlike rate-free reservoir approaches."""
-    h32 = F.conv(
-        F.substring(F.md5(F.concat_ws(
-            "_", F.lit("strat"), F.col("doc_id").cast("string"))), 1, 8),
-        16, 10).cast("long")
-    d = load_documents(spark, sf_dir).select("doc_id", "source",
-                                             h32.alias("h32"))
+    d = load_documents(spark, sf_dir).select(
+        "doc_id", "source", _md5_u32("strat").alias("h32"))
     counts = d.groupBy("source").agg(F.count("*").alias("n_stratum"))
     return (
         d.join(F.broadcast(counts), "source")
@@ -453,9 +459,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STRATIFIED_SAMPLE_SQL = f"""
 WITH d AS (
-  SELECT doc_id, source,
-         CAST('0x' || substring(md5('strat_' || CAST(doc_id AS VARCHAR)),
-                                1, 8) AS BIGINT) AS h32
+  SELECT doc_id, source, {_md5_u32_sql("strat")} AS h32
   FROM documents
 ),
 counts AS (SELECT source, count(*) AS n_stratum FROM d GROUP BY source)
