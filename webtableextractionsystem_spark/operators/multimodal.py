@@ -916,7 +916,8 @@ def synth_pdfs_for_spans(spans_out: DataFrame) -> DataFrame:
                                      f"p{p} {words}"))
                     rng.shuffle(runs)  # content order != reading order
                     pages.append(runs)
-                payload = encode_pdf(pages, compress=bool(h[3] % 2))
+                payload = encode_pdf(pages, compress=bool(h[3] % 2),
+                                     modern=bool(h[4] % 2))
                 rows.append({
                     "media_ref": ref, "kind": "pdf", "payload": payload,
                     "meta": {"width": 612, "height": 792,

@@ -4,15 +4,19 @@ multimodal.py): a real spec-driven decoder with honest ValueError
 boundaries, a paired encoder so round-trips are testable without
 external libs, and DoS bounds on every untrusted size.
 
-Scope (honest and tested): classic PDFs — %PDF-1.x header, xref TABLES
-(with /Prev chains), direct or /FlateDecode content streams, literal
-(with all §7.3.4.2 escapes) and hex strings, the full positioned-text
-operator set (BT/ET, Tf, Td, TD, TL, T*, Tm, Tj, ', ", TJ) with q/Q +
-cm graphics-state matrix composition, simple (1-byte, latin-1-decoded)
-fonts, and page trees of any nesting. Raises ValueError naming the
-feature for: encrypted files, cross-reference STREAMS (PDF 1.5+ —
-object streams likewise), CID/Type0 composite fonts (extracting their
-bytes as text would be silent garbage), and non-Flate filters.
+Scope (honest and tested): classic AND modern PDFs — %PDF-1.x header;
+xref TABLES (with /Prev chains and hybrid /XRefStm supplements) AND
+1.5+ cross-reference STREAMS (/W widths, /Index subsections,
+FlateDecode with PNG row predictors) with OBJECT STREAMS (type-2
+entries, /N pair table, /First); direct or /FlateDecode content
+streams; literal (all §7.3.4.2 escapes) and hex strings; the full
+positioned-text operator set (BT/ET, Tf, Td, TD, TL, T*, Tm, Tj, ', ",
+TJ) with q/Q + cm graphics-state matrix composition and inline-image
+skipping; simple (1-byte, latin-1-decoded) fonts with inherited
+/Resources; page trees of any nesting. Raises ValueError naming the
+feature for: encrypted files, CID/Type0 composite fonts (extracting
+their bytes as text would be silent garbage), non-Flate filters, and
+TIFF predictors.
 
 Layout parse: runs carry the device-space position of their text matrix
 (Tm composed with the CTM), and ``extract_pdf_text`` groups runs into
@@ -61,11 +65,16 @@ def _esc_string(s: str) -> bytes:
     return bytes(out)
 
 
-def encode_pdf(pages, compress: bool = True) -> bytes:
+def encode_pdf(pages, compress: bool = True, modern: bool = False) -> bytes:
     """pages = list of pages; each page a list of (x, y, size, text)
-    runs -> a classic PDF (xref table, Helvetica, one content stream per
-    page, FlateDecode when ``compress``). Positions are PDF user-space
-    points (origin bottom-left)."""
+    runs -> a PDF (Helvetica, one content stream per page, FlateDecode
+    when ``compress``). Positions are PDF user-space points (origin
+    bottom-left). ``modern=False`` emits a classic 1.4 file (xref
+    TABLE); ``modern=True`` emits the 1.5+ structure dominant on the
+    real web: catalog/pages/font dicts packed into an object stream and
+    a CROSS-REFERENCE STREAM (W=[1,4,2], FlateDecode, PNG Up predictor
+    — what libraries actually write), so decoder round-trips cover
+    type-2 entries, /First parsing, and the predictor path."""
     if not pages:
         raise ValueError("encode_pdf needs at least one page")
     objs: dict[int, bytes] = {}
@@ -98,6 +107,8 @@ def encode_pdf(pages, compress: bool = True) -> bytes:
             f"{_PAGE_H}] /Resources << /Font << /F1 3 0 R >> >> "
             f"/Contents {cid} 0 R >>").encode()
 
+    if modern:
+        return _assemble_modern(objs, compress)
     out = bytearray(b"%PDF-1.4\n")
     offsets = {}
     for oid in sorted(objs):
@@ -111,6 +122,69 @@ def encode_pdf(pages, compress: bool = True) -> bytes:
         out += b"%010d 00000 n \n" % offsets[oid]
     out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
             % (n, xref_at))
+    return bytes(out)
+
+
+def _assemble_modern(objs: dict[int, bytes], compress: bool) -> bytes:
+    """1.5+ assembly: objects 1-3 (the document dicts) packed into an
+    ObjStm; page/content objects direct; one xref stream with Up
+    predictor rows."""
+    packed = [oid for oid in (1, 2, 3) if oid in objs]
+    direct = sorted(set(objs) - set(packed))
+    objstm_id = max(objs) + 1
+    xref_id = objstm_id + 1
+
+    offs_in: dict[int, int] = {}
+    bodies = bytearray()
+    for oid in packed:
+        offs_in[oid] = len(bodies)
+        bodies += objs[oid] + b"\n"
+    header = (" ".join(f"{oid} {offs_in[oid]}" for oid in packed)
+              + "\n").encode()
+    stm = bytes(header + bodies)
+    payload = zlib.compress(stm) if compress else stm
+    filt = b"/Filter /FlateDecode " if compress else b""
+    objstm = (b"<< /Type /ObjStm /N %d /First %d " % (len(packed),
+                                                      len(header))
+              + filt + b"/Length %d >>\nstream\n" % len(payload)
+              + payload + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for oid in direct:
+        offsets[oid] = len(out)
+        out += b"%d 0 obj\n" % oid + objs[oid] + b"\nendobj\n"
+    offsets[objstm_id] = len(out)
+    out += b"%d 0 obj\n" % objstm_id + objstm + b"\nendobj\n"
+    xref_at = len(out)
+    offsets[xref_id] = xref_at
+
+    size = xref_id + 1
+    rows = []
+    for onum in range(size):
+        if onum == 0:
+            rows.append((0, 0, 65535))
+        elif onum in packed:
+            rows.append((2, objstm_id, packed.index(onum)))
+        else:
+            rows.append((1, offsets[onum], 0))
+    stride = 1 + 4 + 2
+    raw_rows = [bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+                for t, f2, f3 in rows]
+    # PNG Up predictor (type 12), as real writers emit
+    pred = bytearray()
+    prev = bytes(stride)
+    for row in raw_rows:
+        pred.append(2)
+        pred += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        prev = row
+    xdata = zlib.compress(bytes(pred))
+    xdict = (b"<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+             b"/Filter /FlateDecode /DecodeParms << /Predictor 12 "
+             b"/Columns %d >> /Length %d >>" % (size, stride, len(xdata)))
+    out += (b"%d 0 obj\n" % xref_id + xdict + b"\nstream\n" + xdata
+            + b"\nendstream\nendobj\n")
+    out += b"startxref\n%d\n%%%%EOF" % xref_at
     return bytes(out)
 
 
@@ -329,10 +403,67 @@ def _parse_from(lx: _Lexer, tok):
 # document structure
 # ---------------------------------------------------------------------------
 
+def _apply_predictor(raw: bytes, parms) -> bytes:
+    """§7.4.4.4 LZW/Flate predictors: 1 = none, >=10 = PNG row filters
+    (each row led by a filter-type byte — the same five filters as
+    PNG scanlines, implemented here in pure Python since xref streams
+    are tiny). TIFF predictor 2 raises (unused in xref streams)."""
+    parms = parms if isinstance(parms, dict) else {}
+    pred = parms.get("Predictor", 1)
+    if pred == 1:
+        return raw
+    if pred < 10:
+        raise ValueError("PDF TIFF predictor unsupported")
+    cols = parms.get("Columns", 1)
+    colors = parms.get("Colors", 1)
+    bpc = parms.get("BitsPerComponent", 8)
+    if not isinstance(cols, int) or cols <= 0 or bpc != 8 \
+            or not isinstance(colors, int) or colors <= 0:
+        raise ValueError("bad PDF predictor parameters")
+    bpp = colors
+    stride = cols * bpp
+    if len(raw) % (stride + 1):
+        raise ValueError("PDF predicted stream length mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    for r in range(len(raw) // (stride + 1)):
+        base = r * (stride + 1)
+        ft = raw[base]
+        row = bytearray(raw[base + 1:base + 1 + stride])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PDF predictor filter type {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
 class _Doc:
     def __init__(self, data: bytes):
         self.data = data
         self.offsets: dict[int, int] = {}
+        # PDF 1.5+ type-2 entries: obj num -> (object-stream num, index)
+        self.in_stream: dict[int, tuple[int, int]] = {}
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._parse_xref_chain()
@@ -349,44 +480,109 @@ class _Doc:
         for _ in range(_MAX_XREF_CHAIN):
             lx = _Lexer(d, off)
             first = lx.token()
-            if first != "xref":
-                # an integer here means "N G obj" — a PDF 1.5+ xref
-                # STREAM; decoding those needs object streams too
-                raise ValueError(
-                    "PDF cross-reference streams (1.5+) unsupported; "
-                    "classic xref tables only")
-            while True:
-                t = lx.token()
-                if t == "trailer":
-                    break
-                start = t
-                count = lx.token()
-                if not isinstance(start, int) or not isinstance(count, int) \
-                        or count < 0 or start + count > _MAX_OBJECTS:
-                    raise ValueError("bad PDF xref subsection header")
-                for i in range(count):
-                    o = lx.token()
-                    _gen = lx.token()
-                    kind = lx.token()
-                    if kind == "n" and (start + i) not in self.offsets:
-                        if not isinstance(o, int):
-                            # a malformed offset must fail HERE as a
-                            # ValueError, not later as a TypeError when
-                            # obj() compares it to ints
-                            raise ValueError("bad PDF xref entry offset")
-                        self.offsets[start + i] = o
-            trailer = _parse_value(lx)
-            if not isinstance(trailer, dict):
-                raise ValueError("bad PDF trailer")
-            for k, v in trailer.items():
-                self.trailer.setdefault(k, v)
-            if "Encrypt" in trailer:
-                raise ValueError("encrypted PDF unsupported")
-            prev = trailer.get("Prev")
+            if first == "xref":
+                prev = self._parse_xref_table(lx)
+            elif isinstance(first, int):
+                # "N G obj" — a PDF 1.5+ cross-reference STREAM
+                prev = self._parse_xref_stream(off)
+            else:
+                raise ValueError("bad PDF xref section")
             if prev is None:
                 return
             off = prev
         raise ValueError("PDF xref /Prev chain too long")
+
+    def _take_trailer(self, trailer: dict):
+        for k, v in trailer.items():
+            self.trailer.setdefault(k, v)
+        if "Encrypt" in trailer:
+            raise ValueError("encrypted PDF unsupported")
+        return trailer.get("Prev")
+
+    def _parse_xref_table(self, lx: _Lexer):
+        while True:
+            t = lx.token()
+            if t == "trailer":
+                break
+            start = t
+            count = lx.token()
+            if not isinstance(start, int) or not isinstance(count, int) \
+                    or count < 0 or start + count > _MAX_OBJECTS:
+                raise ValueError("bad PDF xref subsection header")
+            for i in range(count):
+                o = lx.token()
+                _gen = lx.token()
+                kind = lx.token()
+                if kind == "n" and (start + i) not in self.offsets:
+                    if not isinstance(o, int):
+                        # a malformed offset must fail HERE as a
+                        # ValueError, not later as a TypeError when
+                        # obj() compares it to ints
+                        raise ValueError("bad PDF xref entry offset")
+                    self.offsets[start + i] = o
+        trailer = _parse_value(lx)
+        if not isinstance(trailer, dict):
+            raise ValueError("bad PDF trailer")
+        # hybrid-reference file (§7.5.8.4): a classic table whose
+        # trailer points at a SUPPLEMENTARY xref stream holding the
+        # compressed-object entries old readers can't see
+        if isinstance(trailer.get("XRefStm"), int):
+            self._parse_xref_stream(trailer["XRefStm"])
+        return self._take_trailer(trailer)
+
+    def _parse_xref_stream(self, off: int):
+        """§7.5.8: the xref as a stream object — /W field widths,
+        /Index subsections, FlateDecode + optional PNG row predictors;
+        entry types 0 (free) / 1 (offset) / 2 (in object stream). The
+        trailer fields live in the stream dict itself."""
+        lx = _Lexer(self.data, off)
+        num, gen, kw = lx.token(), lx.token(), lx.token()
+        if not isinstance(num, int) or kw != "obj":
+            raise ValueError("bad PDF xref stream object header")
+        sdict = _parse_value(lx)
+        if not isinstance(sdict, dict) or lx.token() != "stream":
+            raise ValueError("PDF xref stream object has no stream")
+        if isinstance(sdict.get("Length"), _Ref):
+            # §7.5.8.2: xref stream dict entries shall be direct —
+            # resolving a ref here would need the xref being parsed
+            raise ValueError("PDF xref stream /Length must be direct")
+        raw = self._stream_data(lx, sdict)
+        raw = _apply_predictor(raw, sdict.get("DecodeParms"))
+        w = sdict.get("W")
+        size = sdict.get("Size")
+        if (not isinstance(w, list) or len(w) != 3
+                or not all(isinstance(x, int) and 0 <= x <= 8 for x in w)
+                or not isinstance(size, int)):
+            raise ValueError("bad PDF xref stream /W or /Size")
+        index = sdict.get("Index", [0, size])
+        if not isinstance(index, list) or len(index) % 2:
+            raise ValueError("bad PDF xref stream /Index")
+        rw = sum(w)
+        pos = 0
+        for s in range(0, len(index), 2):
+            start, count = index[s], index[s + 1]
+            if not isinstance(start, int) or not isinstance(count, int) \
+                    or count < 0 or start + count > _MAX_OBJECTS:
+                raise ValueError("bad PDF xref stream /Index range")
+            for i in range(count):
+                row = raw[pos:pos + rw]
+                if len(row) < rw:
+                    raise ValueError("truncated PDF xref stream data")
+                pos += rw
+                f = []
+                p = 0
+                for width in w:
+                    f.append(int.from_bytes(row[p:p + width], "big"))
+                    p += width
+                etype = f[0] if w[0] else 1  # w1=0 -> default type 1
+                onum = start + i
+                if etype == 1 and onum not in self.offsets \
+                        and onum not in self.in_stream:
+                    self.offsets[onum] = f[1]
+                elif etype == 2 and onum not in self.offsets \
+                        and onum not in self.in_stream:
+                    self.in_stream[onum] = (f[1], f[2])
+        return self._take_trailer(sdict)
 
     def resolve(self, v):
         if isinstance(v, _Ref):
@@ -396,6 +592,10 @@ class _Doc:
     def obj(self, num: int):
         if num in self._cache:
             return self._cache[num]
+        if num not in self.offsets and num in self.in_stream:
+            val = self._objstm_member(num)
+            self._cache[num] = val
+            return val
         off = self.offsets.get(num)
         if off is None or not (0 <= off < len(self.data)):
             raise ValueError(f"PDF object {num} missing from xref")
@@ -416,6 +616,38 @@ class _Doc:
                 lx.pos = save
         self._cache[num] = val
         return val
+
+    def _objstm_member(self, num: int):
+        """§7.5.7 object streams: N pairs of (objnum, offset) then the
+        concatenated direct objects starting at /First. Streams cannot
+        nest in an ObjStm, and the container itself must be a plain
+        type-1 object (no ObjStm-in-ObjStm)."""
+        stm_num, _idx = self.in_stream[num]
+        if stm_num in self.in_stream:
+            raise ValueError("PDF object stream container inside an "
+                             "object stream")
+        container = self.obj(stm_num)
+        if not (isinstance(container, tuple) and container[0] == "stream"
+                and str(container[1].get("Type", "")) == "ObjStm"):
+            raise ValueError("PDF type-2 xref entry does not point at "
+                             "an object stream")
+        sdict, data = container[1], container[2]
+        n, first = sdict.get("N"), sdict.get("First")
+        if not isinstance(n, int) or not isinstance(first, int) \
+                or not (0 <= first <= len(data)) or n < 0:
+            raise ValueError("bad PDF object stream /N or /First")
+        lx = _Lexer(data, 0)
+        off = None
+        for _ in range(n):
+            onum, ooff = lx.token(), lx.token()
+            if not isinstance(onum, int) or not isinstance(ooff, int):
+                raise ValueError("bad PDF object stream pair table")
+            if onum == num:
+                off = ooff
+        if off is None or first + off > len(data):
+            raise ValueError(f"PDF object {num} missing from its "
+                             "object stream")
+        return _parse_value(_Lexer(data, first + off))
 
     def _stream_data(self, lx: _Lexer, sdict: dict) -> bytes:
         d = lx.data
