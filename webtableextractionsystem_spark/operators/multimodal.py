@@ -884,11 +884,13 @@ def video_features(media: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def synth_pdfs_for_spans(spans_out: DataFrame) -> DataFrame:
-    """Deterministic PDF table for every media span: REAL classic-PDF
-    payloads (md5-seeded 1-3 pages; runs emitted in SHUFFLED content
-    order and, on odd refs, laid out in two columns — so the features
-    below only pin if the layout reading-order pass works; alternating
-    FlateDecode/plain streams)."""
+    """Deterministic PDF table for every media span: REAL PDF payloads
+    (md5-seeded 1-3 pages; runs emitted in SHUFFLED content order and,
+    on odd refs, laid out in two columns — so the features below only
+    pin if the layout reading-order pass works; alternating
+    FlateDecode/plain content streams; and ~half are MODERN 1.5+ files
+    — xref stream + object stream + Up predictor — so the driver gate
+    exercises both file structures)."""
     from .pdf import encode_pdf
 
     _WORDS = ("table", "spark", "corpus", "extract", "span", "layout",

@@ -410,6 +410,10 @@ def _apply_predictor(raw: bytes, parms) -> bytes:
     are tiny). TIFF predictor 2 raises (unused in xref streams)."""
     parms = parms if isinstance(parms, dict) else {}
     pred = parms.get("Predictor", 1)
+    if not isinstance(pred, int):
+        # /Predictor /X or null must fail as the contractual ValueError,
+        # not a TypeError from the < comparison
+        raise ValueError("bad PDF predictor parameters")
     if pred == 1:
         return raw
     if pred < 10:
@@ -466,6 +470,9 @@ class _Doc:
         self.in_stream: dict[int, tuple[int, int]] = {}
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
+        self._resolving: set[int] = set()  # cycle guard (e.g. an ObjStm
+        # whose /Length ref lives inside itself — cache fills only on
+        # return, so without this the mutual recursion is unbounded)
         self._parse_xref_chain()
 
     def _parse_xref_chain(self) -> None:
@@ -546,12 +553,13 @@ class _Doc:
             # §7.5.8.2: xref stream dict entries shall be direct —
             # resolving a ref here would need the xref being parsed
             raise ValueError("PDF xref stream /Length must be direct")
-        raw = self._stream_data(lx, sdict)
-        raw = _apply_predictor(raw, sdict.get("DecodeParms"))
+        raw = self._stream_data(lx, sdict)  # applies /DecodeParms too
         w = sdict.get("W")
         size = sdict.get("Size")
         if (not isinstance(w, list) or len(w) != 3
                 or not all(isinstance(x, int) and 0 <= x <= 8 for x in w)
+                or sum(w) == 0  # zero row width would never consume
+                                # data: /Index loops spin unboundedly
                 or not isinstance(size, int)):
             raise ValueError("bad PDF xref stream /W or /Size")
         index = sdict.get("Index", [0, size])
@@ -592,6 +600,15 @@ class _Doc:
     def obj(self, num: int):
         if num in self._cache:
             return self._cache[num]
+        if num in self._resolving:
+            raise ValueError("circular PDF object references")
+        self._resolving.add(num)
+        try:
+            return self._obj_uncached(num)
+        finally:
+            self._resolving.discard(num)
+
+    def _obj_uncached(self, num: int):
         if num not in self.offsets and num in self.in_stream:
             val = self._objstm_member(num)
             self._cache[num] = val
@@ -644,7 +661,9 @@ class _Doc:
                 raise ValueError("bad PDF object stream pair table")
             if onum == num:
                 off = ooff
-        if off is None or first + off > len(data):
+        if off is None or off < 0 or first + off > len(data):
+            # a NEGATIVE pair offset would otherwise index from the
+            # stream tail and silently parse a wrong object
             raise ValueError(f"PDF object {num} missing from its "
                              "object stream")
         return _parse_value(_Lexer(data, first + off))
@@ -666,7 +685,9 @@ class _Doc:
         if filt is None:
             return raw
         filts = filt if isinstance(filt, list) else [filt]
-        for f in filts:
+        parms = self.resolve(sdict.get("DecodeParms"))
+        parms_list = parms if isinstance(parms, list) else [parms]
+        for i, f in enumerate(filts):
             f = self.resolve(f)
             if str(f) != "FlateDecode":
                 raise ValueError(f"PDF filter {f} unsupported "
@@ -678,6 +699,11 @@ class _Doc:
                 raise ValueError("corrupt PDF Flate stream") from e
             if len(raw) > _MAX_STREAM_BYTES:
                 raise ValueError("PDF stream exceeds the inflate bound")
+            # predictors apply to EVERY predicted stream, not just the
+            # xref call site — a content stream with /Predictor 12 would
+            # otherwise feed filter-coded bytes to the interpreter
+            p_i = parms_list[i] if i < len(parms_list) else None
+            raw = _apply_predictor(raw, self.resolve(p_i))
         return raw
 
     def pages(self) -> list[dict]:
