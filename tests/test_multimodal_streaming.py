@@ -2048,3 +2048,43 @@ def test_pdf_review_fixes_inheritance_inline_images_and_robustness():
     doc[row_start:row_start + 10] = b"00000000xx"
     with pytest.raises(ValueError):
         P.decode_pdf(bytes(doc))
+
+
+def test_wav_g711_companding_roundtrip_and_boundaries():
+    """G.711 u-law/A-law WAV (format tags 7/6): the 256-entry expansion
+    tables are self-consistent (every code survives encode(decode(b))
+    by VALUE; every interior int16 quantizes within half the largest
+    code gap), containers round-trip through encode_wav/decode_audio
+    with bounded companding error, and corrupt fmt data raises."""
+    import numpy as np
+    import pytest
+
+    from webtableextractionsystem_spark.operators import multimodal as MM
+
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    for table in (MM._ULAW_TABLE, MM._ALAW_TABLE):
+        enc = MM._g711_encode(x, table)
+        dec = table[enc].astype(np.int32)
+        err = np.abs(dec - x.astype(np.int32))
+        interior = (x >= table.min()) & (x <= table.max())
+        gaps = np.diff(np.sort(table.astype(np.int32)))
+        assert err[interior].max() <= (gaps.max() + 1) // 2
+        back = MM._g711_encode(table.astype(np.int16), table)
+        assert (table[back] == table).all()
+
+    sig = (3000 * np.sin(np.arange(200) / 7)).astype(np.int16)
+    sig = sig.reshape(-1, 2)
+    for codec, bound in (("pcm16", 0), ("ulaw", 64), ("alaw", 64)):
+        wav = MM.encode_wav(sig, 8000, codec=codec)
+        out, rate = MM.decode_audio(wav)
+        assert rate == 8000 and out.shape == sig.shape
+        assert np.abs(out.astype(int) - sig.astype(int)).max() <= bound
+
+    with pytest.raises(ValueError):
+        MM.encode_wav(sig, 8000, codec="mp3")
+    # corrupt G.711 fmt: zero channels
+    wav = bytearray(MM.encode_wav(sig, 8000, codec="ulaw"))
+    at = wav.find(b"fmt ")
+    wav[at + 10:at + 12] = (0).to_bytes(2, "little")  # nchannels = 0
+    with pytest.raises(ValueError, match="fmt"):
+        MM.decode_audio(bytes(wav))

@@ -688,33 +688,109 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
 # anything non-WAV -> NotImplementedError)
 # ---------------------------------------------------------------------------
 
-def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
-    """[n] or [n, ch] int16 -> RIFF/WAVE PCM16 payload (stdlib wave)."""
+# G.711 companding (ITU-T G.711 via the public-domain Sun reference
+# formulas; stdlib audioop was removed in Python 3.13, so the 256-entry
+# expansion tables are computed here directly). Encoding is the optimal
+# quantizer against the decode table (nearest code, deterministic
+# tie-break) — exactly what a table-driven G.711 encoder implements.
+
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    ulaw = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+        ulaw[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    alaw = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw[b] = t if (a & 0x80) else -t
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_tables()
+
+
+def _g711_encode(samples: np.ndarray, table: np.ndarray) -> np.ndarray:
+    """int16 -> companded uint8 by nearest decode-table value (sorted
+    lookup + midpoint comparison; deterministic for the duplicate
+    positive/negative zero codes)."""
+    order = np.argsort(table, kind="stable")
+    sorted_vals = table[order].astype(np.int32)
+    idx = np.searchsorted(sorted_vals, samples.astype(np.int32))
+    idx = np.clip(idx, 1, 255)
+    left = sorted_vals[idx - 1]
+    right = sorted_vals[idx]
+    take_left = (samples.astype(np.int32) - left) <= \
+        (right - samples.astype(np.int32))
+    pick = np.where(take_left, idx - 1, idx)
+    return order[pick].astype(np.uint8)
+
+
+_WAV_FMT_PCM16, _WAV_FMT_ALAW, _WAV_FMT_ULAW = 1, 6, 7
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000,
+               codec: str = "pcm16") -> bytes:
+    """[n] or [n, ch] int16 -> RIFF/WAVE payload. ``codec``: 'pcm16'
+    (format tag 1, stdlib wave), 'ulaw' or 'alaw' (G.711 format tags
+    7/6, 8-bit companded — written by hand since stdlib wave is
+    PCM-only)."""
     import io
     import wave
 
     if samples.ndim == 1:
         samples = samples[:, None]
-    buf = io.BytesIO()
-    with wave.open(buf, "wb") as w:
-        w.setnchannels(samples.shape[1])
-        w.setsampwidth(2)
-        w.setframerate(sample_rate)
-        w.writeframes(samples.astype("<i2").tobytes())
-    return buf.getvalue()
+    if codec == "pcm16":
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(samples.shape[1])
+            w.setsampwidth(2)
+            w.setframerate(sample_rate)
+            w.writeframes(samples.astype("<i2").tobytes())
+        return buf.getvalue()
+    if codec not in ("ulaw", "alaw"):
+        raise ValueError(f"unknown WAV codec {codec!r}")
+    tag = _WAV_FMT_ULAW if codec == "ulaw" else _WAV_FMT_ALAW
+    table = _ULAW_TABLE if codec == "ulaw" else _ALAW_TABLE
+    data = _g711_encode(samples.astype(np.int16).reshape(-1),
+                        table).tobytes()
+    ch = samples.shape[1]
+    fmt = (tag.to_bytes(2, "little") + ch.to_bytes(2, "little")
+           + sample_rate.to_bytes(4, "little")
+           + (sample_rate * ch).to_bytes(4, "little")  # byte rate
+           + ch.to_bytes(2, "little")                  # block align
+           + (8).to_bytes(2, "little"))                # bits/sample
+    body = (b"WAVEfmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data
+            + (b"\x00" if len(data) % 2 else b""))
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
-    """WAV PCM16 payload -> ([n, ch] int16 array, sample_rate).
-    Corrupt RIFF/fmt data raises ValueError; non-WAV magic raises
-    NotImplementedError (compressed codecs need external libs)."""
+    """WAV payload -> ([n, ch] int16 array, sample_rate). PCM16 via
+    stdlib wave; G.711 u-law/A-law (format tags 7/6) via the expansion
+    tables. Corrupt RIFF/fmt data raises ValueError; non-WAV magic
+    raises NotImplementedError (other compressed codecs need external
+    libs)."""
     import io
     import struct
     import wave
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
-            "only RIFF/WAVE PCM is decodable without audio libraries")
+            "only RIFF/WAVE PCM or G.711 is decodable without audio "
+            "libraries")
+    tag = _wav_format_tag(payload)
+    if tag in (_WAV_FMT_ULAW, _WAV_FMT_ALAW):
+        return _decode_wav_g711(payload, tag)
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
             if w.getsampwidth() != 2:
@@ -733,10 +809,55 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     return data.reshape(-1, ch), rate
 
 
+def _wav_chunks(payload: bytes):
+    """Yield (fourcc, data) for the RIFF/WAVE payload's chunks."""
+    pos = 12
+    n = len(payload)
+    while pos + 8 <= n:
+        cc = payload[pos:pos + 4]
+        ln = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        data = payload[pos + 8:pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated WAV chunk")
+        yield cc, data
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+
+
+def _wav_format_tag(payload: bytes) -> int:
+    for cc, data in _wav_chunks(payload):
+        if cc == b"fmt ":
+            if len(data) < 16:
+                raise ValueError("truncated WAV fmt chunk")
+            return int.from_bytes(data[0:2], "little")
+    raise ValueError("WAV without fmt chunk")
+
+
+def _decode_wav_g711(payload: bytes, tag: int) -> tuple[np.ndarray, int]:
+    fmt = data_chunk = None
+    for cc, data in _wav_chunks(payload):
+        if cc == b"fmt " and fmt is None:
+            fmt = data
+        elif cc == b"data" and data_chunk is None:
+            data_chunk = data
+    if fmt is None or data_chunk is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if ch <= 0 or rate <= 0 or bits != 8:
+        raise ValueError("bad G.711 WAV fmt parameters")
+    if len(data_chunk) % ch:
+        raise ValueError("truncated WAV frame data")
+    table = _ULAW_TABLE if tag == _WAV_FMT_ULAW else _ALAW_TABLE
+    codes = np.frombuffer(data_chunk, dtype=np.uint8)
+    return table[codes].reshape(-1, ch), rate
+
+
 def synth_audio_for_spans(spans_out: DataFrame) -> DataFrame:
-    """Deterministic audio table for every media span: REAL WAV PCM16
-    payloads (md5-seeded sine-ish int16 signals, 1-2 channels) — the
-    audio twin of synth_media_for_spans."""
+    """Deterministic audio table for every media span: REAL WAV
+    payloads (md5-seeded sine-ish int16 signals, 1-2 channels) cycling
+    through PCM16 and the two G.711 companded forms (u-law/A-law format
+    tags) — the audio twin of synth_media_for_spans."""
 
     def gen(batches):
         for pdf in batches:
@@ -751,7 +872,9 @@ def synth_audio_for_spans(spans_out: DataFrame) -> DataFrame:
                 freq = 1 + h[4] % 40
                 sig = (3000 * np.sin(2 * np.pi * freq * t / rate)
                        + rng.integers(-500, 500, size=(n, ch)))
-                payload = encode_wav(sig.astype(np.int16), rate)
+                codec = ("pcm16", "ulaw", "alaw")[h[5] % 3]
+                payload = encode_wav(sig.astype(np.int16), rate,
+                                     codec=codec)
                 rows.append({
                     "media_ref": ref, "kind": "audio", "payload": payload,
                     "meta": {"width": 0, "height": 0, "n_frames": n,
