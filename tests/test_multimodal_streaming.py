@@ -1962,25 +1962,24 @@ def test_pdf_modern_review_fixes():
     with pytest.raises(ValueError, match="circular"):
         P.decode_pdf(bytes(out))
 
-    # (5) negative pair offset inside a valid ObjStm
-    neg = modern.replace(b"/Type /ObjStm", b"/Type /ObjStm")
-    # rebuild: patch the modern file's ObjStm pair table is compressed;
-    # use a plain-stream modern file instead
+    # (5) negative pair offset inside a valid ObjStm: the plain-stream
+    # modern file's pair table reads "1 0 2 34 3 78" — flip the SECOND
+    # pair's multi-digit offset to a same-length negative so the guard
+    # (not a length change) is what fires. The catalog resolves via
+    # pair 1, then /Pages (object 2, offset -4) must be diagnosed.
     plainm = P.encode_pdf(pages, compress=False, modern=True)
     m = re.search(rb"/Type /ObjStm /N (\d+) /First (\d+) "
                   rb"/Length (\d+) >>\nstream\n", plainm)
     assert m
     body_at = m.end()
-    stm_head = plainm[body_at:body_at + 20]
-    first_pair = re.match(rb"(\d+) (\d+)", stm_head)
-    # overwrite the first pair's offset with a same-length negative
-    o_old = first_pair.group(2)
-    o_new = (b"-" + o_old[1:]) if len(o_old) > 1 else b"-9"
-    if len(o_new) == len(o_old):
-        patched = (plainm[:body_at + first_pair.start(2)] + o_new
-                   + plainm[body_at + first_pair.end(2):])
-        with pytest.raises(ValueError):
-            P.decode_pdf(patched)
+    pair2 = re.compile(rb"(\d+) (\d+) (\d+) (\d+)").match(
+        plainm, body_at)
+    o_old = pair2.group(4)
+    assert len(o_old) > 1  # encoder layout guarantees a 2+-digit offset
+    o_new = b"-" + o_old[1:]
+    patched = (plainm[:pair2.start(4)] + o_new + plainm[pair2.end(4):])
+    with pytest.raises(ValueError, match="missing from its"):
+        P.decode_pdf(patched)
 
 
 def test_pdf_review_fixes_inheritance_inline_images_and_robustness():

@@ -763,12 +763,18 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000,
     data = _g711_encode(samples.astype(np.int16).reshape(-1),
                         table).tobytes()
     ch = samples.shape[1]
+    # non-PCM format tags require the 18-byte fmt (cbSize=0) and a
+    # 'fact' chunk with the frame count — strict external readers
+    # (libsndfile, ACM) reject G.711 files without them
     fmt = (tag.to_bytes(2, "little") + ch.to_bytes(2, "little")
            + sample_rate.to_bytes(4, "little")
            + (sample_rate * ch).to_bytes(4, "little")  # byte rate
            + ch.to_bytes(2, "little")                  # block align
-           + (8).to_bytes(2, "little"))                # bits/sample
+           + (8).to_bytes(2, "little")                 # bits/sample
+           + (0).to_bytes(2, "little"))                # cbSize
+    fact = samples.shape[0].to_bytes(4, "little")
     body = (b"WAVEfmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"fact" + len(fact).to_bytes(4, "little") + fact
             + b"data" + len(data).to_bytes(4, "little") + data
             + (b"\x00" if len(data) % 2 else b""))
     return b"RIFF" + len(body).to_bytes(4, "little") + body

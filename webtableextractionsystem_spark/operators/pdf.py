@@ -408,11 +408,16 @@ def _apply_predictor(raw: bytes, parms) -> bytes:
     (each row led by a filter-type byte — the same five filters as
     PNG scanlines, implemented here in pure Python since xref streams
     are tiny). TIFF predictor 2 raises (unused in xref streams)."""
+    def _int(v) -> bool:
+        # bool subclasses int: '/Predictor true' must raise, not be
+        # silently treated as True == 1 (no predictor)
+        return isinstance(v, int) and not isinstance(v, bool)
+
     parms = parms if isinstance(parms, dict) else {}
     pred = parms.get("Predictor", 1)
-    if not isinstance(pred, int):
-        # /Predictor /X or null must fail as the contractual ValueError,
-        # not a TypeError from the < comparison
+    if not _int(pred):
+        # /Predictor /X, null, or a boolean must fail as the
+        # contractual ValueError, not a TypeError / silent no-op
         raise ValueError("bad PDF predictor parameters")
     if pred == 1:
         return raw
@@ -421,8 +426,8 @@ def _apply_predictor(raw: bytes, parms) -> bytes:
     cols = parms.get("Columns", 1)
     colors = parms.get("Colors", 1)
     bpc = parms.get("BitsPerComponent", 8)
-    if not isinstance(cols, int) or cols <= 0 or bpc != 8 \
-            or not isinstance(colors, int) or colors <= 0:
+    if not _int(cols) or cols <= 0 or bpc != 8 \
+            or not _int(colors) or colors <= 0:
         raise ValueError("bad PDF predictor parameters")
     bpp = colors
     stride = cols * bpp
