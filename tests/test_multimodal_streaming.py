@@ -2087,3 +2087,60 @@ def test_wav_g711_companding_roundtrip_and_boundaries():
     wav[at + 10:at + 12] = (0).to_bytes(2, "little")  # nchannels = 0
     with pytest.raises(ValueError, match="fmt"):
         MM.decode_audio(bytes(wav))
+
+
+def test_streaming_anomalies_equals_batch(spark, tmp_path):
+    """Online anomaly monitoring == batch event_anomalies over the same
+    corpus, including counts that straddle the availableNow restart
+    (hour 0 receives events in BOTH waves — only the state store's
+    windowed count merges them) and a within-watermark late event."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from webtableextractionsystem_spark.operators.relational import (
+        event_anomalies,
+    )
+    from webtableextractionsystem_spark.streaming.incremental import (
+        streaming_anomalies,
+    )
+
+    base = datetime(2024, 3, 1, 0, 0, 0)
+    M = timedelta(minutes=1)
+
+    def ev(eid, minutes):
+        return (eid, base + minutes * M, 1, "view", 1.0, "{}")
+
+    SCHEMA = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    # wave 1: steady 2 events/hour for hours 0-25
+    wave1 = [ev(100 * h + k, 60 * h + 10 * k)
+             for h in range(26) for k in range(2)]
+    # wave 2: a 9-event spike in hour 26 (>2x the trailing mean of 2),
+    # plus a LATE event for hour 0 (straddles the restart; within the
+    # 10h watermark measured from the stream head at the time)
+    wave2 = [ev(9000 + k, 60 * 26 + k) for k in range(9)] + [ev(9999, 30)]
+    in_dir, out_dir, ck_dir, st_dir = (
+        str(tmp_path / d) for d in ("in", "out", "ck", "st"))
+
+    spark.createDataFrame(wave1, SCHEMA).write.mode("overwrite") \
+        .parquet(in_dir)
+    streaming_anomalies(spark, in_dir, out_dir, ck_dir, st_dir,
+                        watermark="100 hours")
+    spark.createDataFrame(wave2, SCHEMA).write.mode("append") \
+        .parquet(in_dir)
+    streaming_anomalies(spark, in_dir, out_dir, ck_dir, st_dir,
+                        watermark="100 hours")
+
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    batch_dir = str(tmp_path / "batch")
+    spark.createDataFrame(wave1 + wave2, SCHEMA).write.mode("overwrite") \
+        .parquet(f"{batch_dir}/events.parquet")
+    want = {tuple(r) for r in event_anomalies(spark, batch_dir).collect()}
+    assert got == want
+    # the spike hour is flagged, and hour 0's count merged to 3 across
+    # the restart (2 from wave 1 + the late event)
+    flagged = {r[0] for r in got if r[4]}
+    assert "2024-03-02 02:00:00" in flagged
+    h0 = next(r for r in got if r[0] == "2024-03-01 00:00:00")
+    assert h0[1] == 3

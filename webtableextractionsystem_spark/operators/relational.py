@@ -473,11 +473,11 @@ ANOMALY_TRAIL_H = 24
 ANOMALY_FACTOR = 2
 
 
-def event_anomalies(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    hour_idx = (_epoch_s() / 3600).cast("long")
-    hourly = e.groupBy(hour_idx.alias("hour_idx")).agg(
-        F.count("*").alias("n"))
+def anomaly_flags(hourly):
+    """(hour_idx, n) -> flagged rows; the single home of the threshold
+    rule, shared by the batch query and the streaming monitor
+    (streaming/incremental.streaming_anomalies) so online == batch by
+    construction."""
     w = (Window.orderBy("hour_idx")
          .rangeBetween(-ANOMALY_TRAIL_H, -1))
     return hourly.select(
@@ -493,6 +493,14 @@ def event_anomalies(spark, sf_dir):
          & (F.col("n") * F.col("trail_n")
             > ANOMALY_FACTOR * F.col("trail_sum"))).alias("anomaly"),
     )
+
+
+def event_anomalies(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    hour_idx = (_epoch_s() / 3600).cast("long")
+    hourly = e.groupBy(hour_idx.alias("hour_idx")).agg(
+        F.count("*").alias("n"))
+    return anomaly_flags(hourly)
 
 
 EVENT_ANOMALIES_SQL = f"""
