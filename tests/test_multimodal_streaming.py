@@ -2144,3 +2144,43 @@ def test_streaming_anomalies_equals_batch(spark, tmp_path):
     assert "2024-03-02 02:00:00" in flagged
     h0 = next(r for r in got if r[0] == "2024-03-01 00:00:00")
     assert h0[1] == 3
+
+
+def test_wav_ima_adpcm_roundtrip_and_boundaries():
+    """IMA ADPCM WAV (format tag 0x11): standard block layout (per-
+    channel 4-byte headers + 4-byte-word interleaved nibbles) round-
+    trips mono and stereo at a 4-bit-codec SNR floor; tail blocks pad
+    and the fact chunk trims; corrupt geometry and step indices raise."""
+    import numpy as np
+    import pytest
+
+    from webtableextractionsystem_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(3)
+    for n, ch in ((200, 1), (313, 2), (57, 1), (56, 2)):
+        t = np.arange(n)[:, None]
+        sig = (6000 * np.sin(2 * np.pi * 5 * t / 500)
+               + rng.integers(-300, 300, size=(n, ch))).astype(np.int16)
+        wav = MM.encode_wav(sig, 8000, codec="adpcm")
+        out, rate = MM.decode_audio(wav)
+        assert rate == 8000 and out.shape == sig.shape
+        err = (out.astype(float) - sig.astype(float))
+        snr = 10 * np.log10((sig.astype(float) ** 2).mean()
+                            / (err ** 2).mean())
+        assert snr > 18  # 4-bit predictive codec floor on this signal
+
+    wav = bytearray(MM.encode_wav(
+        np.zeros((100, 1), np.int16), 8000, codec="adpcm"))
+    # corrupt step index in the first block header
+    at = wav.find(b"data") + 8
+    wav[at + 2] = 99
+    with pytest.raises(ValueError, match="step index"):
+        MM.decode_audio(bytes(wav))
+    # truncated block
+    good = MM.encode_wav(np.zeros((100, 1), np.int16), 8000, codec="adpcm")
+    at = good.find(b"data")
+    ln = int.from_bytes(good[at + 4:at + 8], "little")
+    bad = (good[:at + 4] + (ln - 3).to_bytes(4, "little")
+           + good[at + 8:at + 8 + ln - 3])
+    with pytest.raises(ValueError):
+        MM.decode_audio(bad)

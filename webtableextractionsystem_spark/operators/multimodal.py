@@ -735,6 +735,116 @@ def _g711_encode(samples: np.ndarray, table: np.ndarray) -> np.ndarray:
 
 
 _WAV_FMT_PCM16, _WAV_FMT_ALAW, _WAV_FMT_ULAW = 1, 6, 7
+_WAV_FMT_IMA_ADPCM = 0x11
+
+# IMA/DVI ADPCM tables (public IMA ADPCM specification / RFC 3551 §4.5.1)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767], dtype=np.int32)
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step_sample(nibble: int, pred: int, index: int) -> tuple[int, int]:
+    """One IMA ADPCM reconstruction step — shared VERBATIM by encoder
+    and decoder so the encoder's predictor tracks the decoder exactly."""
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_ADJ[nibble]))
+    return pred, index
+
+
+_IMA_SPB = 57  # samples per block: (spb-1) % 8 == 0 (4-byte word layout)
+
+
+def _ima_encode(samples: np.ndarray, spb: int = _IMA_SPB) -> bytes:
+    """[n, ch] int16 -> standard IMA-WAV block stream: per block, one
+    4-byte header per channel (initial sample + step index), then the
+    channels' nibble data interleaved in 4-byte words (8 samples per
+    channel per word) — the layout external decoders expect."""
+    n, ch = samples.shape
+    indices = [0] * ch
+    out = bytearray()
+    for start in range(0, n, spb):
+        chunk = samples[start:start + spb]
+        if len(chunk) < spb:  # pad the tail block (fact chunk trims)
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], spb - len(chunk), axis=0)])
+        nibs = []
+        for c in range(ch):
+            pred = int(chunk[0, c])
+            index = indices[c]
+            out += (pred & 0xFFFF).to_bytes(2, "little") + bytes([index, 0])
+            ch_nibs = []
+            for s in chunk[1:, c]:
+                step = int(_IMA_STEPS[index])
+                diff = int(s) - pred
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                for bit in (4, 2, 1):
+                    if diff >= step:
+                        nib |= bit
+                        diff -= step
+                    step >>= 1
+                pred, index = _ima_step_sample(nib, pred, index)
+                ch_nibs.append(nib)
+            indices[c] = index
+            nibs.append(ch_nibs)
+        for w in range(0, spb - 1, 8):
+            for c in range(ch):
+                for i in range(w, w + 8, 2):
+                    out.append(nibs[c][i] | (nibs[c][i + 1] << 4))
+    return bytes(out)
+
+
+def _ima_decode(data: bytes, ch: int, spb: int,
+                block_align: int) -> np.ndarray:
+    if block_align != ch * (4 + (spb - 1) // 2) or (spb - 1) % 8:
+        raise ValueError("bad IMA ADPCM block geometry")
+    if len(data) % block_align:
+        raise ValueError("truncated IMA ADPCM block")
+    out_blocks = []
+    for b0 in range(0, len(data), block_align):
+        block = data[b0:b0 + block_align]
+        preds, indices = [], []
+        for c in range(ch):
+            preds.append(int.from_bytes(
+                block[4 * c:4 * c + 2], "little", signed=True))
+            idx = block[4 * c + 2]
+            if idx > 88:
+                raise ValueError("bad IMA ADPCM step index")
+            indices.append(idx)
+        samples = np.empty((spb, ch), dtype=np.int16)
+        samples[0] = preds
+        pos = 4 * ch
+        nibs = [[] for _ in range(ch)]
+        for _w in range(0, spb - 1, 8):
+            for c in range(ch):
+                for byte in block[pos:pos + 4]:
+                    nibs[c].append(byte & 0x0F)
+                    nibs[c].append(byte >> 4)
+                pos += 4
+        for c in range(ch):
+            pred, index = preds[c], indices[c]
+            for i, nib in enumerate(nibs[c][:spb - 1]):
+                pred, index = _ima_step_sample(nib, pred, index)
+                samples[i + 1, c] = pred
+        out_blocks.append(samples)
+    return np.concatenate(out_blocks) if out_blocks else \
+        np.empty((0, ch), dtype=np.int16)
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000,
@@ -756,22 +866,35 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000,
             w.setframerate(sample_rate)
             w.writeframes(samples.astype("<i2").tobytes())
         return buf.getvalue()
-    if codec not in ("ulaw", "alaw"):
-        raise ValueError(f"unknown WAV codec {codec!r}")
-    tag = _WAV_FMT_ULAW if codec == "ulaw" else _WAV_FMT_ALAW
-    table = _ULAW_TABLE if codec == "ulaw" else _ALAW_TABLE
-    data = _g711_encode(samples.astype(np.int16).reshape(-1),
-                        table).tobytes()
     ch = samples.shape[1]
-    # non-PCM format tags require the 18-byte fmt (cbSize=0) and a
-    # 'fact' chunk with the frame count — strict external readers
-    # (libsndfile, ACM) reject G.711 files without them
+    if codec == "adpcm":
+        tag = _WAV_FMT_IMA_ADPCM
+        data = _ima_encode(samples.astype(np.int16))
+        block_align = ch * (4 + (_IMA_SPB - 1) // 2)
+        bits = 4
+        ext = (2).to_bytes(2, "little") \
+            + _IMA_SPB.to_bytes(2, "little")  # cbSize=2, samplesPerBlock
+        byte_rate = (sample_rate * block_align + _IMA_SPB - 1) // _IMA_SPB
+    elif codec in ("ulaw", "alaw"):
+        tag = _WAV_FMT_ULAW if codec == "ulaw" else _WAV_FMT_ALAW
+        table = _ULAW_TABLE if codec == "ulaw" else _ALAW_TABLE
+        data = _g711_encode(samples.astype(np.int16).reshape(-1),
+                            table).tobytes()
+        block_align = ch
+        bits = 8
+        ext = (0).to_bytes(2, "little")  # cbSize=0
+        byte_rate = sample_rate * ch
+    else:
+        raise ValueError(f"unknown WAV codec {codec!r}")
+    # non-PCM format tags require the extended fmt (cbSize present) and
+    # a 'fact' chunk with the frame count — strict external readers
+    # (libsndfile, ACM) reject compressed WAVs without them
     fmt = (tag.to_bytes(2, "little") + ch.to_bytes(2, "little")
            + sample_rate.to_bytes(4, "little")
-           + (sample_rate * ch).to_bytes(4, "little")  # byte rate
-           + ch.to_bytes(2, "little")                  # block align
-           + (8).to_bytes(2, "little")                 # bits/sample
-           + (0).to_bytes(2, "little"))                # cbSize
+           + byte_rate.to_bytes(4, "little")
+           + block_align.to_bytes(2, "little")
+           + bits.to_bytes(2, "little")
+           + ext)
     fact = samples.shape[0].to_bytes(4, "little")
     body = (b"WAVEfmt " + len(fmt).to_bytes(4, "little") + fmt
             + b"fact" + len(fact).to_bytes(4, "little") + fact
@@ -797,6 +920,8 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     tag = _wav_format_tag(payload)
     if tag in (_WAV_FMT_ULAW, _WAV_FMT_ALAW):
         return _decode_wav_g711(payload, tag)
+    if tag == _WAV_FMT_IMA_ADPCM:
+        return _decode_wav_ima(payload)
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
             if w.getsampwidth() != 2:
@@ -838,6 +963,33 @@ def _wav_format_tag(payload: bytes) -> int:
     raise ValueError("WAV without fmt chunk")
 
 
+def _decode_wav_ima(payload: bytes) -> tuple[np.ndarray, int]:
+    fmt = data_chunk = fact = None
+    for cc, data in _wav_chunks(payload):
+        if cc == b"fmt " and fmt is None:
+            fmt = data
+        elif cc == b"data" and data_chunk is None:
+            data_chunk = data
+        elif cc == b"fact" and fact is None:
+            fact = data
+    if fmt is None or data_chunk is None or len(fmt) < 20:
+        raise ValueError("WAV missing fmt/data chunk")
+    ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    spb = int.from_bytes(fmt[18:20], "little")
+    if ch <= 0 or rate <= 0 or bits != 4 or spb < 2:
+        raise ValueError("bad IMA ADPCM WAV fmt parameters")
+    out = _ima_decode(data_chunk, ch, spb, block_align)
+    if fact is not None and len(fact) >= 4:
+        n = int.from_bytes(fact[0:4], "little")
+        if n > len(out):
+            raise ValueError("IMA ADPCM fact count exceeds decoded data")
+        out = out[:n]  # trim tail-block padding
+    return out, rate
+
+
 def _decode_wav_g711(payload: bytes, tag: int) -> tuple[np.ndarray, int]:
     fmt = data_chunk = None
     for cc, data in _wav_chunks(payload):
@@ -862,8 +1014,9 @@ def _decode_wav_g711(payload: bytes, tag: int) -> tuple[np.ndarray, int]:
 def synth_audio_for_spans(spans_out: DataFrame) -> DataFrame:
     """Deterministic audio table for every media span: REAL WAV
     payloads (md5-seeded sine-ish int16 signals, 1-2 channels) cycling
-    through PCM16 and the two G.711 companded forms (u-law/A-law format
-    tags) — the audio twin of synth_media_for_spans."""
+    through PCM16, the two G.711 companded forms (u-law/A-law), and
+    block-compressed IMA ADPCM (format tag 0x11) — the audio twin of
+    synth_media_for_spans."""
 
     def gen(batches):
         for pdf in batches:
@@ -878,7 +1031,7 @@ def synth_audio_for_spans(spans_out: DataFrame) -> DataFrame:
                 freq = 1 + h[4] % 40
                 sig = (3000 * np.sin(2 * np.pi * freq * t / rate)
                        + rng.integers(-500, 500, size=(n, ch)))
-                codec = ("pcm16", "ulaw", "alaw")[h[5] % 3]
+                codec = ("pcm16", "ulaw", "alaw", "adpcm")[h[5] % 4]
                 payload = encode_wav(sig.astype(np.int16), rate,
                                      codec=codec)
                 rows.append({
