@@ -2144,6 +2144,15 @@ def test_streaming_anomalies_equals_batch(spark, tmp_path):
     assert "2024-03-02 02:00:00" in flagged
     h0 = next(r for r in got if r[0] == "2024-03-01 00:00:00")
     assert h0[1] == 3
+    # versioned state: the current and one fallback version remain, and
+    # the current version carries the FULL history (crash-safety: prior
+    # state is never overwritten in place)
+    import os
+    vs = sorted(d for d in os.listdir(f"{st_dir}/hourly")
+                if d.startswith("v="))
+    assert 1 <= len(vs) <= 2
+    latest = spark.read.parquet(f"{st_dir}/hourly/{vs[-1]}")
+    assert latest.count() == 27  # hours 0-26 all present
 
 
 def test_wav_ima_adpcm_roundtrip_and_boundaries():

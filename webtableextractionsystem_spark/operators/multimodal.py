@@ -954,24 +954,30 @@ def _wav_chunks(payload: bytes):
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
 
 
-def _wav_format_tag(payload: bytes) -> int:
+def _wav_first_chunks(payload: bytes, wanted: tuple) -> dict:
+    """First occurrence of each wanted fourcc — the one chunk walk
+    shared by every non-PCM WAV decode path."""
+    out: dict = {}
     for cc, data in _wav_chunks(payload):
-        if cc == b"fmt ":
-            if len(data) < 16:
-                raise ValueError("truncated WAV fmt chunk")
-            return int.from_bytes(data[0:2], "little")
-    raise ValueError("WAV without fmt chunk")
+        if cc in wanted and cc not in out:
+            out[cc] = data
+    return out
+
+
+def _wav_format_tag(payload: bytes) -> int:
+    fmt = _wav_first_chunks(payload, (b"fmt ",)).get(b"fmt ")
+    if fmt is None:
+        raise ValueError("WAV without fmt chunk")
+    if len(fmt) < 16:
+        raise ValueError("truncated WAV fmt chunk")
+    return int.from_bytes(fmt[0:2], "little")
 
 
 def _decode_wav_ima(payload: bytes) -> tuple[np.ndarray, int]:
-    fmt = data_chunk = fact = None
-    for cc, data in _wav_chunks(payload):
-        if cc == b"fmt " and fmt is None:
-            fmt = data
-        elif cc == b"data" and data_chunk is None:
-            data_chunk = data
-        elif cc == b"fact" and fact is None:
-            fact = data
+    chunks = _wav_first_chunks(payload, (b"fmt ", b"data", b"fact"))
+    fmt = chunks.get(b"fmt ")
+    data_chunk = chunks.get(b"data")
+    fact = chunks.get(b"fact")
     if fmt is None or data_chunk is None or len(fmt) < 20:
         raise ValueError("WAV missing fmt/data chunk")
     ch = int.from_bytes(fmt[2:4], "little")
@@ -991,12 +997,9 @@ def _decode_wav_ima(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def _decode_wav_g711(payload: bytes, tag: int) -> tuple[np.ndarray, int]:
-    fmt = data_chunk = None
-    for cc, data in _wav_chunks(payload):
-        if cc == b"fmt " and fmt is None:
-            fmt = data
-        elif cc == b"data" and data_chunk is None:
-            data_chunk = data
+    chunks = _wav_first_chunks(payload, (b"fmt ", b"data"))
+    fmt = chunks.get(b"fmt ")
+    data_chunk = chunks.get(b"data")
     if fmt is None or data_chunk is None:
         raise ValueError("WAV missing fmt/data chunk")
     ch = int.from_bytes(fmt[2:4], "little")

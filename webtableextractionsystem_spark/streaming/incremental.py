@@ -163,12 +163,21 @@ def streaming_anomalies(spark: SparkSession, events_dir: str,
     stream head are dropped by the windowed aggregation (the standard
     bounded-state trade; same shape as attribution_join's).
 
-    Exactly-once: the hourly table and the flags output are full
-    overwrites of tiny relations, so crash-replay rewrites identical
-    content."""
+    Exactly-once: the hourly table is VERSIONED — each micro-batch
+    writes a fresh ``v=<batch_id>`` directory built from the previous
+    version plus its changes, never touching prior state in place. A
+    crash mid-write destroys only its own (replayed-identically)
+    version directory; the prior version stays intact, so no history
+    can be lost to a torn overwrite, and the merge lineage never reads
+    a directory the same job is deleting. Versions older than the
+    previous one are pruned after a successful batch."""
+    import os
+    import shutil
+
     from ..operators.relational import anomaly_flags
 
-    hourly_dir = f"{state_dir}/hourly"
+    hourly_root = f"{state_dir}/hourly"
+
     stream = (
         spark.readStream
         .schema("event_id long, ts timestamp_ntz, user_id long, "
@@ -186,23 +195,29 @@ def streaming_anomalies(spark: SparkSession, events_dir: str,
             .alias("hour_idx"),
             F.col("n"),
         )
-        try:
-            old = spark.read.parquet(hourly_dir)
-        except Exception:
-            old = None
-        if old is not None:
+        os.makedirs(hourly_root, exist_ok=True)
+        versions = sorted(
+            int(d.split("=", 1)[1]) for d in os.listdir(hourly_root)
+            if d.startswith("v=") and d.split("=", 1)[1].isdigit())
+        prior = [v for v in versions if v < batch_id]
+        if prior:
+            old = spark.read.parquet(f"{hourly_root}/v={prior[-1]}")
             merged = old.join(changed, "hour_idx", "left_anti") \
                 .unionByName(changed)
         else:
             merged = changed
-        # tiny relation: collect-free double write via a temp dir would
-        # be overkill — stage through memory-safe overwrite of parquet
-        merged.persist()
-        merged.count()
-        merged.write.mode("overwrite").parquet(hourly_dir)
-        anomaly_flags(spark.read.parquet(hourly_dir)) \
-            .write.mode("overwrite").parquet(output_dir)
-        merged.unpersist()
+        merged = merged.persist()
+        try:
+            # own-version overwrite only: a crash replay rewrites v=N
+            # identically without endangering v=N-1
+            merged.write.mode("overwrite").parquet(
+                f"{hourly_root}/v={batch_id}")
+            anomaly_flags(merged) \
+                .write.mode("overwrite").parquet(output_dir)
+        finally:
+            merged.unpersist()
+        for v in prior[:-1]:  # keep the previous version as the fallback
+            shutil.rmtree(f"{hourly_root}/v={v}", ignore_errors=True)
 
     (
         stream.writeStream
