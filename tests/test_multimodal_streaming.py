@@ -2193,3 +2193,47 @@ def test_wav_ima_adpcm_roundtrip_and_boundaries():
            + good[at + 8:at + 8 + ln - 3])
     with pytest.raises(ValueError):
         MM.decode_audio(bad)
+
+
+def test_pdf_mutation_fuzz_honest_errors():
+    """The PDF parser's contract is 'corrupt data raises ValueError':
+    mutate valid classic AND modern payloads (byte flips, truncations,
+    chunk deletions) and assert every outcome is either a successful
+    decode or a ValueError — never another exception type and never a
+    hang. This is the same honesty fuzz the image codecs carry."""
+    import numpy as np
+
+    from webtableextractionsystem_spark.operators import pdf as P
+
+    pages = [[(72.0, 720.0, 12.0, "fuzz target (x) \\ <>"),
+              (300.0, 700.0, 10.0, "col2")],
+             [(72.0, 720.0, 11.0, "p2")]]
+    seeds = [P.encode_pdf(pages),
+             P.encode_pdf(pages, compress=False),
+             P.encode_pdf(pages, modern=True),
+             P.encode_pdf(pages, compress=False, modern=True)]
+    rng = np.random.default_rng(99)
+    n_ok = n_err = 0
+    for payload in seeds:
+        arr = bytearray(payload)
+        for _ in range(120):
+            mode = rng.integers(0, 3)
+            if mode == 0:  # flip 1-4 bytes
+                mut = bytearray(arr)
+                for _ in range(int(rng.integers(1, 5))):
+                    i = int(rng.integers(0, len(mut)))
+                    mut[i] = int(rng.integers(0, 256))
+            elif mode == 1:  # truncate
+                mut = bytearray(arr[:int(rng.integers(1, len(arr)))])
+            else:  # delete a random span
+                a = int(rng.integers(0, len(arr) - 1))
+                b = int(rng.integers(a + 1, len(arr) + 1))
+                mut = bytearray(arr[:a]) + bytearray(arr[b:])
+            try:
+                P.extract_pdf_text(bytes(mut))
+                n_ok += 1
+            except ValueError:
+                n_err += 1
+            # anything else (TypeError, IndexError, RecursionError,
+            # zlib.error, struct.error...) propagates and FAILS the test
+    assert n_err > 100  # mutations overwhelmingly get diagnosed

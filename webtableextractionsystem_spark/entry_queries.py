@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_neardup_pagerank": DD.neardup_pagerank,
         "q_events_anomalies": REL.event_anomalies,
         "q_doc_bigram_lm": TS.bigram_lm_score,
+        "q_doc_repeated_ngrams": DD.repeated_ngrams,
         # changed in round 5 (linear-counting branch) — must stay rowed
         "q_doc_hll_distinct": TS.hll_distinct,
         # extraction engine (T1-T18, C1-C8, E1-E4, F4-F10 composed)
@@ -322,7 +323,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_tables_docx": x_tables_docx,         # S13 docx sink digest
         "x_er_graph": x_er_graph,               # S15 graph sink digest
         # relational surface already rowed r04 (keep while slots allow)
-        "q_rel_pricing_summary": REL.pricing_summary,
         "q_rel_revenue_by_nation": REL.revenue_by_nation,
         "q_rel_anti_join": REL.customers_without_orders,
         # embedding similarity
@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_neardup_components_lsss": DD.neardup_components_lsss,
         "q_doc_simhash_pairs": DD.simhash_neardup_pairs,
         "q_rel_top_orders": REL.top_orders_per_customer,
+        "q_rel_pricing_summary": REL.pricing_summary,
         "q_emb_lsh_buckets": SIM.lsh_buckets,
         "q_doc_minhash": DD.minhash_signatures,
         "q_doc_ngram_jaccard": DD.ngram_jaccard_pairs,
@@ -427,6 +428,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_neardup_pagerank": DD.neardup_pagerank_sql(),
         "q_events_anomalies": REL.EVENT_ANOMALIES_SQL,
         "q_doc_bigram_lm": TS.BIGRAM_LM_SQL,
+        "q_doc_repeated_ngrams": DD.repeated_ngrams_sql(),
         "q_events_interval_join": REL.EVENT_INTERVAL_JOIN_SQL,
         "q_doc_bloom_filter": DD.bloom_filter_sql(),
         "q_doc_length_quantiles": TS.LENGTH_QUANTILES_SQL,

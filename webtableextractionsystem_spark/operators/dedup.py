@@ -1270,3 +1270,62 @@ def neardup_pagerank_sql(iters: int = PR_ITERS) -> str:
         prev = f"r{i}"
     sql = "\n".join(parts).rstrip(",")
     return f"{sql}\nSELECT doc_id, rank_fp FROM {prev}"
+
+
+# ---------------------------------------------------------------------------
+# cross-document repeated n-grams — the WITHIN-corpus sibling of
+# decontaminate: Lee et al. 2022 ("Deduplicating Training Data Makes
+# Language Models Better") flag long substrings shared ACROSS training
+# documents; the scalable Spark form is hashed k-gram incidence.
+# ---------------------------------------------------------------------------
+
+def repeated_ngrams(spark: SparkSession, sf_dir: str,
+                    k: int = DECON_K) -> DataFrame:
+    """(doc_id, n_ngrams, n_crossdup) per document: n_crossdup = how
+    many of the doc's DISTINCT k-grams also appear in at least one
+    OTHER document. All integer.
+
+    Scale shape: per-doc-distinct grams explode once; the incidence
+    table (gram -> #docs containing it) is one groupBy shuffle over the
+    gram domain (the vocabulary, far smaller than the corpus at any k
+    worth deduplicating on); the probe is an equi-join of the same
+    exploded relation against it — the standard shape for substring-
+    level dedup at 100 TB, where the suffix-array form of Lee et al.
+    doesn't distribute."""
+    docs = load_documents(spark, sf_dir)
+    grams = docs.select(
+        "doc_id",
+        F.explode_outer(F.array_distinct(_shingles(k))).alias("g"),
+    ).select("doc_id", F.md5("g").alias("h"))
+    incidence = (grams.where(F.col("h").isNotNull())
+                 .groupBy("h").agg(F.count("*").alias("nd")))
+    return (
+        grams.join(incidence, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.col("h")).alias("n_ngrams"),
+            F.count(F.when(F.col("nd") > 1, True)).alias("n_crossdup"),
+        )
+    )
+
+
+def repeated_ngrams_sql(k: int = DECON_K) -> str:
+    return rf"""
+WITH grams AS (
+  SELECT doc_id, unnest(CASE WHEN len(sh) > 0
+                             THEN [md5(g) FOR g IN sh]
+                             ELSE [NULL] END) AS h
+  FROM (SELECT doc_id, list_distinct({_shingles_sql(k)}) AS sh
+        FROM (SELECT doc_id, text,
+                     regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents))
+),
+incidence AS (
+  SELECT h, count(*) AS nd FROM grams WHERE h IS NOT NULL GROUP BY h
+)
+SELECT g.doc_id,
+       count(g.h) AS n_ngrams,
+       count(CASE WHEN i.nd > 1 THEN 1 END) AS n_crossdup
+FROM grams g LEFT JOIN incidence i ON g.h = i.h
+GROUP BY g.doc_id
+"""
