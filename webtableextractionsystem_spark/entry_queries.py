@@ -273,9 +273,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     2. Entries new this round go next (they've never been driver-hashed).
     3. Long-green entries rotate to the TAIL (positions >50), a
        different slice each round, so every query gets a driver row at
-       least every other round. Round-5 tail: the q_doc text-stats
-       family (green r01-r04) — rotate them back to the front of the
-       tail-eligible block in round 6.
+       least every other round. Round-5 tail (25 entries, all green
+       r01-r04): the q_doc text-stats family, lsh_bands/simhash/
+       minhash/ngram_jaccard/exact_dedup/components_lsss, chunks/pack/
+       cms, top_orders/pricing_summary/emb_lsh_buckets — round 6 MUST
+       rotate these back inside the first 50 and push round-5's
+       newly-rowed entries out.
 
     Every entry stays green in the identical local gate regardless of
     position (tools/rehearse_gate.py runs ALL of them)."""
