@@ -144,6 +144,9 @@ def main() -> None:
         "q_doc_bigram_lm — bigram-count LM dimension equi-joined back "
         "to the exploded doc side":
             TS.bigram_lm_score(spark, SF),
+        "q_doc_repeated_ngrams — hashed-gram incidence table "
+        "equi-join probe (substring dedup, never a suffix sort)":
+            DD.repeated_ngrams(spark, SF),
     }
 
     parts = [
