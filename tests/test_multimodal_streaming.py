@@ -2237,3 +2237,48 @@ def test_pdf_mutation_fuzz_honest_errors():
             # anything else (TypeError, IndexError, RecursionError,
             # zlib.error, struct.error...) propagates and FAILS the test
     assert n_err > 100  # mutations overwhelmingly get diagnosed
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """The streamed Count-Min sketch == the batch sketch build over the
+    same corpus, across an availableNow restart: update-mode aggregation
+    into the fixed DxW domain IS the mergeable-sketch union, and the
+    per-batch merge keeps cells untouched by the current batch."""
+    from pyspark.sql import functions as F
+
+    from webtableextractionsystem_spark.operators.textstats import (
+        _cms_hash_structs,
+        _tokens,
+    )
+    from webtableextractionsystem_spark.streaming.incremental import (
+        read_streaming_cms,
+        streaming_cms,
+    )
+
+    SCHEMA = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    wave1 = [(i, f"alpha beta gamma tok{i % 7} alpha", "en", "s", 0)
+             for i in range(40)]
+    wave2 = [(100 + i, f"beta delta tok{i % 5} beta beta", "en", "s", 0)
+             for i in range(30)]
+    in_dir, out_dir, ck_dir = (str(tmp_path / d) for d in
+                               ("in", "out", "ck"))
+    spark.createDataFrame(wave1, SCHEMA).write.mode("overwrite") \
+        .parquet(in_dir)
+    streaming_cms(spark, in_dir, out_dir, ck_dir)
+    spark.createDataFrame(wave2, SCHEMA).write.mode("append") \
+        .parquet(in_dir)
+    streaming_cms(spark, in_dir, out_dir, ck_dir)
+
+    got = {(r["d"], r["c"]): r["n"]
+           for r in read_streaming_cms(spark, out_dir).collect()}
+    batch = (
+        spark.createDataFrame(wave1 + wave2, SCHEMA)
+        .select(F.explode(_tokens()).alias("token"))
+        .select(F.explode(_cms_hash_structs()).alias("h"))
+        .groupBy(F.col("h.d").alias("d"), F.col("h.c").alias("c"))
+        .agg(F.count("*").alias("n"))
+    )
+    want = {(r["d"], r["c"]): r["n"] for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0 and sum(got.values()) == 70 * 5 * 4  # 5 toks x D

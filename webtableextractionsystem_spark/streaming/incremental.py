@@ -228,3 +228,80 @@ def streaming_anomalies(spark: SparkSession, events_dir: str,
         .start()
         .awaitTermination()
     )
+
+
+def streaming_cms(spark: SparkSession, docs_dir: str,
+                  output_dir: str, stream_ckpt_dir: str) -> None:
+    """Online Count-Min sketch maintenance: the streaming twin of the
+    batch sketch inside ``textstats.cms_heavy_hitters``. The stream
+    explodes token occurrences through the SAME ``_cms_hash_structs``
+    expression as the batch build and lets the state store keep the
+    running (d, c) counters (update-mode streaming aggregation IS the
+    mergeable-sketch union — per-batch partial sketches add into state
+    exactly like per-partition sketches add in batch). Each microbatch
+    overwrites the <=DxW-row sketch table, so after any prefix of the
+    stream the table equals the batch sketch over the documents seen so
+    far — the equality the test pins across a restart.
+
+    Scale shape: per batch, one shuffle into the FIXED 1024-key domain;
+    state is bounded by DxW forever (the whole point of a sketch —
+    unbounded corpus, constant state), so NoTimeout state is not a
+    growth risk here, unlike the dedup operators' per-key state."""
+    from ..operators.textstats import _cms_hash_structs, _tokens
+
+    stream = (
+        spark.readStream
+        .schema("doc_id long, text string, lang string, source string, "
+                "n_chars long")
+        .parquet(docs_dir)
+        .select(F.explode(_tokens()).alias("token"))
+        .select(F.explode(_cms_hash_structs()).alias("h"))
+        .groupBy(F.col("h.d").alias("d"), F.col("h.c").alias("c"))
+        .agg(F.count("*").alias("n"))
+    )
+
+    def write_sketch(batch, batch_id: int) -> None:
+        # update mode emits the CUMULATIVE counter for every changed
+        # cell; merging with the previous table keeps unchanged cells.
+        # The sketch is <= DxW rows, so versioning like
+        # streaming_anomalies would be overkill — but the same
+        # torn-overwrite hazard applies, so reuse the versioned layout.
+        import os
+        import shutil
+
+        root = f"{output_dir}/v"
+        os.makedirs(root, exist_ok=True)
+        versions = sorted(
+            int(x.split("=", 1)[1]) for x in os.listdir(root)
+            if x.startswith("v=") and x.split("=", 1)[1].isdigit())
+        prior = [v for v in versions if v < batch_id]
+        if prior:
+            old = spark.read.parquet(f"{root}/v={prior[-1]}")
+            merged = old.join(batch, ["d", "c"], "left_anti") \
+                .unionByName(batch)
+        else:
+            merged = batch
+        merged.write.mode("overwrite").parquet(f"{root}/v={batch_id}")
+        for v in prior[:-1]:
+            shutil.rmtree(f"{root}/v={v}", ignore_errors=True)
+
+    (
+        stream.writeStream
+        .outputMode("update")
+        .foreachBatch(write_sketch)
+        .option("checkpointLocation", stream_ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_streaming_cms(spark: SparkSession, output_dir: str):
+    """The latest version of the streamed sketch table."""
+    import os
+
+    root = f"{output_dir}/v"
+    versions = sorted(
+        int(x.split("=", 1)[1]) for x in os.listdir(root)
+        if x.startswith("v="))
+    return spark.read.parquet(f"{root}/v={versions[-1]}")
