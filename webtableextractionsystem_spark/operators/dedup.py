@@ -1285,18 +1285,23 @@ def repeated_ngrams(spark: SparkSession, sf_dir: str,
     many of the doc's DISTINCT k-grams also appear in at least one
     OTHER document. All integer.
 
-    Scale shape: per-doc-distinct grams explode once; the incidence
-    table (gram -> #docs containing it) is one groupBy shuffle over the
-    gram domain (the vocabulary, far smaller than the corpus at any k
-    worth deduplicating on); the probe is an equi-join of the same
-    exploded relation against it — the standard shape for substring-
-    level dedup at 100 TB, where the suffix-array form of Lee et al.
-    doesn't distribute."""
-    docs = load_documents(spark, sf_dir)
-    grams = docs.select(
-        "doc_id",
-        F.explode_outer(F.array_distinct(_shingles(k))).alias("g"),
-    ).select("doc_id", F.md5("g").alias("h"))
+    Scale shape: the exploded gram relation is PERSISTED (cached per
+    (session, sf_dir) like the pagerank edge relation) so the corpus
+    shingle+hash pass runs once and feeds both the incidence groupBy
+    (one shuffle over the gram vocabulary, far smaller than the corpus
+    at any k worth deduplicating on) and the probe join — the standard
+    shape for substring-level dedup at 100 TB, where the suffix-array
+    form of Lee et al. doesn't distribute. ``_shingles`` output is
+    already per-doc distinct."""
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    grams = _GRAM_CACHE.get(key)
+    if grams is None:
+        grams = load_documents(spark, sf_dir).select(
+            "doc_id",
+            F.explode_outer(_shingles(k)).alias("g"),
+        ).select("doc_id", F.md5("g").alias("h")).persist()
+        grams.count()
+        _GRAM_CACHE[key] = grams
     incidence = (grams.where(F.col("h").isNotNull())
                  .groupBy("h").agg(F.count("*").alias("nd")))
     return (
@@ -1309,13 +1314,17 @@ def repeated_ngrams(spark: SparkSession, sf_dir: str,
     )
 
 
+# one materialized gram relation per (SparkContext, sf_dir, k)
+_GRAM_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
 def repeated_ngrams_sql(k: int = DECON_K) -> str:
     return rf"""
 WITH grams AS (
   SELECT doc_id, unnest(CASE WHEN len(sh) > 0
                              THEN [md5(g) FOR g IN sh]
                              ELSE [NULL] END) AS h
-  FROM (SELECT doc_id, list_distinct({_shingles_sql(k)}) AS sh
+  FROM (SELECT doc_id, {_shingles_sql(k)} AS sh
         FROM (SELECT doc_id, text,
                      regexp_split_to_array(trim(text), '\s+') AS toks
               FROM documents))

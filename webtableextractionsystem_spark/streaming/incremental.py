@@ -139,6 +139,51 @@ def attribution_join(spark: SparkSession, events_dir: str, output_dir: str,
     )
 
 
+def _versioned_merge_write(spark: SparkSession, root: str, batch_id: int,
+                           batch: DataFrame, keys: list[str]) -> None:
+    """The ONE home of the crash-safe versioned upsert (used by
+    streaming_anomalies and streaming_cms): merge the batch into the
+    newest COMMITTED prior version, write v=<batch_id> (own-version
+    overwrite only — replay rewrites it identically, prior state is
+    never touched in place), prune all but the previous version."""
+    import os
+    import shutil
+
+    os.makedirs(root, exist_ok=True)
+    prior = [v for v in _committed_versions(root) if v < batch_id]
+    if prior:
+        old = spark.read.parquet(f"{root}/v={prior[-1]}")
+        merged = old.join(batch, keys, "left_anti").unionByName(batch)
+    else:
+        merged = batch
+    merged.write.mode("overwrite").parquet(f"{root}/v={batch_id}")
+    for v in prior[:-1]:  # keep the previous version as the fallback
+        shutil.rmtree(f"{root}/v={v}", ignore_errors=True)
+
+
+def _committed_versions(root: str) -> list[int]:
+    """Version ids under ``root`` whose write COMMITTED (_SUCCESS
+    marker present) — a torn v=N from a mid-write crash must be
+    invisible to readers and to the next merge, or the versioning
+    scheme protects nothing."""
+    import os
+
+    out = []
+    for d in os.listdir(root):
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit() \
+                and os.path.exists(f"{root}/{d}/_SUCCESS"):
+            out.append(int(d.split("=", 1)[1]))
+    return sorted(out)
+
+
+def read_latest_version(spark: SparkSession, root: str) -> DataFrame:
+    """Newest COMMITTED version of a versioned state table."""
+    versions = _committed_versions(root)
+    if not versions:
+        raise ValueError(f"no committed versions under {root}")
+    return spark.read.parquet(f"{root}/v={versions[-1]}")
+
+
 def streaming_anomalies(spark: SparkSession, events_dir: str,
                         output_dir: str, stream_ckpt_dir: str,
                         state_dir: str,
@@ -171,9 +216,6 @@ def streaming_anomalies(spark: SparkSession, events_dir: str,
     can be lost to a torn overwrite, and the merge lineage never reads
     a directory the same job is deleting. Versions older than the
     previous one are pruned after a successful batch."""
-    import os
-    import shutil
-
     from ..operators.relational import anomaly_flags
 
     hourly_root = f"{state_dir}/hourly"
@@ -195,29 +237,12 @@ def streaming_anomalies(spark: SparkSession, events_dir: str,
             .alias("hour_idx"),
             F.col("n"),
         )
-        os.makedirs(hourly_root, exist_ok=True)
-        versions = sorted(
-            int(d.split("=", 1)[1]) for d in os.listdir(hourly_root)
-            if d.startswith("v=") and d.split("=", 1)[1].isdigit())
-        prior = [v for v in versions if v < batch_id]
-        if prior:
-            old = spark.read.parquet(f"{hourly_root}/v={prior[-1]}")
-            merged = old.join(changed, "hour_idx", "left_anti") \
-                .unionByName(changed)
-        else:
-            merged = changed
-        merged = merged.persist()
-        try:
-            # own-version overwrite only: a crash replay rewrites v=N
-            # identically without endangering v=N-1
-            merged.write.mode("overwrite").parquet(
-                f"{hourly_root}/v={batch_id}")
-            anomaly_flags(merged) \
-                .write.mode("overwrite").parquet(output_dir)
-        finally:
-            merged.unpersist()
-        for v in prior[:-1]:  # keep the previous version as the fallback
-            shutil.rmtree(f"{hourly_root}/v={v}", ignore_errors=True)
+        _versioned_merge_write(spark, hourly_root, batch_id, changed,
+                               ["hour_idx"])
+        # flags from the just-committed version (tiny table; reading it
+        # back avoids holding a cache hostage to the write's success)
+        anomaly_flags(read_latest_version(spark, hourly_root)) \
+            .write.mode("overwrite").parquet(output_dir)
 
     (
         stream.writeStream
@@ -262,28 +287,10 @@ def streaming_cms(spark: SparkSession, docs_dir: str,
 
     def write_sketch(batch, batch_id: int) -> None:
         # update mode emits the CUMULATIVE counter for every changed
-        # cell; merging with the previous table keeps unchanged cells.
-        # The sketch is <= DxW rows, so versioning like
-        # streaming_anomalies would be overkill — but the same
-        # torn-overwrite hazard applies, so reuse the versioned layout.
-        import os
-        import shutil
-
-        root = f"{output_dir}/v"
-        os.makedirs(root, exist_ok=True)
-        versions = sorted(
-            int(x.split("=", 1)[1]) for x in os.listdir(root)
-            if x.startswith("v=") and x.split("=", 1)[1].isdigit())
-        prior = [v for v in versions if v < batch_id]
-        if prior:
-            old = spark.read.parquet(f"{root}/v={prior[-1]}")
-            merged = old.join(batch, ["d", "c"], "left_anti") \
-                .unionByName(batch)
-        else:
-            merged = batch
-        merged.write.mode("overwrite").parquet(f"{root}/v={batch_id}")
-        for v in prior[:-1]:
-            shutil.rmtree(f"{root}/v={v}", ignore_errors=True)
+        # cell; the shared versioned merge keeps unchanged cells and
+        # the torn-overwrite protection
+        _versioned_merge_write(spark, f"{output_dir}/v", batch_id,
+                               batch, ["d", "c"])
 
     (
         stream.writeStream
@@ -297,11 +304,5 @@ def streaming_cms(spark: SparkSession, docs_dir: str,
 
 
 def read_streaming_cms(spark: SparkSession, output_dir: str):
-    """The latest version of the streamed sketch table."""
-    import os
-
-    root = f"{output_dir}/v"
-    versions = sorted(
-        int(x.split("=", 1)[1]) for x in os.listdir(root)
-        if x.startswith("v="))
-    return spark.read.parquet(f"{root}/v={versions[-1]}")
+    """The latest COMMITTED version of the streamed sketch table."""
+    return read_latest_version(spark, f"{output_dir}/v")
