@@ -380,6 +380,39 @@ def test_hll_linear_counting_complete_domain_cross_engine(spark):
         < 0.15 * row["exact_distinct"]
 
 
+def test_hll_sketch_only_mode(spark):
+    """with_exact=False is the production scale shape: identical
+    estimate columns (the sketch can't drift from the gated form — same
+    register expressions), no exact_distinct column, and — the point —
+    NO distinct-fingerprint aggregation anywhere in the plan: the only
+    exchange payload is the register domain (<=256 rows / group)."""
+    from webtableextractionsystem_spark.operators.textstats import (
+        hll_by_source,
+        hll_distinct,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    gated = hll_distinct(spark, sf).collect()[0]
+    sk = hll_distinct(spark, sf, with_exact=False)
+    row = sk.collect()[0]
+    assert "exact_distinct" not in sk.columns
+    assert row["hll_estimate"] == gated["hll_estimate"]
+    assert row["n_registers_set"] == gated["n_registers_set"]
+    # the plan must not contain a distinct-fp aggregate: no `fp` column
+    # survives into any exchange / aggregate
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "distinct" not in plan.lower()
+    assert "fp#" not in plan
+
+    gated_g = {r["source"]: r for r in hll_by_source(spark, sf).collect()}
+    sk_g = hll_by_source(spark, sf, with_exact=False)
+    plan_g = sk_g._jdf.queryExecution().executedPlan().toString()
+    assert "distinct" not in plan_g.lower()
+    assert "fp#" not in plan_g
+    for r in sk_g.collect():
+        assert r["hll_estimate"] == gated_g[r["source"]]["hll_estimate"]
+
+
 def test_pagerank_crafted_star_differential(spark):
     """Differential check of the int64 fixed-point PageRank on an
     IRREGULAR crafted graph (a 4-leaf star + an isolated node) against

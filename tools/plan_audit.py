@@ -129,6 +129,13 @@ def main() -> None:
         "q_doc_hll_by_source — grouped mergeable sketch: partial max per "
         "(source, register), one composite-key shuffle":
             TS.hll_by_source(spark, SF),
+        "hll_distinct(with_exact=False) — production sketch-only form: "
+        "NO distinct-fp exchange, the only shuffle is the 256-row "
+        "register merge": TS.hll_distinct(spark, SF, with_exact=False),
+        "hll_by_source(with_exact=False) — grouped sketch-only form: "
+        "one composite-key shuffle of <=256 rows per group, no "
+        "per-group countDistinct":
+            TS.hll_by_source(spark, SF, with_exact=False),
         "q_events_retention — distinct user-days, first-day window "
         "reusing the user_id exchange, one cohort/offset agg":
             REL.event_retention(spark, SF),

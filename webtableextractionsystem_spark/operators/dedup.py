@@ -1054,47 +1054,59 @@ def bloom_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership probe matches iff ALL K of its exploded rows hit, so a
     key whose hashes collide internally still counts correctly (its
     duplicate rows hit or miss together)."""
-    fp = F.md5(F.concat_ws(" ", F.slice(_tokens(), 1, 5)))
     # persisted: keys feeds three consumers (count, bit build, present
     # probe) and bits feeds three (count, two probe joins) — without the
     # persists this one-row query re-scans the corpus three times
     # (review finding; cf. curation_funnel's single-scan discipline).
-    # Materialized EAGERLY so the caches can be released here — a lazy
-    # return would pin both datasets in the block store for the session
-    # lifetime with no handle for the caller to unpersist.
-    keys = (load_documents(spark, sf_dir)
-            .select(fp.alias("key")).distinct().persist())
-    bits = (keys.select(F.explode(_bloom_bits(F.col("key"))).alias("bit"))
+    # Cached per (app, sf_dir) like _PR_EDGE_CACHE so the returned
+    # DataFrame stays LAZY (the driver/gate hash the REAL composed plan,
+    # not a LocalTableScan of pre-collected literals) while repeated
+    # calls (gate, bench, plan audit) reuse one resident copy instead of
+    # accumulating persists or recomputing from scratch each time.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BLOOM_CACHE.get(key)
+    if cached is None:
+        fp = F.md5(F.concat_ws(" ", F.slice(_tokens(), 1, 5)))
+        keys = (load_documents(spark, sf_dir)
+                .select(fp.alias("key")).distinct().persist())
+        bits = (keys.select(
+            F.explode(_bloom_bits(F.col("key"))).alias("bit"))
             .distinct().persist())
-    try:
-        def probe_hits(probe_keys: DataFrame):
-            rows = probe_keys.select(
-                "key", F.explode(_bloom_bits(F.col("key"))).alias("bit"))
-            return (
-                rows.join(F.broadcast(bits), "bit")
-                .groupBy("key").agg(F.count("*").alias("n_hit"))
-                .where(F.col("n_hit") == BLOOM_K)
-            )
+        # materialize now: a lazy persist would never warm before the
+        # single final action, so the four aggregates below would each
+        # re-derive keys/bits through lineage.
+        bits.count()
+        cached = (keys, bits)
+        _BLOOM_CACHE[key] = cached
+    keys, bits = cached
 
-        absent = spark.range(BLOOM_ABSENT_PROBES).select(
-            F.concat(F.lit("absent_"), F.col("id")).alias("key"))
-        row = (
-            keys.agg(F.count("*").alias("n_keys"))
-            .join(bits.agg(F.count("*").alias("n_bits_set")))
-            .join(probe_hits(keys).agg(
-                F.count("*").alias("n_present_hits")))
-            .join(probe_hits(absent).agg(
-                F.count("*").alias("n_false_positives")))
-        ).first()
-    finally:
-        keys.unpersist()
-        bits.unpersist()
-    return spark.createDataFrame(
-        [(row["n_keys"], row["n_bits_set"], row["n_present_hits"],
-          BLOOM_ABSENT_PROBES, row["n_false_positives"])],
-        "n_keys long, n_bits_set long, n_present_hits long, "
-        "n_absent_probes int, n_false_positives long",
+    def probe_hits(probe_keys: DataFrame):
+        rows = probe_keys.select(
+            "key", F.explode(_bloom_bits(F.col("key"))).alias("bit"))
+        return (
+            rows.join(F.broadcast(bits), "bit")
+            .groupBy("key").agg(F.count("*").alias("n_hit"))
+            .where(F.col("n_hit") == BLOOM_K)
+        )
+
+    absent = spark.range(BLOOM_ABSENT_PROBES).select(
+        F.concat(F.lit("absent_"), F.col("id")).alias("key"))
+    return (
+        keys.agg(F.count("*").alias("n_keys"))
+        .join(bits.agg(F.count("*").alias("n_bits_set")))
+        .join(probe_hits(keys).agg(
+            F.count("*").alias("n_present_hits")))
+        .crossJoin(spark.range(1).select(
+            F.lit(BLOOM_ABSENT_PROBES).alias("n_absent_probes")))
+        .join(probe_hits(absent).agg(
+            F.count("*").alias("n_false_positives")))
+        .select("n_keys", "n_bits_set", "n_present_hits",
+                "n_absent_probes", "n_false_positives")
     )
+
+
+# one materialized (keys, bits) pair per (SparkContext, sf_dir)
+_BLOOM_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
 def bloom_filter_sql() -> str:

@@ -764,7 +764,8 @@ _HLL_M = 1 << HLL_P
 _HLL_ALPHA_EXPR = f"0.7213 / (1.0 + 1.079 / {_HLL_M}.0)"
 
 
-def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hll_distinct(spark: SparkSession, sf_dir: str,
+                 with_exact: bool = True) -> DataFrame:
     """Distinct normalized-document estimate via a from-scratch
     HyperLogLog over the md5 fingerprint: register = first HLL_P hash
     bits, rho = 1 + leading zeros of the next 52 bits (computed with
@@ -790,10 +791,26 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one scan -> map-side partial max per register -> a
     256-row shuffle -> single-row fold; the classic mergeable-sketch
-    layout (per-partition register vectors union by max)."""
+    layout (per-partition register vectors union by max).
+
+    ``with_exact`` (default True, the registry/oracle form) adds an
+    ``exact_distinct`` gate column so the sketch's VALUE is checked
+    against ground truth — at the cost of a corpus-sized
+    countDistinct(fp) shuffle, the very thing the sketch exists to
+    avoid. Production at 100 TB calls ``with_exact=False``: identical
+    register layout and estimate, but the only shuffle is the 256-row
+    register merge (partial max per register map-side) — the plan audit
+    pins that the sketch-only form has no distinct-fp exchange."""
     bucket, rho, h = _hll_doc_cols()
     docs = load_documents(spark, sf_dir).select(
         bucket.alias("b"), rho.alias("r"), h.alias("fp"))
+    if not with_exact:
+        regs = docs.groupBy("b").agg(F.max("r").alias("mr"))
+        sketch = regs.agg(
+            F.count("*").alias("n_registers_set"),
+            F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("zsum"),
+        )
+        return sketch.select("n_registers_set", *_hll_estimate_cols())
     # ONE scan: the bucket is a function of fp, so distinct fps
     # partition by bucket and per-bucket distinct counts sum to the
     # global exact count — no second pass over the corpus
@@ -1036,16 +1053,30 @@ GROUP BY source
 # branch, whose finite input domain is cross-engine-proven by test)
 # ---------------------------------------------------------------------------
 
-def hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hll_by_source(spark: SparkSession, sf_dir: str,
+                  with_exact: bool = True) -> DataFrame:
     """hll_distinct per source: registers keyed by (source, bucket), so
     partial aggregates merge per group exactly like the global sketch —
     the GROUP BY form a warehouse "distinct users per day" rollup takes
     at 100 TB (one shuffle on the composite key, 256 rows per group).
     Small groups (25 docs over 256 registers at sf0.01) drive the
-    linear-counting branch, so the driver row gates it per group."""
+    linear-counting branch, so the driver row gates it per group.
+
+    ``with_exact=False`` is the production scale shape (see
+    hll_distinct): same registers/estimate, no per-group
+    countDistinct(fp) — the shuffle payload is <=256 rows per group
+    regardless of corpus size."""
     bucket, rho, h = _hll_doc_cols()
     docs = load_documents(spark, sf_dir).select(
         "source", bucket.alias("b"), rho.alias("r"), h.alias("fp"))
+    if not with_exact:
+        regs = docs.groupBy("source", "b").agg(F.max("r").alias("mr"))
+        sketch = regs.groupBy("source").agg(
+            F.count("*").alias("n_registers_set"),
+            F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("zsum"),
+        )
+        return sketch.select(
+            "source", "n_registers_set", *_hll_estimate_cols())
     regs = docs.groupBy("source", "b").agg(
         F.max("r").alias("mr"), F.countDistinct("fp").alias("nd"))
     sketch = regs.groupBy("source").agg(
