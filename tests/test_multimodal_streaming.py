@@ -1764,11 +1764,17 @@ def test_pdf_honest_boundaries_and_dos():
     t0 = base.replace(b"/Subtype /Type1", b"/Subtype /Type0")
     with pytest.raises(ValueError, match="Type0"):
         P.decode_pdf(t0)
-    # non-Flate filter: SAME-LENGTH name swap so xref offsets stay valid
+    # unsupported filter (image coding): SAME-LENGTH name swap so xref
+    # offsets stay valid
     basec = P.encode_pdf([[(72.0, 720.0, 12.0, "x")]], compress=True)
+    dct = basec.replace(b"/FlateDecode", b"/DCTDecode  ")
+    assert len(dct) == len(basec)
+    with pytest.raises(ValueError, match="DCTDecode"):
+        P.decode_pdf(dct)
+    # Flate bytes routed to the (now-supported) LZW decoder still fail
+    # as the contractual ValueError, not silent garbage
     lzw = basec.replace(b"/FlateDecode", b"/LZWDecode  ")
-    assert len(lzw) == len(basec)
-    with pytest.raises(ValueError, match="LZWDecode"):
+    with pytest.raises(ValueError):
         P.decode_pdf(lzw)
 
     # deflate bomb in a content stream: inflate is capped. Hand-built so
@@ -2211,7 +2217,15 @@ def test_pdf_mutation_fuzz_honest_errors():
     seeds = [P.encode_pdf(pages),
              P.encode_pdf(pages, compress=False),
              P.encode_pdf(pages, modern=True),
-             P.encode_pdf(pages, compress=False, modern=True)]
+             P.encode_pdf(pages, compress=False, modern=True),
+             # the §7.4 filter battery: every decoder must hold the
+             # decode-or-ValueError contract under mutation too
+             P.encode_pdf(pages, stream_filter="LZWDecode"),
+             P.encode_pdf(pages, stream_filter="RunLengthDecode",
+                          modern=True),
+             P.encode_pdf(pages, stream_filter="ASCIIHexDecode"),
+             P.encode_pdf(pages,
+                          stream_filter=["ASCII85Decode", "FlateDecode"])]
     rng = np.random.default_rng(99)
     n_ok = n_err = 0
     for payload in seeds:
@@ -2237,6 +2251,156 @@ def test_pdf_mutation_fuzz_honest_errors():
             # anything else (TypeError, IndexError, RecursionError,
             # zlib.error, struct.error...) propagates and FAILS the test
     assert n_err > 100  # mutations overwhelmingly get diagnosed
+
+
+def test_pdf_filter_battery_roundtrip_and_boundaries():
+    """The §7.4 filter battery beyond Flate: LZWDecode (MSB-first
+    9..12-bit codes, /EarlyChange, dictionary reset), ASCIIHexDecode,
+    ASCII85Decode, RunLengthDecode, and TIFF predictor 2. Round trips
+    over adversarial payload shapes, a differential check against the
+    stdlib's independent base85/hex codecs, hand-built spec fixtures,
+    and a named-ValueError boundary per malformation class."""
+    import base64
+    import binascii
+    import os
+    import random
+
+    import pytest
+
+    from webtableextractionsystem_spark.operators import pdf as P
+
+    random.seed(7)
+    payloads = [
+        b"", b"a", b"aaaa", b"hello world " * 50,
+        bytes(range(256)) * 4,
+        b"\0" * 4096,
+        "中文内容测试".encode() * 20,
+        os.urandom(1000),
+        # low-entropy long input: grows the LZW table past 4093 codes,
+        # forcing the encoder's mid-stream Clear + the decoder's resync
+        bytes(random.randrange(4) for _ in range(9000)),
+        # high-entropy long input: ~1 new table entry per code, the
+        # fastest route to the 12-bit ceiling
+        os.urandom(20000),
+    ]
+    for d in payloads:
+        assert P._ascii_hex_decode(P._ascii_hex_encode(d)) == d
+        assert P._ascii85_decode(P._ascii85_encode(d)) == d
+        assert P._run_length_decode(P._run_length_encode(d)) == d
+        for early in (0, 1):
+            assert P._lzw_decode(P._lzw_encode(d, early), early) == d
+        # differential: the stdlib implements the same base85/hex
+        # alphabets independently
+        assert P._ascii85_encode(d) == base64.a85encode(d) + b"~>"
+        assert P._ascii_hex_encode(d) == binascii.hexlify(d) + b">"
+
+    # spec fixtures
+    assert P._ascii85_decode(b"z~>") == b"\0\0\0\0"        # zero shorthand
+    assert P._ascii_hex_decode(b"48 65\n6c6C 6f>") == b"Hello"
+    assert P._ascii_hex_decode(b"7>") == b"\x70"           # odd pad
+    assert P._run_length_decode(b"\x02abc\xfeX\x80") == b"abcXXX"
+
+    # boundaries: every malformation class raises ValueError
+    bad = [
+        (P._ascii_hex_decode, b"4g>"),        # bad hex char
+        (P._ascii_hex_decode, b"48"),         # missing EOD
+        (P._ascii85_decode, b"v~>"),          # char past 'u'
+        (P._ascii85_decode, b"!z~>"),         # 'z' inside a group
+        (P._ascii85_decode, b"uuuuu~>"),      # group value >= 2^32
+        (P._ascii85_decode, b"!!"),           # missing EOD
+        (P._ascii85_decode, b"!~>"),          # dangling final char
+        (P._run_length_decode, b"\x05ab"),    # truncated literal
+        (P._run_length_decode, b"\x81"),      # truncated run
+        (P._run_length_decode, b"\x00a"),     # missing EOD
+        (P._lzw_decode, b""),                 # empty / truncated
+        (P._lzw_decode, b"\xff\xff\xff\xff"),  # invalid code
+    ]
+    for fn, data in bad:
+        with pytest.raises(ValueError):
+            fn(data)
+    with pytest.raises(ValueError):
+        P._lzw_early({"EarlyChange": True})   # bool is not 0/1
+    with pytest.raises(ValueError):
+        P._lzw_early({"EarlyChange": 2})
+
+    # TIFF predictor 2: horizontal differencing decodes as a per-row
+    # cumulative sum over 3-component pixels
+    import numpy as np
+
+    rows = np.frombuffer(os.urandom(60), np.uint8).reshape(5, 12) \
+        .astype(np.int16)
+    diff = rows.copy()
+    diff[:, 3:] = (rows[:, 3:] - rows[:, :-3]) % 256
+    dec = P._apply_predictor(
+        diff.astype(np.uint8).tobytes(),
+        {"Predictor": 2, "Columns": 4, "Colors": 3})
+    assert dec == rows.astype(np.uint8).tobytes()
+    with pytest.raises(ValueError):
+        P._apply_predictor(b"\0" * 11, {"Predictor": 2, "Columns": 4,
+                                        "Colors": 3})  # row mismatch
+
+    # end-to-end: every filter chain through real files, both structures
+    pages = [[(72.0, 720.0, 12.0, "hello filters"),
+              (300.0, 700.0, 10.0, "col two")]]
+    chains = ["FlateDecode", "LZWDecode", "ASCIIHexDecode",
+              "ASCII85Decode", "RunLengthDecode",
+              ["ASCII85Decode", "FlateDecode"],
+              ["ASCIIHexDecode", "LZWDecode"]]
+    for chain in chains:
+        for modern in (False, True):
+            got = P.decode_pdf(
+                P.encode_pdf(pages, modern=modern, stream_filter=chain))
+            assert [(x, y, s, t) for x, y, s, t in got[0]] == pages[0], \
+                (chain, modern)
+
+
+def test_pdf_lzw_earlychange_parm_hand_built():
+    """/DecodeParms << /EarlyChange 0 >> must reach the LZW decoder: an
+    early=0 stream decoded with the early=1 default desynchronizes the
+    code width exactly at table size 511, so this fixture (long enough
+    to cross that boundary) passes ONLY if the parm is honored."""
+    import zlib
+
+    import pytest
+
+    from webtableextractionsystem_spark.operators import pdf as P
+
+    # >511 distinct table entries: varied text, ~2KB
+    text = b" ".join(b"tok%d" % i for i in range(600))
+    content = b"BT /F1 10 Tf 1 0 0 1 72 720 Tm (" + \
+        text.replace(b"(", b"").replace(b")", b"") + b") Tj ET"
+    data = P._lzw_encode(content, early=0)
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>",
+        3: (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>"),
+        4: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+        5: (b"<< /Filter /LZWDecode /DecodeParms << /EarlyChange 0 >> "
+            b"/Length %d >>\nstream\n" % len(data) + data
+            + b"\nendstream"),
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for oid in sorted(objs):
+        offsets[oid] = len(out)
+        out += b"%d 0 obj\n" % oid + objs[oid] + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 6\n0000000000 65535 f \n"
+    for oid in range(1, 6):
+        out += b"%010d 00000 n \n" % offsets[oid]
+    out += (b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+            % xref_at)
+    got = P.decode_pdf(bytes(out))
+    assert got[0][0][3].encode("latin-1") == text
+    # the desync really exists: the same stream via the early=1 default
+    # must NOT silently decode to the same text (a wrong-width read
+    # yields either garbage or an invalid-code ValueError)
+    try:
+        assert P._lzw_decode(data, early=1) != content
+    except ValueError:
+        pass
 
 
 def test_streaming_cms_equals_batch_sketch(spark, tmp_path):

@@ -1172,11 +1172,17 @@ def synth_pdfs_for_spans(spans_out: DataFrame) -> DataFrame:
     """Deterministic PDF table for every media span: REAL PDF payloads
     (md5-seeded 1-3 pages; runs emitted in SHUFFLED content order and,
     on odd refs, laid out in two columns — so the features below only
-    pin if the layout reading-order pass works; alternating
-    FlateDecode/plain content streams; and ~half are MODERN 1.5+ files
+    pin if the layout reading-order pass works; content streams cycle
+    through the full §7.4 filter battery — plain, FlateDecode,
+    LZWDecode, RunLengthDecode, ASCIIHexDecode, and the legacy
+    ASCII85+Flate transport cascade — and ~half are MODERN 1.5+ files
     — xref stream + object stream + Up predictor — so the driver gate
-    exercises both file structures)."""
+    exercises both file structures and every decode path)."""
     from .pdf import encode_pdf
+
+    _FILTER_CYCLE = ((), "FlateDecode", "LZWDecode",
+                     "RunLengthDecode", "ASCIIHexDecode",
+                     ["ASCII85Decode", "FlateDecode"])
 
     _WORDS = ("table", "spark", "corpus", "extract", "span", "layout",
               "query", "join", "column", "page", "anchor", "cell")
@@ -1203,8 +1209,12 @@ def synth_pdfs_for_spans(spans_out: DataFrame) -> DataFrame:
                                      f"p{p} {words}"))
                     rng.shuffle(runs)  # content order != reading order
                     pages.append(runs)
-                payload = encode_pdf(pages, compress=bool(h[3] % 2),
-                                     modern=bool(h[4] % 2))
+                # stream_filter drives the content streams; compress
+                # still toggles the modern ObjStm's Flate so both its
+                # states stay exercised
+                payload = encode_pdf(
+                    pages, compress=bool(h[5] % 2), modern=bool(h[4] % 2),
+                    stream_filter=_FILTER_CYCLE[h[3] % len(_FILTER_CYCLE)])
                 rows.append({
                     "media_ref": ref, "kind": "pdf", "payload": payload,
                     "meta": {"width": 612, "height": 792,

@@ -8,15 +8,18 @@ Scope (honest and tested): classic AND modern PDFs — %PDF-1.x header;
 xref TABLES (with /Prev chains and hybrid /XRefStm supplements) AND
 1.5+ cross-reference STREAMS (/W widths, /Index subsections,
 FlateDecode with PNG row predictors) with OBJECT STREAMS (type-2
-entries, /N pair table, /First); direct or /FlateDecode content
-streams; literal (all §7.3.4.2 escapes) and hex strings; the full
+entries, /N pair table, /First); content streams direct or through any
+cascade of FlateDecode, LZWDecode (MSB-first 9..12-bit codes,
+/EarlyChange), ASCIIHexDecode, ASCII85Decode, and RunLengthDecode
+(§7.4), with PNG AND TIFF-2 predictors on the compressed pair;
+literal (all §7.3.4.2 escapes) and hex strings; the full
 positioned-text operator set (BT/ET, Tf, Td, TD, TL, T*, Tm, Tj, ', ",
 TJ) with q/Q + cm graphics-state matrix composition and inline-image
 skipping; simple (1-byte, latin-1-decoded) fonts with inherited
 /Resources; page trees of any nesting. Raises ValueError naming the
 feature for: encrypted files, CID/Type0 composite fonts (extracting
-their bytes as text would be silent garbage), non-Flate filters, and
-TIFF predictors.
+their bytes as text would be silent garbage), and filters outside the
+five above (JBIG2/JPX/DCT image codings have no text to extract).
 
 Layout parse: runs carry the device-space position of their text matrix
 (Tm composed with the CTM), and ``extract_pdf_text`` groups runs into
@@ -65,7 +68,8 @@ def _esc_string(s: str) -> bytes:
     return bytes(out)
 
 
-def encode_pdf(pages, compress: bool = True, modern: bool = False) -> bytes:
+def encode_pdf(pages, compress: bool = True, modern: bool = False,
+               stream_filter=None) -> bytes:
     """pages = list of pages; each page a list of (x, y, size, text)
     runs -> a PDF (Helvetica, one content stream per page, FlateDecode
     when ``compress``). Positions are PDF user-space points (origin
@@ -74,7 +78,15 @@ def encode_pdf(pages, compress: bool = True, modern: bool = False) -> bytes:
     real web: catalog/pages/font dicts packed into an object stream and
     a CROSS-REFERENCE STREAM (W=[1,4,2], FlateDecode, PNG Up predictor
     — what libraries actually write), so decoder round-trips cover
-    type-2 entries, /First parsing, and the predictor path."""
+    type-2 entries, /First parsing, and the predictor path.
+
+    ``stream_filter`` overrides ``compress`` for the CONTENT streams: a
+    filter name or a list of names in /Filter (decode) order, any of
+    FlateDecode / LZWDecode / ASCIIHexDecode / ASCII85Decode /
+    RunLengthDecode — e.g. ["ASCII85Decode", "FlateDecode"] emits
+    Flate-compressed data wrapped for 7-bit transport, the legacy
+    cascade real pre-web PDFs carry. Structural streams (ObjStm, xref
+    stream) stay FlateDecode, as real writers emit them."""
     if not pages:
         raise ValueError("encode_pdf needs at least one page")
     objs: dict[int, bytes] = {}
@@ -97,7 +109,18 @@ def encode_pdf(pages, compress: bool = True, modern: bool = False) -> bytes:
         content += b"ET"
         data = bytes(content)
         filt = b""
-        if compress:
+        if stream_filter is not None:
+            # an empty chain means "explicitly uncompressed"
+            chain = ([stream_filter] if isinstance(stream_filter, str)
+                     else list(stream_filter))
+            for name in reversed(chain):
+                data = _ENCODERS[name](data)
+            if len(chain) == 1:
+                filt = f"/Filter /{chain[0]} ".encode()
+            elif chain:
+                filt = ("/Filter [ " + " ".join(f"/{n}" for n in chain)
+                        + " ] ").encode()
+        elif compress:
             data = zlib.compress(data)
             filt = b"/Filter /FlateDecode "
         objs[cid] = (b"<< " + filt + b"/Length %d >>\nstream\n" % len(data)
@@ -404,10 +427,12 @@ def _parse_from(lx: _Lexer, tok):
 # ---------------------------------------------------------------------------
 
 def _apply_predictor(raw: bytes, parms) -> bytes:
-    """§7.4.4.4 LZW/Flate predictors: 1 = none, >=10 = PNG row filters
-    (each row led by a filter-type byte — the same five filters as
-    PNG scanlines, implemented here in pure Python since xref streams
-    are tiny). TIFF predictor 2 raises (unused in xref streams)."""
+    """§7.4.4.4 LZW/Flate predictors: 1 = none, 2 = TIFF horizontal
+    differencing (8-bit components only — each sample is stored as the
+    delta from the sample one pixel left, so decoding is a per-row
+    cumulative sum mod 256), >=10 = PNG row filters (each row led by a
+    filter-type byte — the same five filters as PNG scanlines,
+    implemented here in pure Python since xref streams are tiny)."""
     def _int(v) -> bool:
         # bool subclasses int: '/Predictor true' must raise, not be
         # silently treated as True == 1 (no predictor)
@@ -421,8 +446,6 @@ def _apply_predictor(raw: bytes, parms) -> bytes:
         raise ValueError("bad PDF predictor parameters")
     if pred == 1:
         return raw
-    if pred < 10:
-        raise ValueError("PDF TIFF predictor unsupported")
     cols = parms.get("Columns", 1)
     colors = parms.get("Colors", 1)
     bpc = parms.get("BitsPerComponent", 8)
@@ -431,6 +454,19 @@ def _apply_predictor(raw: bytes, parms) -> bytes:
         raise ValueError("bad PDF predictor parameters")
     bpp = colors
     stride = cols * bpp
+    if pred == 2:
+        # TIFF predictor: no per-row filter-type byte; rows are exactly
+        # `stride` bytes of left-neighbour deltas
+        if len(raw) % stride:
+            raise ValueError("PDF predicted stream length mismatch")
+        out = bytearray(raw)
+        for base in range(0, len(out), stride):
+            for x in range(bpp, stride):
+                out[base + x] = (out[base + x] + out[base + x - bpp]) \
+                    & 0xFF
+        return bytes(out)
+    if pred < 10:
+        raise ValueError(f"bad PDF predictor {pred}")
     if len(raw) % (stride + 1):
         raise ValueError("PDF predicted stream length mismatch")
     out = bytearray()
@@ -465,6 +501,326 @@ def _apply_predictor(raw: bytes, parms) -> bytes:
         out += row
         prev = row
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# stream filters beyond Flate (§7.4): the transport codings the
+# pre-Flate / text-transport web actually used — LZW was the original
+# compression default, ASCII85/ASCIIHex wrap binary streams for 7-bit
+# transport, RunLength shows up in scanned/legacy producers. Each has a
+# paired encoder so round-trips are testable without external libs.
+# ---------------------------------------------------------------------------
+
+def _ascii_hex_decode(raw: bytes) -> bytes:
+    """§7.4.2: hex pairs, whitespace ignored, '>' = EOD (required), an
+    odd final digit is padded with 0."""
+    out = bytearray()
+    hi = None
+    for b in raw:
+        c = chr(b)
+        if c == ">":
+            if hi is not None:
+                out.append(int(hi + "0", 16))
+            return bytes(out)
+        if c in " \t\r\n\f\0":
+            continue
+        if c not in "0123456789abcdefABCDEF":
+            raise ValueError("bad PDF ASCIIHex character")
+        if hi is None:
+            hi = c
+        else:
+            out.append(int(hi + c, 16))
+            hi = None
+    raise ValueError("PDF ASCIIHex stream missing EOD")
+
+
+def _ascii_hex_encode(data: bytes) -> bytes:
+    return data.hex().encode("ascii") + b">"
+
+
+def _ascii85_decode(raw: bytes) -> bytes:
+    """§7.4.3: base-85 groups of 5 chars ('!'..'u') -> 4 bytes; 'z' =
+    four zero bytes (only BETWEEN groups); '~>' = EOD (required); a
+    final partial group of n chars is padded with 'u' and yields n-1
+    bytes; a 1-char final group and group values >= 2^32 are errors."""
+    out = bytearray()
+    group: list[int] = []
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i]
+        if c in b" \t\r\n\f\0":
+            i += 1
+            continue
+        if c == 0x7E:                       # '~'
+            if raw[i:i + 2] != b"~>":
+                raise ValueError("bad PDF ASCII85 EOD")
+            if len(group) == 1:
+                raise ValueError("PDF ASCII85 dangling final character")
+            if group:
+                k = len(group)
+                v = 0
+                for g in group + [84] * (5 - k):
+                    v = v * 85 + g
+                if v > 0xFFFFFFFF:
+                    raise ValueError("PDF ASCII85 group overflow")
+                out += v.to_bytes(4, "big")[: k - 1]
+            return bytes(out)
+        if c == 0x7A:                       # 'z'
+            if group:
+                raise ValueError("PDF ASCII85 'z' inside a group")
+            out += b"\0\0\0\0"
+            i += 1
+            continue
+        if not 0x21 <= c <= 0x75:           # '!'..'u'
+            raise ValueError("bad PDF ASCII85 character")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise ValueError("PDF ASCII85 group overflow")
+            out += v.to_bytes(4, "big")
+            group = []
+        i += 1
+    raise ValueError("PDF ASCII85 stream missing EOD")
+
+
+def _ascii85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i:i + 4]
+        k = len(chunk)
+        v = int.from_bytes(chunk + b"\0" * (4 - k), "big")
+        if v == 0 and k == 4:
+            out += b"z"
+            continue
+        digits = bytearray(5)
+        for j in range(4, -1, -1):
+            digits[j] = 0x21 + v % 85
+            v //= 85
+        out += digits[: k + 1]
+    return bytes(out) + b"~>"
+
+
+def _run_length_decode(raw: bytes) -> bytes:
+    """§7.4.5: length byte L: 0..127 copies the next L+1 bytes
+    literally, 129..255 repeats the next byte 257-L times, 128 = EOD
+    (required)."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        length = raw[i]
+        if length == 128:
+            return bytes(out)
+        if length < 128:
+            lit = raw[i + 1:i + 2 + length]
+            if len(lit) != length + 1:
+                raise ValueError("truncated PDF RunLength literal")
+            out += lit
+            i += 2 + length
+        else:
+            if i + 1 >= n:
+                raise ValueError("truncated PDF RunLength run")
+            out += raw[i + 1:i + 2] * (257 - length)
+            i += 2
+        if len(out) > _MAX_STREAM_BYTES:
+            raise ValueError("PDF stream exceeds the inflate bound")
+    raise ValueError("PDF RunLength stream missing EOD")
+
+
+def _run_length_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 127:
+            j += 1
+        if j > i:                       # run of j-i+1 equal bytes
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+            continue
+        j = i                           # literal up to next run
+        while (j + 1 < n and j - i < 127
+               and not (j + 2 < n and data[j + 1] == data[j + 2])):
+            j += 1
+        out.append(j - i)
+        out += data[i:j + 1]
+        i = j + 1
+    out.append(128)
+    return bytes(out)
+
+
+_LZW_CLEAR, _LZW_EOD, _LZW_FIRST = 256, 257, 258
+
+
+def _lzw_width(next_code: int, early: int) -> int:
+    v = next_code + early
+    if v < 512:
+        return 9
+    if v < 1024:
+        return 10
+    if v < 2048:
+        return 11
+    if v < 4096:
+        return 12
+    raise ValueError("PDF LZW table overflow")
+
+
+def _lzw_decode(raw: bytes, early: int = 1) -> bytes:
+    """§7.4.4 (TIFF-style) LZW: codes packed MSB-first, 9 bits growing
+    to 12, Clear=256 resets the table, EOD=257 ends the stream
+    (required). ``early`` is /EarlyChange: 1 (default) bumps the code
+    width one code before the table index strictly requires it. NOTE:
+    bit order and the fixed 256-literal alphabet differ from GIF's LZW
+    (gif.py) — the dictionary-growth procedure is the same."""
+    out = bytearray()
+    table: list[bytes] = []
+    next_code = _LZW_FIRST
+    prev: bytes | None = None
+    width = 9
+    acc = nbits = 0
+    i, n = 0, len(raw)
+    while True:
+        while nbits < width:
+            if i >= n:
+                raise ValueError("truncated PDF LZW stream")
+            acc = (acc << 8) | raw[i]
+            nbits += 8
+            i += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == _LZW_EOD:
+            return bytes(out)
+        if code == _LZW_CLEAR:
+            table = []
+            next_code = _LZW_FIRST
+            prev = None
+            width = 9
+            continue
+        if code < 256:
+            entry = bytes([code])
+        elif code - _LZW_FIRST < len(table):
+            entry = table[code - _LZW_FIRST]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]     # the KwKwK case
+        else:
+            raise ValueError("invalid PDF LZW code")
+        if prev is not None:
+            table.append(prev + entry[:1])
+            next_code += 1
+        out += entry
+        if len(out) > _MAX_STREAM_BYTES:
+            raise ValueError("PDF stream exceeds the inflate bound")
+        prev = entry
+        width = _lzw_width(next_code, early)
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Paired greedy LZW encoder, bit-synchronized with _lzw_decode:
+    width is recomputed from the DECODER's table size (one entry behind
+    the encoder's — the decoder adds on read, starting from the second
+    code), and a Clear is emitted before the decoder's next width
+    computation would need 13 bits."""
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def flush() -> None:
+        nonlocal acc, nbits
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+            acc = nbits = 0
+
+    emit(_LZW_CLEAR, 9)
+    table: dict[bytes, int] = {}
+    enc_next = _LZW_FIRST
+    dec_next = _LZW_FIRST
+    width = 9
+    first = True
+
+    def emitted_one() -> None:
+        # mirror the decoder: it grows its table after every code
+        # except the first following a Clear, then recomputes width
+        nonlocal first, dec_next, width
+        if first:
+            first = False
+        else:
+            dec_next += 1
+        width = _lzw_width(dec_next, early)
+
+    cur = b""
+    for k in range(len(data)):
+        nxt = cur + data[k:k + 1]
+        if len(nxt) == 1 or nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur] if len(cur) > 1 else cur[0], width)
+        emitted_one()
+        table[nxt] = enc_next
+        enc_next += 1
+        cur = nxt[-1:]
+        if dec_next >= 4094 - early:
+            # reset BEFORE the decoder's width calc would overflow 12
+            emit(_LZW_CLEAR, width)
+            table.clear()
+            enc_next = _LZW_FIRST
+            dec_next = _LZW_FIRST
+            width = 9
+            first = True
+    if cur:
+        emit(table[cur] if len(cur) > 1 else cur[0], width)
+        emitted_one()
+    emit(_LZW_EOD, width)
+    flush()
+    return bytes(out)
+
+
+def _flate_decode(raw: bytes) -> bytes:
+    dec = zlib.decompressobj()
+    try:
+        data = dec.decompress(raw, _MAX_STREAM_BYTES + 1)
+    except zlib.error as e:
+        raise ValueError("corrupt PDF Flate stream") from e
+    if len(data) > _MAX_STREAM_BYTES:
+        raise ValueError("PDF stream exceeds the inflate bound")
+    return data
+
+
+# filter name -> (decode(raw, parms), takes_predictor)
+_FILTERS = {
+    "FlateDecode": (lambda raw, parms: _flate_decode(raw), True),
+    "LZWDecode": (lambda raw, parms: _lzw_decode(
+        raw, _lzw_early(parms)), True),
+    "ASCIIHexDecode": (lambda raw, parms: _ascii_hex_decode(raw), False),
+    "ASCII85Decode": (lambda raw, parms: _ascii85_decode(raw), False),
+    "RunLengthDecode": (lambda raw, parms: _run_length_decode(raw), False),
+}
+
+# encoder side (applied in REVERSE /Filter order by encode_pdf)
+_ENCODERS = {
+    "FlateDecode": zlib.compress,
+    "LZWDecode": _lzw_encode,
+    "ASCIIHexDecode": _ascii_hex_encode,
+    "ASCII85Decode": _ascii85_encode,
+    "RunLengthDecode": _run_length_encode,
+}
+
+
+def _lzw_early(parms) -> int:
+    parms = parms if isinstance(parms, dict) else {}
+    early = parms.get("EarlyChange", 1)
+    if isinstance(early, bool) or early not in (0, 1):
+        raise ValueError("bad PDF LZW EarlyChange")
+    return early
 
 
 class _Doc:
@@ -694,21 +1050,20 @@ class _Doc:
         parms_list = parms if isinstance(parms, list) else [parms]
         for i, f in enumerate(filts):
             f = self.resolve(f)
-            if str(f) != "FlateDecode":
-                raise ValueError(f"PDF filter {f} unsupported "
-                                 "(FlateDecode only)")
-            dec = zlib.decompressobj()
-            try:
-                raw = dec.decompress(raw, _MAX_STREAM_BYTES + 1)
-            except zlib.error as e:
-                raise ValueError("corrupt PDF Flate stream") from e
-            if len(raw) > _MAX_STREAM_BYTES:
-                raise ValueError("PDF stream exceeds the inflate bound")
+            entry = _FILTERS.get(str(f))
+            if entry is None:
+                raise ValueError(f"PDF filter {f} unsupported")
+            decode, takes_predictor = entry
+            p_i = self.resolve(
+                parms_list[i] if i < len(parms_list) else None)
+            raw = decode(raw, p_i)
             # predictors apply to EVERY predicted stream, not just the
             # xref call site — a content stream with /Predictor 12 would
-            # otherwise feed filter-coded bytes to the interpreter
-            p_i = parms_list[i] if i < len(parms_list) else None
-            raw = _apply_predictor(raw, self.resolve(p_i))
+            # otherwise feed filter-coded bytes to the interpreter.
+            # Only Flate and LZW take predictors (§7.4.4.4); the ASCII /
+            # RunLength transports have no DecodeParms.
+            if takes_predictor:
+                raw = _apply_predictor(raw, p_i)
         return raw
 
     def pages(self) -> list[dict]:
