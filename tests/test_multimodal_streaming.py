@@ -2322,6 +2322,23 @@ def test_pdf_filter_battery_roundtrip_and_boundaries():
         P._lzw_early({"EarlyChange": True})   # bool is not 0/1
     with pytest.raises(ValueError):
         P._lzw_early({"EarlyChange": 2})
+    # an unknown filter name on the ENCODE side is the contractual
+    # ValueError too, not a KeyError (review finding)
+    with pytest.raises(ValueError, match="DCTDecode"):
+        P.encode_pdf([[(72.0, 720.0, 12.0, "x")]],
+                     stream_filter="DCTDecode")
+    # the A85 expansion cap: 'z' amplifies 1 byte -> 4, so an 'z'-run
+    # stream must hit the inflate bound, not materialize unbounded
+    # output (review finding; cap shrunk via monkeypatch for speed)
+    orig = P._MAX_STREAM_BYTES
+    try:
+        P._MAX_STREAM_BYTES = 1 << 10
+        with pytest.raises(ValueError, match="inflate bound"):
+            P._ascii85_decode(b"z" * 300 + b"~>")
+        with pytest.raises(ValueError, match="inflate bound"):
+            P._ascii85_decode(b"!!!!!" * 300 + b"~>")
+    finally:
+        P._MAX_STREAM_BYTES = orig
 
     # TIFF predictor 2: horizontal differencing decodes as a per-row
     # cumulative sum over 3-component pixels

@@ -213,9 +213,11 @@ def x_pdf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF e2e through the REAL classic-PDF parser + layout
     reading-order pass (pinned-literal oracle — PDF parse is not
     SQL-expressible): media spans -> deterministic multi-page PDFs
-    (shuffled content order, two-column layouts, Flate and plain
-    streams) -> batched decode + per-doc layout-text digest, so a
-    parser or layout regression fails the driver gate."""
+    (shuffled content order, two-column layouts, content streams
+    cycling the full §7.4 filter battery — plain, Flate, LZW,
+    RunLength, ASCIIHex, ASCII85+Flate — and ~half modern 1.5+ files)
+    -> batched decode + per-doc layout-text digest, so a parser,
+    filter, or layout regression fails the driver gate."""
     from .operators.multimodal import pdf_features, synth_pdfs_for_spans
 
     spans = spans_view(_extracted(spark))

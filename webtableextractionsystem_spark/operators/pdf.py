@@ -34,6 +34,7 @@ string escapes §7.3.4.2).
 
 from __future__ import annotations
 
+import base64
 import re
 import zlib
 
@@ -114,6 +115,8 @@ def encode_pdf(pages, compress: bool = True, modern: bool = False,
             chain = ([stream_filter] if isinstance(stream_filter, str)
                      else list(stream_filter))
             for name in reversed(chain):
+                if name not in _ENCODERS:
+                    raise ValueError(f"unsupported PDF filter {name}")
                 data = _ENCODERS[name](data)
             if len(chain) == 1:
                 filt = f"/Filter /{chain[0]} ".encode()
@@ -569,6 +572,8 @@ def _ascii85_decode(raw: bytes) -> bytes:
             if group:
                 raise ValueError("PDF ASCII85 'z' inside a group")
             out += b"\0\0\0\0"
+            if len(out) > _MAX_STREAM_BYTES:
+                raise ValueError("PDF stream exceeds the inflate bound")
             i += 1
             continue
         if not 0x21 <= c <= 0x75:           # '!'..'u'
@@ -581,26 +586,19 @@ def _ascii85_decode(raw: bytes) -> bytes:
             if v > 0xFFFFFFFF:
                 raise ValueError("PDF ASCII85 group overflow")
             out += v.to_bytes(4, "big")
+            if len(out) > _MAX_STREAM_BYTES:
+                raise ValueError("PDF stream exceeds the inflate bound")
             group = []
         i += 1
     raise ValueError("PDF ASCII85 stream missing EOD")
 
 
 def _ascii85_encode(data: bytes) -> bytes:
-    out = bytearray()
-    for i in range(0, len(data), 4):
-        chunk = data[i:i + 4]
-        k = len(chunk)
-        v = int.from_bytes(chunk + b"\0" * (4 - k), "big")
-        if v == 0 and k == 4:
-            out += b"z"
-            continue
-        digits = bytearray(5)
-        for j in range(4, -1, -1):
-            digits[j] = 0x21 + v % 85
-            v //= 85
-        out += digits[: k + 1]
-    return bytes(out) + b"~>"
+    # stdlib a85 IS PDF's base-85 ('!'..'u', 'z' shorthand, partial
+    # groups) — only the '~>' EOD marker is PDF-specific. The custom
+    # DECODER above stays: it needs PDF whitespace rules, named errors,
+    # and the DoS bound.
+    return base64.a85encode(data) + b"~>"
 
 
 def _run_length_decode(raw: bytes) -> bytes:
