@@ -413,6 +413,31 @@ def test_hll_sketch_only_mode(spark):
         assert r["hll_estimate"] == gated_g[r["source"]]["hll_estimate"]
 
 
+def test_quantile_sketch_error_bound_vs_exact(spark):
+    """The HDR-histogram sketch's defining guarantee: the reported
+    quantile is the LOWER BOUND of the bucket containing the exact
+    percentile_disc value (binning is monotonic, so ranks are
+    preserved), and bucket width is <= max(1, lower/16) — so
+    est <= exact <= est + max(1, est//16) for every source and
+    percentile. Checked against the exact length_quantiles operator,
+    which sorts — the thing the sketch exists to avoid."""
+    from webtableextractionsystem_spark.operators.textstats import (
+        QUANTILE_PCTS,
+        length_quantiles,
+        quantile_sketch,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["source"]: r for r in length_quantiles(spark, sf).collect()}
+    rows = quantile_sketch(spark, sf).collect()
+    assert len(rows) == len(exact)
+    for r in rows:
+        for p in QUANTILE_PCTS:
+            est, ex = r[f"p{p}_est"], exact[r["source"]][f"p{p}"]
+            assert est <= ex <= est + max(1, est // 16), \
+                (r["source"], p, est, ex)
+
+
 def test_pagerank_crafted_star_differential(spark):
     """Differential check of the int64 fixed-point PageRank on an
     IRREGULAR crafted graph (a 4-leaf star + an isolated node) against

@@ -126,6 +126,10 @@ def main() -> None:
         "q_doc_length_quantiles — exact disc quantiles: one source "
         "sort-shuffle, agg reuses the window partitioning":
             TS.length_quantiles(spark, SF),
+        "q_doc_quantile_sketch — mergeable HDR-histogram quantiles: "
+        "map-side partial counts into the fixed bucket lattice, one "
+        "(source,bucket) shuffle of lattice size, NO corpus sort":
+            TS.quantile_sketch(spark, SF),
         "q_doc_hll_by_source — grouped mergeable sketch: partial max per "
         "(source, register), one composite-key shuffle":
             TS.hll_by_source(spark, SF),

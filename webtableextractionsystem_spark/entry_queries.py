@@ -272,82 +272,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     1. Any entry that has never had a driver row, or missed one last
        round, goes FIRST.
-    2. Entries new this round go next (they've never been driver-hashed).
+    2. Entries new this round go next (they've never been driver-hashed),
+       then entries whose CODE changed this round.
     3. Long-green entries rotate to the TAIL (positions >50), a
        different slice each round, so every query gets a driver row at
-       least every other round. Round-5 tail (25 entries, all green
-       r01-r04): the q_doc text-stats family, lsh_bands/simhash/
-       minhash/ngram_jaccard/exact_dedup/components_lsss, chunks/pack/
-       cms, top_orders/pricing_summary/emb_lsh_buckets — round 6 MUST
-       rotate these back inside the first 50 and push round-5's
-       newly-rowed entries out.
+       least every other round. Round-6 tail (26 entries, all green
+       r05): the 12 x_* extraction digests other than the
+       filter-changed x_pdf_features, the 5 q_emb_* similarity
+       queries, revenue_by_nation/anti_join, the 5 composed dedup
+       consumers (lsh_pairs/neardup_canonical/neardup_components/
+       decontaminate/curation_funnel), closed_sessions (its emit rule
+       is ALSO pinned against the actual streaming output in tests)
+       and length_quantiles (its percentile semantics are twinned by
+       the new, rowed quantile_sketch) — round 7 MUST rotate these
+       back inside the first 50 and push round-6's rowed veterans out.
+       (50-boundary re-verified this round: list(queries())[49] is the
+       last prefix entry, [50] the first tail entry.)
 
     Every entry stays green in the identical local gate regardless of
     position (tools/rehearse_gate.py runs ALL of them)."""
     return {
-        # never/rarely driver-rowed (r04 gap — see VERDICT r4 #1)
-        "q_events_attribution": REL.event_attribution,
-        "q_events_funnel": REL.event_funnel,
-        "q_events_asof_join": REL.event_asof_join,
-        "q_events_sessionize": REL.event_sessions,
-        "q_events_user_profiles": REL.user_profiles,
-        "q_events_hourly": REL.events_hourly,
-        "q_events_json_props": REL.events_json_props,
-        "q_rel_queue_batch": REL.queue_batch,
-        "q_rel_name_union": REL.name_union,
-        "q_rel_rollup": REL.lineitem_rollup,
-        "q_rel_cube": REL.lineitem_cube,
-        "q_rel_exists": REL.customers_with_open_orders,
-        "q_rel_region_part_volume": REL.region_part_volume,
-        # new in round 5
-        "q_events_closed_sessions": REL.closed_sessions,
-        "q_events_interval_join": REL.event_interval_join,
-        "q_doc_bloom_filter": DD.bloom_filter_stats,
-        "q_doc_length_quantiles": TS.length_quantiles,
-        "q_doc_hll_by_source": TS.hll_by_source,
-        "q_events_retention": REL.event_retention,
-        "q_doc_stratified_sample": TS.stratified_sample,
-        "q_doc_neardup_pagerank": DD.neardup_pagerank,
-        "q_events_anomalies": REL.event_anomalies,
-        "q_doc_bigram_lm": TS.bigram_lm_score,
-        "q_doc_repeated_ngrams": DD.repeated_ngrams,
-        # changed in round 5 (linear-counting branch) — must stay rowed
-        "q_doc_hll_distinct": TS.hll_distinct,
-        # extraction engine (T1-T18, C1-C8, E1-E4, F4-F10 composed)
-        "x_spans_by_kind": x_spans_by_kind,
-        "x_tables_by_type": x_tables_by_type,
-        "x_triples_by_rel": x_triples_by_rel,
-        "x_entities_fused": x_entities_fused,   # + A6 fusion
-        "x_doc_totals": x_doc_totals,
-        "x_table_records": x_table_records,     # F10
-        "x_url_filter": x_url_filter,           # F1/F2
-        "x_media_features": x_media_features,   # multimodal image path
-        "x_audio_features": x_audio_features,   # multimodal audio path
-        "x_video_features": x_video_features,   # multimodal video path
-        "x_pdf_features": x_pdf_features,       # PDF text+layout parse
-        "x_tables_docx": x_tables_docx,         # S13 docx sink digest
-        "x_er_graph": x_er_graph,               # S15 graph sink digest
-        # relational surface already rowed r04 (keep while slots allow)
-        "q_rel_revenue_by_nation": REL.revenue_by_nation,
-        "q_rel_anti_join": REL.customers_without_orders,
-        # embedding similarity
-        "q_emb_topk_cosine": SIM.topk_bruteforce,
-        "q_emb_neardup_pairs": SIM.neardup_pairs,
-        "q_emb_ivf_topk": SIM.ivf_topk,
-        "q_emb_ivf_recall": SIM.ivf_recall,
-        "q_emb_centroid_outliers": SIM.centroid_outliers,
-        # dedup family (F3 at scale; minhash/ngram_jaccard rotated to
-        # the tail — their composed consumers lsh_pairs and
-        # neardup_canonical stay rowed and exercise the same machinery)
-        "q_doc_lsh_pairs": DD.lsh_candidate_pairs,
-        "q_doc_neardup_canonical": DD.neardup_canonical,
-        "q_doc_neardup_components": DD.neardup_components,
-        "q_doc_decontaminate": DD.decontaminate,
-        "q_doc_curation_funnel": DD.curation_funnel,
-        # --- tail (rotated out this round; all green r01-r04 and
-        # unchanged; lsh_bands/simhash are the signature halves of the
-        # still-rowed *_pairs queries, components_lsss shares
-        # neardup_components' oracle) ---
+        # --- rotated back in (last driver-rowed r04) ---
         "q_doc_neardup_components_lsss": DD.neardup_components_lsss,
         "q_doc_simhash_pairs": DD.simhash_neardup_pairs,
         "q_rel_top_orders": REL.top_orders_per_customer,
@@ -376,6 +321,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_top_terms": TS.top_terms_per_source,
         "q_doc_inverted_index": TS.inverted_index_stats,
         "q_doc_source_stats": TS.source_stats,
+        # --- new in round 6 ---
+        "q_doc_quantile_sketch": TS.quantile_sketch,
+        # --- code changed in round 6 (must stay rowed) ---
+        "x_pdf_features": x_pdf_features,       # §7.4 filter battery
+        "q_doc_bloom_filter": DD.bloom_filter_stats,  # lazy compose
+        "q_doc_hll_distinct": TS.hll_distinct,        # with_exact param
+        "q_doc_hll_by_source": TS.hll_by_source,      # with_exact param
+        # --- single driver row so far (first rowed r05) ---
+        "q_events_attribution": REL.event_attribution,
+        "q_events_funnel": REL.event_funnel,
+        "q_events_asof_join": REL.event_asof_join,
+        "q_events_sessionize": REL.event_sessions,
+        "q_events_user_profiles": REL.user_profiles,
+        "q_events_hourly": REL.events_hourly,
+        "q_events_json_props": REL.events_json_props,
+        "q_rel_queue_batch": REL.queue_batch,
+        "q_rel_name_union": REL.name_union,
+        "q_rel_rollup": REL.lineitem_rollup,
+        "q_rel_cube": REL.lineitem_cube,
+        "q_rel_exists": REL.customers_with_open_orders,
+        "q_rel_region_part_volume": REL.region_part_volume,
+        "q_events_interval_join": REL.event_interval_join,
+        "q_events_retention": REL.event_retention,
+        "q_doc_stratified_sample": TS.stratified_sample,
+        "q_doc_neardup_pagerank": DD.neardup_pagerank,
+        "q_events_anomalies": REL.event_anomalies,
+        "q_doc_bigram_lm": TS.bigram_lm_score,
+        "q_doc_repeated_ngrams": DD.repeated_ngrams,
+        # --- tail (rotated out this round; all green r05, unchanged;
+        # see the rotation-policy docstring for the twin reasoning) ---
+        "q_events_closed_sessions": REL.closed_sessions,
+        "q_doc_length_quantiles": TS.length_quantiles,
+        "q_rel_revenue_by_nation": REL.revenue_by_nation,
+        "q_rel_anti_join": REL.customers_without_orders,
+        "q_emb_topk_cosine": SIM.topk_bruteforce,
+        "q_emb_neardup_pairs": SIM.neardup_pairs,
+        "q_emb_ivf_topk": SIM.ivf_topk,
+        "q_emb_ivf_recall": SIM.ivf_recall,
+        "q_emb_centroid_outliers": SIM.centroid_outliers,
+        "q_doc_lsh_pairs": DD.lsh_candidate_pairs,
+        "q_doc_neardup_canonical": DD.neardup_canonical,
+        "q_doc_neardup_components": DD.neardup_components,
+        "q_doc_decontaminate": DD.decontaminate,
+        "q_doc_curation_funnel": DD.curation_funnel,
+        # extraction engine (T1-T18, C1-C8, E1-E4, F4-F10 composed)
+        "x_spans_by_kind": x_spans_by_kind,
+        "x_tables_by_type": x_tables_by_type,
+        "x_triples_by_rel": x_triples_by_rel,
+        "x_entities_fused": x_entities_fused,   # + A6 fusion
+        "x_doc_totals": x_doc_totals,
+        "x_table_records": x_table_records,     # F10
+        "x_url_filter": x_url_filter,           # F1/F2
+        "x_media_features": x_media_features,   # multimodal image path
+        "x_audio_features": x_audio_features,   # multimodal audio path
+        "x_video_features": x_video_features,   # multimodal video path
+        "x_tables_docx": x_tables_docx,         # S13 docx sink digest
+        "x_er_graph": x_er_graph,               # S15 graph sink digest
     }
 
 
@@ -438,6 +440,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_bloom_filter": DD.bloom_filter_sql(),
         "q_doc_length_quantiles": TS.LENGTH_QUANTILES_SQL,
         "q_doc_hll_by_source": TS.HLL_BY_SOURCE_SQL,
+        "q_doc_quantile_sketch": TS.QUANTILE_SKETCH_SQL,
         "q_events_attribution": REL.EVENT_ATTRIBUTION_SQL,
         "q_events_funnel": REL.EVENT_FUNNEL_SQL,
         "q_events_asof_join": REL.EVENT_ASOF_SQL,

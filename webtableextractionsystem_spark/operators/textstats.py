@@ -1109,3 +1109,108 @@ SELECT source, n_registers_set,
        exact_distinct
 FROM est
 """
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile sketch — the scale sibling of length_quantiles
+# (whose docstring names the need): an HDR-histogram-style fixed bucket
+# lattice, all-integer, so the sketch VALUES cross-engine hash-match
+# ---------------------------------------------------------------------------
+
+QSKETCH_SUB_BITS = 4          # 16 linear sub-buckets per power-of-two
+_QSK_SUB = 1 << QSKETCH_SUB_BITS
+
+
+def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length quantiles from a MERGEABLE histogram sketch
+    (HDR-histogram bucket lattice, public domain design: Tene,
+    HdrHistogram): value v maps to bucket v itself when v < 16, else
+    bucket (e-4)*16 + (v >> (e-4)) where e = floor(log2 v) computed
+    with the HLL trick ``length(bin(v)) - 1`` (integer-exact, never
+    floating log). Each power-of-two octave splits into 16 linear
+    sub-buckets, so a bucket's width is at most lower/16 — the reported
+    quantile (the bucket's lower bound, integer) is within 1/16
+    relative of the exact percentile_disc value, and the containing
+    bucket is EXACTLY the bucket of the exact answer (binning is
+    monotonic, so rank order is preserved).
+
+    Everything is integer arithmetic — bucket ids, counts, cumulative
+    ranks, reconstructed lower bounds — so the DuckDB oracle matches
+    bit-for-bit at any parallelism and merge order; this is the same
+    cross-engine discipline as the HLL/CMS/Bloom sketches.
+
+    Scale shape vs length_quantiles' full per-group sort: ONE map-side
+    partial count into the fixed lattice (<= ~16*60 buckets spans the
+    whole int64 range), a (source, bucket) shuffle whose payload is the
+    lattice size regardless of corpus size, then a window + fold over
+    the tiny per-group histogram. Sketches merge by adding counts —
+    the form a 1000-executor job or a streaming accumulator needs. No
+    full sort, no corpus-sized exchange."""
+    v = F.col("n_chars").cast("long")
+    d = (load_documents(spark, sf_dir)
+         .select("source", v.alias("v"))
+         .withColumn("e", (F.length(F.bin(F.col("v"))) - 1).cast("int")))
+    bucket = (
+        F.when(F.col("v") < _QSK_SUB, F.col("v").cast("int"))
+        .otherwise(((F.col("e") - QSKETCH_SUB_BITS) * _QSK_SUB
+                    + F.expr(f"shiftright(v, e - {QSKETCH_SUB_BITS})"))
+                   .cast("int"))
+    )
+    hist = (d.select("source", bucket.alias("bucket"))
+            .groupBy("source", "bucket").agg(F.count("*").alias("cnt")))
+    w_cum = (Window.partitionBy("source").orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    ranked = hist.select(
+        "source", "bucket", "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("source")).alias("n"),
+    )
+    # reconstruct the bucket's lower bound: b < 16 -> b, else
+    # (16 + b%16) << (b//16 - 1)  [b = (e-3)*16 + s  =>  e = b//16 + 3]
+    lower = (
+        F.when(F.col("bucket") < _QSK_SUB, F.col("bucket").cast("long"))
+        .otherwise(F.expr(
+            f"shiftleft(CAST({_QSK_SUB} + bucket % {_QSK_SUB} AS BIGINT),"
+            f" bucket DIV {_QSK_SUB} - 1)"))
+    )
+    return ranked.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        *[F.min(F.when(F.col("cum") * 100 >= F.col("n") * p, lower))
+          .alias(f"p{p}_est") for p in QUANTILE_PCTS],
+    )
+
+
+_QSK_BUCKET_SQL = f"""CASE WHEN v < {_QSK_SUB} THEN CAST(v AS INTEGER)
+         ELSE CAST((length(bin(v)) - 1 - {QSKETCH_SUB_BITS}) * {_QSK_SUB}
+              + (v >> (length(bin(v)) - 1 - {QSKETCH_SUB_BITS}))
+              AS INTEGER) END"""
+
+_QSK_LOWER_SQL = f"""CASE WHEN bucket < {_QSK_SUB} THEN CAST(bucket AS BIGINT)
+           ELSE CAST(({_QSK_SUB} + bucket % {_QSK_SUB}) AS BIGINT)
+                << (bucket // {_QSK_SUB} - 1) END"""
+
+_QSK_COLS_SQL = ",\n       ".join(
+    f"min(CASE WHEN cum*100 >= n*{p} THEN lower_b END) AS p{p}_est"
+    for p in QUANTILE_PCTS)
+
+QUANTILE_SKETCH_SQL = f"""
+WITH vals AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+),
+hist AS (
+  SELECT source, {_QSK_BUCKET_SQL} AS bucket, count(*) AS cnt
+  FROM vals GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, bucket, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY source ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n,
+         {_QSK_LOWER_SQL} AS lower_b
+  FROM hist
+)
+SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+       {_QSK_COLS_SQL}
+FROM ranked
+GROUP BY source
+"""
