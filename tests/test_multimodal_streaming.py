@@ -2371,6 +2371,79 @@ def test_pdf_filter_battery_roundtrip_and_boundaries():
                 (chain, modern)
 
 
+def test_pdf_type0_identity_h_fonts():
+    """Type0/Identity-H composite fonts (§9.7): 2-byte CIDs resolved
+    through the /ToUnicode CMap. Round trips cover CJK, mixed
+    latin/CJK runs, non-BMP (surrogate-pair destinations), both file
+    structures and filtered content streams; the CMap generator emits
+    bfranges for consecutive codepoints and bfchars otherwise, so both
+    §9.10.3 destination forms are decoded. Boundaries: no /ToUnicode,
+    predefined CMap names, odd-length show strings, and unmapped CIDs
+    all raise the named ValueError."""
+    import pytest
+
+    from webtableextractionsystem_spark.operators import pdf as P
+
+    pages = [
+        [(72.0, 720.0, 12.0, "latin only"),
+         (72.0, 700.0, 12.0, "表格抽取系统测试"),
+         (72.0, 680.0, 11.0, "mixed abc 中文 xyz"),
+         (300.0, 720.0, 10.0, "emoji \U0001F600\U0001F601 pair")],
+        [(72.0, 720.0, 14.0, "página dos café")],   # latin-1 stays /F1
+    ]
+    for modern in (False, True):
+        for sf in (None, "LZWDecode", ["ASCII85Decode", "FlateDecode"]):
+            kw = {"modern": modern}
+            if sf is not None:
+                kw["stream_filter"] = sf
+            got = P.decode_pdf(P.encode_pdf(pages, **kw))
+            assert [[(x, y, s, t) for x, y, s, t in pg]
+                    for pg in got] == pages, (modern, sf)
+    txt = P.extract_pdf_text(P.encode_pdf(pages))
+    assert "表格抽取系统测试" in txt[0] and "café" in txt[1]
+
+    # the generated CMap really uses BOTH forms
+    cm = P._tounicode_cmap(
+        sorted(set("表格抽取系统测试中文abcxyz \U0001F600"))).decode("latin-1")
+    assert "beginbfrange" in cm and "beginbfchar" in cm
+    # non-BMP chars must be bfchar singletons (their UTF-16 is a
+    # surrogate pair; the bfrange increment rule can't span them)
+    assert "<D83D" not in cm.split("beginbfrange")[1].split("endbfrange")[0]
+
+    # array-form bfrange: hand-built CMap exercising the explicit list
+    cmap = P._parse_tounicode(
+        b"2 beginbfrange\n"
+        b"<0001> <0002> [<4E2D> <6587>]\n"
+        b"<0005> <0006> <0041>\n"
+        b"endbfrange\n"
+        b"1 beginbfchar\n<0009> <D83DDE00>\nendbfchar\n")
+    assert cmap == {1: "中", 2: "文", 5: "A", 6: "B",
+                    9: "\U0001F600"}
+
+    # boundaries
+    pl = P.encode_pdf([[(72.0, 720.0, 12.0, "中")]])
+    with pytest.raises(ValueError, match="ToUnicode"):
+        P.decode_pdf(pl.replace(b"/ToUnicode ", b"/ToUnicodX "))
+    with pytest.raises(ValueError, match="Identity-H only"):
+        P.decode_pdf(pl.replace(b"/Identity-H", b"/Identity-V"))
+    with pytest.raises(ValueError, match="bfrange array length"):
+        P._parse_tounicode(b"1 beginbfrange\n<0001> <0003> [<41> <42>]\n"
+                           b"endbfrange\n")
+    with pytest.raises(ValueError, match="bfrange bounds"):
+        P._parse_tounicode(b"1 beginbfrange\n<0005> <0001> <0041>\n"
+                           b"endbfrange\n")
+    # unmapped CID + odd-length show string through a real decoder
+    doc = P._Doc(pl)
+    page = doc.pages()[0]
+    decs = {k: P._font_decoder(doc, v)
+            for k, v in doc.page_fonts(page).items()}
+    f2 = decs["F2"]
+    with pytest.raises(ValueError, match="missing from the /ToUnicode"):
+        f2(b"\x00\x99")
+    with pytest.raises(ValueError, match="odd-length"):
+        f2(b"\x00")
+
+
 def test_pdf_lzw_earlychange_parm_hand_built():
     """/DecodeParms << /EarlyChange 0 >> must reach the LZW decoder: an
     early=0 stream decoded with the early=1 default desynchronizes the

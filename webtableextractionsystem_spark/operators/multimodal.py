@@ -1184,8 +1184,11 @@ def synth_pdfs_for_spans(spans_out: DataFrame) -> DataFrame:
                      "RunLengthDecode", "ASCIIHexDecode",
                      ["ASCII85Decode", "FlateDecode"])
 
+    # the two CJK entries force a Type0/Identity-H font (+ ToUnicode
+    # CMap) into every PDF whose rng draws them, so the driver gate
+    # exercises the composite-font decode path, not just latin-1
     _WORDS = ("table", "spark", "corpus", "extract", "span", "layout",
-              "query", "join", "column", "page", "anchor", "cell")
+              "query", "join", "column", "page", "表格抽取", "属性关系")
 
     def gen(batches):
         for pdf in batches:

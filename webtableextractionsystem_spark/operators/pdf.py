@@ -15,11 +15,14 @@ cascade of FlateDecode, LZWDecode (MSB-first 9..12-bit codes,
 literal (all §7.3.4.2 escapes) and hex strings; the full
 positioned-text operator set (BT/ET, Tf, Td, TD, TL, T*, Tm, Tj, ', ",
 TJ) with q/Q + cm graphics-state matrix composition and inline-image
-skipping; simple (1-byte, latin-1-decoded) fonts with inherited
-/Resources; page trees of any nesting. Raises ValueError naming the
-feature for: encrypted files, CID/Type0 composite fonts (extracting
-their bytes as text would be silent garbage), and filters outside the
-five above (JBIG2/JPX/DCT image codings have no text to extract).
+skipping; simple (1-byte, latin-1-decoded) fonts AND Type0/Identity-H
+composite fonts (2-byte CIDs through the /ToUnicode CMap — bfchar and
+both bfrange destination forms — which is how CJK web PDFs embed
+text), with inherited /Resources; page trees of any nesting. Raises
+ValueError naming the feature for: encrypted files, Type0 fonts with
+predefined (non-Identity-H) CMaps or no /ToUnicode (extracting their
+bytes as text would be silent garbage), and filters outside the five
+above (JBIG2/JPX/DCT image codings have no text to extract).
 
 Layout parse: runs carry the device-space position of their text matrix
 (Tm composed with the CTM), and ``extract_pdf_text`` groups runs into
@@ -100,13 +103,35 @@ def encode_pdf(pages, compress: bool = True, modern: bool = False,
                ).encode()
     objs[3] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
                b"/Encoding /WinAnsiEncoding >>")
+    # any non-latin-1 run -> a Type0/Identity-H font (/F2) with a
+    # ToUnicode CMap, the way real writers embed CJK text; CIDs are
+    # assigned 1..n over the document's sorted unique codepoints, so
+    # consecutive codepoints become bfranges and the rest bfchars —
+    # both CMap destination forms get exercised by round trips
+    def _is_simple(t: str) -> bool:
+        try:
+            t.encode("latin-1")
+            return True
+        except UnicodeEncodeError:
+            return False
+
+    cjk_chars = sorted({ch for runs in pages for _, _, _, t in runs
+                        if not _is_simple(t) for ch in t})
+    cid_of = {ch: i + 1 for i, ch in enumerate(cjk_chars)}
+    font2_id = 4 + 2 * n_pages
     for i, runs in enumerate(pages):
         pid, cid = page_ids[i], page_ids[i] + 1
         content = bytearray(b"BT\n")
         for x, y, size, text in runs:
-            content += b"/F1 %s Tf\n" % _num(size)
-            content += b"1 0 0 1 %s %s Tm\n" % (_num(x), _num(y))
-            content += b"(" + _esc_string(text) + b") Tj\n"
+            if _is_simple(text):
+                content += b"/F1 %s Tf\n" % _num(size)
+                content += b"1 0 0 1 %s %s Tm\n" % (_num(x), _num(y))
+                content += b"(" + _esc_string(text) + b") Tj\n"
+            else:
+                content += b"/F2 %s Tf\n" % _num(size)
+                content += b"1 0 0 1 %s %s Tm\n" % (_num(x), _num(y))
+                hexstr = "".join(f"{cid_of[ch]:04X}" for ch in text)
+                content += b"<" + hexstr.encode("ascii") + b"> Tj\n"
         content += b"ET"
         data = bytes(content)
         filt = b""
@@ -128,10 +153,26 @@ def encode_pdf(pages, compress: bool = True, modern: bool = False,
             filt = b"/Filter /FlateDecode "
         objs[cid] = (b"<< " + filt + b"/Length %d >>\nstream\n" % len(data)
                      + data + b"\nendstream")
+        fres = (f"/F1 3 0 R /F2 {font2_id} 0 R" if cjk_chars
+                else "/F1 3 0 R")
         objs[pid] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {_PAGE_W} "
-            f"{_PAGE_H}] /Resources << /Font << /F1 3 0 R >> >> "
+            f"{_PAGE_H}] /Resources << /Font << {fres} >> >> "
             f"/Contents {cid} 0 R >>").encode()
+
+    if cjk_chars:
+        desc_id, tu_id = font2_id + 1, font2_id + 2
+        objs[font2_id] = (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCJK "
+            f"/Encoding /Identity-H /DescendantFonts [ {desc_id} 0 R ] "
+            f"/ToUnicode {tu_id} 0 R >>").encode()
+        objs[desc_id] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCJK "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> >>")
+        cmap_z = zlib.compress(_tounicode_cmap(cjk_chars))
+        objs[tu_id] = (b"<< /Filter /FlateDecode /Length %d >>\nstream\n"
+                       % len(cmap_z) + cmap_z + b"\nendstream")
 
     if modern:
         return _assemble_modern(objs, compress)
@@ -149,6 +190,48 @@ def encode_pdf(pages, compress: bool = True, modern: bool = False,
     out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
             % (n, xref_at))
     return bytes(out)
+
+
+def _tounicode_cmap(chars: list[str]) -> bytes:
+    """ToUnicode CMap for CIDs 1..n over ``chars`` (sorted unique):
+    runs of consecutive BMP codepoints emit as bfrange (start-string
+    increment form), everything else (singletons, non-BMP chars whose
+    UTF-16 is a surrogate pair) as bfchar — so decoder round trips
+    cover both destination forms."""
+    ranges: list[tuple[int, int, str]] = []   # (cid_lo, cid_hi, ch_lo)
+    chars_list = list(chars)
+    i = 0
+    while i < len(chars_list):
+        j = i
+        while (j + 1 < len(chars_list)
+               and ord(chars_list[j + 1]) == ord(chars_list[j]) + 1
+               and ord(chars_list[j + 1]) <= 0xFFFF):
+            j += 1
+        ranges.append((i + 1, j + 1, chars_list[i]))
+        i = j + 1
+
+    def hex16(s: str) -> str:
+        return s.encode("utf-16-be").hex().upper()
+
+    bfchars = [(lo, ch) for lo, hi, ch in ranges if lo == hi]
+    bfranges = [(lo, hi, ch) for lo, hi, ch in ranges if lo != hi]
+    parts = [
+        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        "/CMapName /SynthCJK-UCS def\n/CMapType 2 def\n"
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    ]
+    if bfchars:
+        parts.append(f"{len(bfchars)} beginbfchar\n")
+        parts += [f"<{cid:04X}> <{hex16(ch)}>\n" for cid, ch in bfchars]
+        parts.append("endbfchar\n")
+    if bfranges:
+        parts.append(f"{len(bfranges)} beginbfrange\n")
+        parts += [f"<{lo:04X}> <{hi:04X}> <{hex16(ch)}>\n"
+                  for lo, hi, ch in bfranges]
+        parts.append("endbfrange\n")
+    parts.append("endcmap\nCMapName currentdict /CMap defineresource pop\n"
+                 "end\nend")
+    return "".join(parts).encode("latin-1")
 
 
 def _assemble_modern(objs: dict[int, bytes], compress: bool) -> bytes:
@@ -1147,6 +1230,115 @@ def _decode_text(raw: bytes) -> str:
     return raw.decode("latin-1")
 
 
+# ---------------------------------------------------------------------------
+# Type0 / Identity-H composite fonts (§9.7): 2-byte CIDs mapped to
+# Unicode through the font's /ToUnicode CMap (§9.10.3). Identity-H is
+# how virtually every CJK web PDF embeds text; other CMap encodings
+# keep the honest raise (decoding them needs the full predefined-CMap
+# registry).
+# ---------------------------------------------------------------------------
+
+_MAX_CMAP_ENTRIES = 1 << 17   # mapping-count bound (DoS)
+
+_BFCHAR_RE = re.compile(r"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(r"beginbfrange(.*?)endbfrange", re.S)
+_HEX_PAIR_RE = re.compile(r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_RANGE_RE = re.compile(
+    r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+    r"(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\])")
+_HEX_ITEM_RE = re.compile(r"<([0-9A-Fa-f]+)>")
+
+
+def _utf16be_hex(h: str) -> str:
+    try:
+        return bytes.fromhex(h).decode("utf-16-be")
+    except (ValueError, UnicodeDecodeError) as e:
+        raise ValueError("bad PDF ToUnicode destination string") from e
+
+
+def _parse_tounicode(data: bytes) -> dict[int, str]:
+    """ToUnicode CMap stream -> {CID: unicode string}. Supports bfchar
+    pairs and bfrange in both destination forms (start-string with the
+    spec's increment-the-last-code-unit rule, and the explicit array).
+    Bounded: total mappings <= _MAX_CMAP_ENTRIES."""
+    text = data.decode("latin-1", errors="replace")
+    out: dict[int, str] = {}
+
+    def add(cid: int, s: str) -> None:
+        if cid > 0xFFFF:
+            raise ValueError("PDF ToUnicode CID exceeds 2 bytes")
+        if len(out) >= _MAX_CMAP_ENTRIES:
+            raise ValueError("PDF ToUnicode CMap too large")
+        out[cid] = s
+
+    for block in _BFCHAR_RE.findall(text):
+        for src, dst in _HEX_PAIR_RE.findall(block):
+            add(int(src, 16), _utf16be_hex(dst))
+    for block in _BFRANGE_RE.findall(text):
+        for m in _RANGE_RE.finditer(block):
+            lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            if hi < lo or hi - lo > 0xFFFF:
+                raise ValueError("bad PDF ToUnicode bfrange bounds")
+            if m.group(4) is not None:      # explicit array form
+                dsts = _HEX_ITEM_RE.findall(m.group(4))
+                if len(dsts) != hi - lo + 1:
+                    raise ValueError(
+                        "PDF ToUnicode bfrange array length mismatch")
+                for i, d in enumerate(dsts):
+                    add(lo + i, _utf16be_hex(d))
+            else:                           # start string + increment
+                base = bytearray(bytes.fromhex(m.group(3)))
+                if len(base) < 2 or len(base) % 2:
+                    raise ValueError(
+                        "bad PDF ToUnicode destination string")
+                start = int.from_bytes(base[-2:], "big")
+                for i in range(hi - lo + 1):
+                    # §9.10.3: only the LAST UTF-16 code unit increments
+                    unit = start + i
+                    if unit > 0xFFFF:
+                        raise ValueError(
+                            "PDF ToUnicode bfrange increment overflow")
+                    base[-2:] = unit.to_bytes(2, "big")
+                    add(lo + i, _utf16be_hex(base.hex()))
+    return out
+
+
+def _font_decoder(doc: "_Doc", fdict: dict):
+    """Font dict -> bytes->str decoder for its show strings. Simple
+    (1-byte) fonts decode latin-1; Type0/Identity-H decodes 2-byte
+    CIDs through /ToUnicode; anything else raises the honest named
+    ValueError."""
+    sub = str((fdict or {}).get("Subtype", ""))
+    if sub != "Type0":
+        return _decode_text
+    enc = doc.resolve(fdict.get("Encoding"))
+    if str(enc) != "Identity-H":
+        raise ValueError(
+            f"PDF Type0 encoding {enc} unsupported (Identity-H only — "
+            "predefined CMaps need the full Adobe registry)")
+    tu = doc.resolve(fdict.get("ToUnicode"))
+    if not (isinstance(tu, tuple) and tu[0] == "stream"):
+        raise ValueError(
+            "PDF Type0 font without /ToUnicode — extracting raw CIDs "
+            "as text would be silent garbage")
+    cmap = _parse_tounicode(tu[2])
+
+    def dec(raw: bytes) -> str:
+        if len(raw) % 2:
+            raise ValueError("odd-length PDF Identity-H show string")
+        parts = []
+        for i in range(0, len(raw), 2):
+            cid = (raw[i] << 8) | raw[i + 1]
+            s = cmap.get(cid)
+            if s is None:
+                raise ValueError(
+                    f"PDF CID {cid} missing from the /ToUnicode CMap")
+            parts.append(s)
+        return "".join(parts)
+
+    return dec
+
+
 def decode_pdf(payload: bytes):
     """payload -> list of pages, each a list of (x, y, size, text) runs
     in content order. x/y are device-space positions of the run's text
@@ -1156,19 +1348,15 @@ def decode_pdf(payload: bytes):
     doc = _Doc(payload)
     pages_out = []
     for page in doc.pages():
-        fonts = doc.page_fonts(page)
-        for fname, fdict in fonts.items():
-            sub = str((fdict or {}).get("Subtype", ""))
-            if sub == "Type0":
-                raise ValueError(
-                    "PDF CID-keyed (Type0) fonts unsupported — extracting "
-                    "their bytes as text would be silent garbage")
-        runs = _interpret_content(doc.page_content(page))
+        decoders = {fname: _font_decoder(doc, fdict)
+                    for fname, fdict in doc.page_fonts(page).items()}
+        runs = _interpret_content(doc.page_content(page), decoders)
         pages_out.append(runs)
     return pages_out
 
 
-def _interpret_content(content: bytes):
+def _interpret_content(content: bytes, decoders=None):
+    decoders = decoders or {}
     lx = _Lexer(content)
     stack: list = []
     ctm = _ID
@@ -1177,6 +1365,7 @@ def _interpret_content(content: bytes):
     size = 0.0
     leading = 0.0
     in_text = False
+    cur_dec = _decode_text
     runs = []
 
     def show(raw) -> None:
@@ -1187,7 +1376,7 @@ def _interpret_content(content: bytes):
             # not an AttributeError escaping decode_pdf
             raise ValueError("PDF show operand is not a string")
         dev = _mat_mul(tm, ctm)
-        runs.append((dev[4], dev[5], size, _decode_text(raw)))
+        runs.append((dev[4], dev[5], size, cur_dec(raw)))
 
     _EI = re.compile(rb"(?<=[\x00\t\n\x0c\r ])EI(?=[\x00\t\n\x0c\r/%<>\[\](]|$)")
 
@@ -1242,6 +1431,12 @@ def _interpret_content(content: bytes):
                 in_text = False
             elif op == "Tf":
                 size = float(stack[-1])
+                # the named font selects the show-string decoder
+                # (latin-1 for simple fonts, CID->Unicode for
+                # Type0/Identity-H); an unnamed/unknown font keeps the
+                # simple-font default
+                if len(stack) >= 2 and isinstance(stack[-2], _Name):
+                    cur_dec = decoders.get(str(stack[-2]), _decode_text)
             elif op == "TL":
                 leading = float(stack[-1])
             elif op == "Td":
