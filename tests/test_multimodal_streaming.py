@@ -2432,6 +2432,40 @@ def test_pdf_type0_identity_h_fonts():
     with pytest.raises(ValueError, match="bfrange bounds"):
         P._parse_tounicode(b"1 beginbfrange\n<0005> <0001> <0041>\n"
                            b"endbfrange\n")
+    # q/Q must save/restore the TEXT state too (§8.4.2 Table 52): a Q
+    # restoring only the CTM would leave the wrong font decoder active
+    # and show silent mojibake (review finding)
+    import re
+
+    qpl = P.encode_pdf([[(72.0, 720.0, 12.0, "中"),
+                         (72.0, 700.0, 10.0, "ok")]], compress=False)
+    m = re.search(rb"stream\n(BT\n.*?ET)\nendstream", qpl, re.S)
+    content = m.group(1)
+    # wrap the latin run in q/Q, then re-show the CID string AFTER Q
+    # with no intervening Tf — it must decode through /F2 again
+    hexshow = re.search(rb"<([0-9A-F]+)> Tj", content).group(0)
+    f2sel = re.search(rb"/F2 [\d.]+ Tf", content).group(0)
+    crafted = (b"BT\n" + f2sel + b"\n1 0 0 1 72 720 Tm\n"
+               + b"q\n/F1 10 Tf\n(ok) Tj\nQ\n" + hexshow + b"\nET")
+    doc2 = P._Doc(qpl)
+    page2 = doc2.pages()[0]
+    decs2 = {k: P._font_decoder(doc2, v)
+             for k, v in doc2.page_fonts(page2).items()}
+    runs2 = P._interpret_content(crafted, decs2)
+    assert [r[3] for r in runs2] == ["ok", "中"]
+
+    # a malformed bfrange entry (missing destination) must raise, not
+    # misalign onto the next entry's bounds (review finding)
+    with pytest.raises(ValueError, match="malformed PDF ToUnicode"):
+        P._parse_tounicode(b"2 beginbfrange\n<0001> <0002>\n"
+                           b"<0003> <0004> <0041>\nendbfrange\n")
+    # >65535 unique non-latin-1 chars must fail at ENCODE time (a
+    # 5-hex-digit CID would misframe the show strings)
+    big = "".join(chr(0x20000 + i) for i in range(0x10100))
+    assert len(set(big)) > 0xFFFF
+    with pytest.raises(ValueError, match="65535"):
+        P.encode_pdf([[(72.0, 720.0, 8.0, big)]])
+
     # unmapped CID + odd-length show string through a real decoder
     doc = P._Doc(pl)
     page = doc.pages()[0]

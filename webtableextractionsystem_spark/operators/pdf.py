@@ -59,8 +59,8 @@ def _esc_string(s: str) -> bytes:
         raw = s.encode("latin-1")
     except UnicodeEncodeError as e:
         raise ValueError(
-            "encode_pdf text outside latin-1 needs a composite font, "
-            "which this encoder does not emit") from e
+            "_esc_string is for simple-font (latin-1) text; encode_pdf "
+            "routes non-latin-1 runs to the Type0 hex-string path") from e
     out = bytearray()
     for b in raw:
         if b in (0x28, 0x29, 0x5C):  # ( ) \
@@ -117,6 +117,11 @@ def encode_pdf(pages, compress: bool = True, modern: bool = False,
 
     cjk_chars = sorted({ch for runs in pages for _, _, _, t in runs
                         if not _is_simple(t) for ch in t})
+    if len(cjk_chars) > 0xFFFF:
+        # CIDs are 2 bytes; a 5-hex-digit CID would misframe every
+        # show string after it — fail at encode time, not decode time
+        raise ValueError("encode_pdf text exceeds 65535 unique "
+                         "non-latin-1 characters (2-byte CID space)")
     cid_of = {ch: i + 1 for i, ch in enumerate(cjk_chars)}
     font2_id = 4 + 2 * n_pages
     for i, runs in enumerate(pages):
@@ -1271,11 +1276,30 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
             raise ValueError("PDF ToUnicode CMap too large")
         out[cid] = s
 
+    def _entries(block: str, pat: re.Pattern):
+        # STRICT sequential parse: every non-whitespace byte of the
+        # block must belong to a matched entry. A lenient finditer
+        # would misalign on an unsupported entry form (e.g. a missing
+        # destination) and silently consume the NEXT entry's bounds as
+        # a destination — corrupting neighbours instead of raising
+        # (review finding).
+        pos = 0
+        while True:
+            ws = re.match(r"\s*", block[pos:])
+            pos += ws.end()
+            if pos >= len(block):
+                return
+            m = pat.match(block, pos)
+            if m is None:
+                raise ValueError("malformed PDF ToUnicode CMap entry")
+            yield m
+            pos = m.end()
+
     for block in _BFCHAR_RE.findall(text):
-        for src, dst in _HEX_PAIR_RE.findall(block):
-            add(int(src, 16), _utf16be_hex(dst))
+        for m in _entries(block, _HEX_PAIR_RE):
+            add(int(m.group(1), 16), _utf16be_hex(m.group(2)))
     for block in _BFRANGE_RE.findall(text):
-        for m in _RANGE_RE.finditer(block):
+        for m in _entries(block, _RANGE_RE):
             lo, hi = int(m.group(1), 16), int(m.group(2), 16)
             if hi < lo or hi - lo > 0xFFFF:
                 raise ValueError("bad PDF ToUnicode bfrange bounds")
@@ -1347,9 +1371,17 @@ def decode_pdf(payload: bytes):
         raise ValueError("not a PDF payload")
     doc = _Doc(payload)
     pages_out = []
+    # memoize per font OBJECT (resolve() caches, so the same font dict
+    # is identity-stable across pages): N pages inheriting one Type0
+    # font parse its ToUnicode CMap once, not N times
+    dec_cache: dict[int, object] = {}
     for page in doc.pages():
-        decoders = {fname: _font_decoder(doc, fdict)
-                    for fname, fdict in doc.page_fonts(page).items()}
+        decoders = {}
+        for fname, fdict in doc.page_fonts(page).items():
+            key = id(fdict)
+            if key not in dec_cache:
+                dec_cache[key] = _font_decoder(doc, fdict)
+            decoders[fname] = dec_cache[key]
         runs = _interpret_content(doc.page_content(page), decoders)
         pages_out.append(runs)
     return pages_out
@@ -1413,14 +1445,18 @@ def _interpret_content(content: bytes, decoders=None):
         op = tok
         try:
             if op == "q":
-                gstack.append(ctm)
+                # §8.4.2 Table 52: the saved graphics state includes
+                # the TEXT state (font => decoder, size), not just the
+                # CTM — a Q that restored only the CTM would leave a
+                # stale decoder and show silent mojibake afterwards
+                gstack.append((ctm, size, cur_dec))
                 if len(gstack) > 256:
                     raise ValueError("PDF graphics-state stack too deep")
             elif op == "Q":
                 # unbalanced Q: real interpreters ignore it — resetting
                 # to identity would silently move every later run
                 if gstack:
-                    ctm = gstack.pop()
+                    ctm, size, cur_dec = gstack.pop()
             elif op == "cm":
                 m = tuple(float(v) for v in stack[-6:])
                 ctm = _mat_mul(m, ctm)
