@@ -2527,6 +2527,63 @@ def test_pdf_lzw_earlychange_parm_hand_built():
         pass
 
 
+def test_streaming_quantile_hist_equals_batch(spark, tmp_path):
+    """The streamed quantile histogram == the batch lattice over the
+    same corpus, across an availableNow restart, and the online
+    estimates (qsketch_estimates over state) == the batch
+    quantile_sketch fold — both sides share the bucket and estimate
+    expressions, so the only thing under test is the update-mode
+    mergeable accumulation and the versioned state layer."""
+    from pyspark.sql import functions as F
+
+    from webtableextractionsystem_spark.operators.textstats import (
+        qsketch_buckets,
+        qsketch_estimates,
+    )
+    from webtableextractionsystem_spark.streaming.incremental import (
+        read_streaming_quantiles,
+        streaming_quantile_hist,
+    )
+
+    SCHEMA = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    # lengths straddle the small-value (v<16) and several power-of-two
+    # octaves so multiple lattice regions get state
+    wave1 = [(i, "x", "en", f"s{i % 3}", [3, 17, 250, 4097][i % 4])
+             for i in range(40)]
+    wave2 = [(100 + i, "x", "en", f"s{i % 3}", [9, 33, 1023][i % 3])
+             for i in range(30)]
+    in_dir, out_dir, ck_dir = (str(tmp_path / d) for d in
+                               ("in", "out", "ck"))
+    spark.createDataFrame(wave1, SCHEMA).write.mode("overwrite") \
+        .parquet(in_dir)
+    streaming_quantile_hist(spark, in_dir, out_dir, ck_dir)
+    spark.createDataFrame(wave2, SCHEMA).write.mode("append") \
+        .parquet(in_dir)
+    streaming_quantile_hist(spark, in_dir, out_dir, ck_dir)
+
+    from webtableextractionsystem_spark.streaming.incremental import (
+        read_latest_version,
+    )
+
+    got = {(r["source"], r["bucket"]): r["cnt"]
+           for r in read_latest_version(spark, f"{out_dir}/v").collect()}
+    all_docs = spark.createDataFrame(wave1 + wave2, SCHEMA)
+    want = {(r["source"], r["bucket"]): r["cnt"]
+            for r in qsketch_buckets(all_docs)
+            .groupBy("source", "bucket").agg(F.count("*").alias("cnt"))
+            .collect()}
+    assert got == want and len(got) > 5
+    # and the online estimates equal the batch fold over the same docs
+    online = {r["source"]: tuple(r)[1:] for r in
+              read_streaming_quantiles(spark, out_dir).collect()}
+    batch = {r["source"]: tuple(r)[1:] for r in
+             qsketch_estimates(
+                 qsketch_buckets(all_docs).groupBy("source", "bucket")
+                 .agg(F.count("*").alias("cnt"))).collect()}
+    assert online == batch and len(online) == 3
+
+
 def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
     """The streamed Count-Min sketch == the batch sketch build over the
     same corpus, across an availableNow restart: update-mode aggregation

@@ -413,6 +413,48 @@ def test_hll_sketch_only_mode(spark):
         assert r["hll_estimate"] == gated_g[r["source"]]["hll_estimate"]
 
 
+def test_ngram_clean_crafted_removal(spark, tmp_path):
+    """Hand-computable substring removal on a crafted corpus: two docs
+    share one 8-gram (both lose exactly those 8 token positions, plus
+    overlap-extension where the shared window slides), a doc that
+    repeats an 8-gram only WITHIN itself keeps everything (the
+    criterion is cross-document), and a short doc (< k tokens) is
+    untouched. Complements the oracle by pinning the exact expected
+    arithmetic instead of cross-checking two engines."""
+    import hashlib
+
+    from webtableextractionsystem_spark.operators.dedup import ngram_clean
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"          # one exact 8-gram
+    docs = [
+        (1, f"a1 a2 {shared} a3 a4", "en", "s", 0),
+        (2, f"b1 {shared} b2 b3 b4 b5", "en", "s", 0),
+        # within-doc repeat only: 16 tokens = the same 8-gram twice —
+        # cross-doc incidence is 1, so NOTHING is removed
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c1 c2 c3 c4 c5 c6 c7 c8",
+         "en", "s", 0),
+        (4, "short doc", "en", "s", 0),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {r["doc_id"]: r for r in ngram_clean(spark, d).collect()}
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert got[1]["n_tokens"] == 12 and got[1]["n_removed"] == 8
+    assert got[1]["clean_hash"] == h("a1 a2 a3 a4")
+    assert got[2]["n_tokens"] == 13 and got[2]["n_removed"] == 8
+    assert got[2]["clean_hash"] == h("b1 b2 b3 b4 b5")
+    assert got[3]["n_removed"] == 0
+    assert got[3]["clean_hash"] == h(docs[2][1])
+    assert got[4]["n_removed"] == 0
+    assert got[4]["clean_hash"] == h("short doc")
+
+
 def test_quantile_sketch_error_bound_vs_exact(spark):
     """The HDR-histogram sketch's defining guarantee: the reported
     quantile is the LOWER BOUND of the bucket containing the exact

@@ -158,6 +158,10 @@ def main() -> None:
         "q_doc_repeated_ngrams — hashed-gram incidence table "
         "equi-join probe (substring dedup, never a suffix sort)":
             DD.repeated_ngrams(spark, SF),
+        "q_doc_ngram_clean — substring removal: shared gram relation + "
+        "incidence, one doc-keyed join of dup-hash sets, then "
+        "ROW-LOCAL coverage/filter (no token-level shuffle)":
+            DD.ngram_clean(spark, SF),
     }
 
     parts = [

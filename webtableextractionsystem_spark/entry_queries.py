@@ -276,16 +276,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        then entries whose CODE changed this round.
     3. Long-green entries rotate to the TAIL (positions >50), a
        different slice each round, so every query gets a driver row at
-       least every other round. Round-6 tail (26 entries, all green
+       least every other round. Round-6 tail (27 entries, all green
        r05): the 12 x_* extraction digests other than the
        filter-changed x_pdf_features, the 5 q_emb_* similarity
        queries, revenue_by_nation/anti_join, the 5 composed dedup
        consumers (lsh_pairs/neardup_canonical/neardup_components/
        decontaminate/curation_funnel), closed_sessions (its emit rule
-       is ALSO pinned against the actual streaming output in tests)
-       and length_quantiles (its percentile semantics are twinned by
-       the new, rowed quantile_sketch) — round 7 MUST rotate these
-       back inside the first 50 and push round-6's rowed veterans out.
+       is ALSO pinned against the actual streaming output in tests),
+       length_quantiles (its percentile semantics are twinned by the
+       new, rowed quantile_sketch) and repeated_ngrams (its gram
+       relation + incidence are shared via _gram_relation with the
+       new, rowed ngram_clean) — round 7 MUST rotate these back
+       inside the first 50 and push round-6's rowed veterans out.
        (50-boundary re-verified this round: list(queries())[49] is the
        last prefix entry, [50] the first tail entry.)
 
@@ -323,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_source_stats": TS.source_stats,
         # --- new in round 6 ---
         "q_doc_quantile_sketch": TS.quantile_sketch,
+        "q_doc_ngram_clean": DD.ngram_clean,
         # --- code changed in round 6 (must stay rowed) ---
         "x_pdf_features": x_pdf_features,       # §7.4 filter battery
         "q_doc_bloom_filter": DD.bloom_filter_stats,  # lazy compose
@@ -348,9 +351,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_neardup_pagerank": DD.neardup_pagerank,
         "q_events_anomalies": REL.event_anomalies,
         "q_doc_bigram_lm": TS.bigram_lm_score,
-        "q_doc_repeated_ngrams": DD.repeated_ngrams,
         # --- tail (rotated out this round; all green r05, unchanged;
         # see the rotation-policy docstring for the twin reasoning) ---
+        # repeated_ngrams' gram relation + incidence are exercised by
+        # the still-rowed ngram_clean (shared _gram_relation)
+        "q_doc_repeated_ngrams": DD.repeated_ngrams,
         "q_events_closed_sessions": REL.closed_sessions,
         "q_doc_length_quantiles": TS.length_quantiles,
         "q_rel_revenue_by_nation": REL.revenue_by_nation,
@@ -436,6 +441,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_anomalies": REL.EVENT_ANOMALIES_SQL,
         "q_doc_bigram_lm": TS.BIGRAM_LM_SQL,
         "q_doc_repeated_ngrams": DD.repeated_ngrams_sql(),
+        "q_doc_ngram_clean": DD.ngram_clean_sql(),
         "q_events_interval_join": REL.EVENT_INTERVAL_JOIN_SQL,
         "q_doc_bloom_filter": DD.bloom_filter_sql(),
         "q_doc_length_quantiles": TS.LENGTH_QUANTILES_SQL,

@@ -1305,15 +1305,7 @@ def repeated_ngrams(spark: SparkSession, sf_dir: str,
     shape for substring-level dedup at 100 TB, where the suffix-array
     form of Lee et al. doesn't distribute. ``_shingles`` output is
     already per-doc distinct."""
-    key = (spark.sparkContext.applicationId, sf_dir, k)
-    grams = _GRAM_CACHE.get(key)
-    if grams is None:
-        grams = load_documents(spark, sf_dir).select(
-            "doc_id",
-            F.explode_outer(_shingles(k)).alias("g"),
-        ).select("doc_id", F.md5("g").alias("h")).persist()
-        grams.count()
-        _GRAM_CACHE[key] = grams
+    grams = _gram_relation(spark, sf_dir, k)
     incidence = (grams.where(F.col("h").isNotNull())
                  .groupBy("h").agg(F.count("*").alias("nd")))
     return (
@@ -1328,6 +1320,125 @@ def repeated_ngrams(spark: SparkSession, sf_dir: str,
 
 # one materialized gram relation per (SparkContext, sf_dir, k)
 _GRAM_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _gram_relation(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """The persisted per-doc-DISTINCT hashed k-gram relation shared by
+    repeated_ngrams and ngram_clean (cached per (session, sf_dir, k) —
+    the corpus shingle+hash pass runs once per session)."""
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    grams = _GRAM_CACHE.get(key)
+    if grams is None:
+        grams = load_documents(spark, sf_dir).select(
+            "doc_id",
+            F.explode_outer(_shingles(k)).alias("g"),
+        ).select("doc_id", F.md5("g").alias("h")).persist()
+        grams.count()
+        _GRAM_CACHE[key] = grams
+    return grams
+
+
+def ngram_clean(spark: SparkSession, sf_dir: str,
+                k: int = DECON_K) -> DataFrame:
+    """Cross-document substring REMOVAL — the action step after
+    repeated_ngrams' detection (Lee et al. 2022's ExactSubstr dedup in
+    its distributable form): every token covered by a k-gram that also
+    appears in another document is dropped, and the result is reported
+    as (doc_id, n_tokens, n_removed, clean_hash) with clean_hash an md5
+    of the surviving tokens in order — so the oracle pins the exact
+    cleaned CONTENT, not just counts. All integer/string.
+
+    Scale shape: reuses the persisted per-doc-distinct gram relation
+    (one corpus scan per session) for the incidence count (gram-vocab
+    shuffle) and an equi-join back to docs that collects each doc's
+    cross-dup gram hashes; everything after is ROW-LOCAL array algebra
+    (gram-hash recompute, coverage test over a k-wide window, position
+    filter) — no token-level shuffle, unlike the naive
+    posexplode+anti-join form whose exchanges are corpus-token-sized.
+    The oracle SQL deliberately uses that naive relational form, so the
+    two formulations are independent."""
+    grams = _gram_relation(spark, sf_dir, k)
+    incidence = (grams.where(F.col("h").isNotNull())
+                 .groupBy("h").agg(F.count("*").alias("nd")))
+    doc_dups = (
+        grams.join(incidence.where(F.col("nd") > 1), "h")
+        .groupBy("doc_id").agg(F.collect_set("h").alias("dup_hashes"))
+    )
+    base = (
+        load_documents(spark, sf_dir).select("doc_id", "text")
+        .join(doc_dups, "doc_id", "left")
+        .withColumn("toks", _tokens())
+        .withColumn("n", F.size("toks"))
+        .withColumn("dup", F.coalesce(
+            F.col("dup_hashes"), F.array().cast("array<string>")))
+        # which gram START positions are cross-dup (index i covers
+        # tokens i..i+k-1); n<k has no grams -> CASE guard keeps every
+        # sequence() ascending (sequence(1,0) would DESCEND)
+        .withColumn("dup_at", F.expr(
+            f"CASE WHEN n >= {k} THEN transform(sequence(1, n-{k}+1), "
+            f"i -> array_contains(dup, md5(concat_ws(' ', "
+            f"slice(toks, i, {k}))))) "
+            f"ELSE array() END"))
+        .withColumn("clean_toks", F.expr(
+            f"CASE WHEN n >= {k} THEN transform(filter(sequence(1, n), "
+            f"p -> NOT exists(sequence(greatest(1, p-{k}+1), "
+            f"least(p, n-{k}+1)), i -> element_at(dup_at, i))), "
+            f"p -> element_at(toks, p)) ELSE toks END"))
+    )
+    return base.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        (F.col("n") - F.size("clean_toks")).cast("long")
+        .alias("n_removed"),
+        F.md5(F.concat_ws(" ", F.col("clean_toks"))).alias("clean_hash"),
+    )
+
+
+def ngram_clean_sql(k: int = DECON_K) -> str:
+    """Independent relational formulation: positional grams + incidence
+    + coverage positions + left-join filter (the shape the Spark side
+    deliberately avoids for its token-shuffle cost — here it is the
+    cross-check)."""
+    return rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents
+),
+pos_grams AS (
+  SELECT doc_id, i,
+         md5(array_to_string(tk[i:i+{k - 1}], ' ')) AS h
+  FROM base, unnest(range(1, len(tk)-{k}+2)) AS t(i)
+  WHERE len(tk) >= {k}
+),
+incidence AS (
+  SELECT h, count(*) AS nd
+  FROM (SELECT DISTINCT doc_id, h FROM pos_grams) GROUP BY h
+),
+cov AS (
+  SELECT DISTINCT pg.doc_id, u.p
+  FROM pos_grams pg
+  JOIN incidence USING (h), unnest(range(pg.i, pg.i+{k})) AS u(p)
+  WHERE nd > 1
+),
+toks AS (
+  SELECT doc_id, i AS p, tk[i] AS tok, len(tk) AS n
+  FROM base, unnest(range(1, len(tk)+1)) AS t(i)
+),
+clean AS (
+  SELECT t.doc_id,
+         CAST(max(t.n) AS INTEGER) AS n_tokens,
+         CAST(count(*) FILTER (WHERE cov.p IS NULL) AS BIGINT) AS n_kept,
+         md5(coalesce(string_agg(
+           CASE WHEN cov.p IS NULL THEN t.tok END, ' ' ORDER BY t.p),
+           '')) AS clean_hash
+  FROM toks t
+  LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.p = t.p
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(n_tokens - n_kept AS BIGINT) AS n_removed, clean_hash
+FROM clean
+"""
 
 
 def repeated_ngrams_sql(k: int = DECON_K) -> str:

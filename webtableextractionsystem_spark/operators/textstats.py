@@ -1146,9 +1146,18 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiny per-group histogram. Sketches merge by adding counts —
     the form a 1000-executor job or a streaming accumulator needs. No
     full sort, no corpus-sized exchange."""
-    v = F.col("n_chars").cast("long")
-    d = (load_documents(spark, sf_dir)
-         .select("source", v.alias("v"))
+    hist = (qsketch_buckets(load_documents(spark, sf_dir))
+            .groupBy("source", "bucket").agg(F.count("*").alias("cnt")))
+    return qsketch_estimates(hist)
+
+
+def qsketch_buckets(docs: DataFrame) -> DataFrame:
+    """(source, n_chars) -> (source, bucket): the single home of the
+    lattice mapping, shared by the batch query and the streaming
+    histogram maintainer (divergence would decouple the online sketch
+    from its batch twin and the oracle). Works on batch AND streaming
+    relations (pure row-local projection)."""
+    d = (docs.select("source", F.col("n_chars").cast("long").alias("v"))
          .withColumn("e", (F.length(F.bin(F.col("v"))) - 1).cast("int")))
     bucket = (
         F.when(F.col("v") < _QSK_SUB, F.col("v").cast("int"))
@@ -1156,8 +1165,13 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr(f"shiftright(v, e - {QSKETCH_SUB_BITS})"))
                    .cast("int"))
     )
-    hist = (d.select("source", bucket.alias("bucket"))
-            .groupBy("source", "bucket").agg(F.count("*").alias("cnt")))
+    return d.select("source", bucket.alias("bucket"))
+
+
+def qsketch_estimates(hist: DataFrame) -> DataFrame:
+    """(source, bucket, cnt) histogram -> per-source quantile
+    estimates; the single home of the rank fold + lower-bound
+    reconstruction, shared with the streaming reader."""
     w_cum = (Window.partitionBy("source").orderBy("bucket")
              .rowsBetween(Window.unboundedPreceding, 0))
     ranked = hist.select(

@@ -306,3 +306,59 @@ def streaming_cms(spark: SparkSession, docs_dir: str,
 def read_streaming_cms(spark: SparkSession, output_dir: str):
     """The latest COMMITTED version of the streamed sketch table."""
     return read_latest_version(spark, f"{output_dir}/v")
+
+
+def streaming_quantile_hist(spark: SparkSession, docs_dir: str,
+                            output_dir: str,
+                            stream_ckpt_dir: str) -> None:
+    """Online quantile-histogram maintenance: the streaming twin of the
+    batch ``textstats.quantile_sketch``. Documents map through the SAME
+    ``qsketch_buckets`` lattice expression as the batch query, and
+    update-mode aggregation keeps the running (source, bucket) counters
+    — per-batch partial histograms ADD into state exactly like
+    per-partition histograms add in batch, because the sketch is
+    mergeable by construction. After any prefix of the stream the
+    committed table equals the batch histogram over the documents seen
+    so far, and ``qsketch_estimates`` over it equals the batch query's
+    output — the equality the test pins across a restart.
+
+    Scale shape: per batch, one shuffle into the fixed bucket lattice
+    keyed by (source, bucket); state is bounded by the lattice size
+    per source forever (unbounded corpus, constant state — same
+    argument as streaming_cms)."""
+    from ..operators.textstats import qsketch_buckets
+
+    stream = (
+        spark.readStream
+        .schema("doc_id long, text string, lang string, source string, "
+                "n_chars long")
+        .parquet(docs_dir)
+    )
+    hist = (qsketch_buckets(stream)
+            .groupBy("source", "bucket").agg(F.count("*").alias("cnt")))
+
+    def write_hist(batch, batch_id: int) -> None:
+        # update mode emits the CUMULATIVE count for every changed
+        # cell; the shared versioned merge keeps unchanged cells and
+        # the torn-overwrite protection
+        _versioned_merge_write(spark, f"{output_dir}/v", batch_id,
+                               batch, ["source", "bucket"])
+
+    (
+        hist.writeStream
+        .outputMode("update")
+        .foreachBatch(write_hist)
+        .option("checkpointLocation", stream_ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_streaming_quantiles(spark: SparkSession, output_dir: str):
+    """Per-source quantile estimates from the latest COMMITTED streamed
+    histogram — ``qsketch_estimates`` over the state table, so the
+    online path reuses the batch fold verbatim."""
+    from ..operators.textstats import qsketch_estimates
+
+    return qsketch_estimates(read_latest_version(spark, f"{output_dir}/v"))
