@@ -1306,8 +1306,7 @@ def repeated_ngrams(spark: SparkSession, sf_dir: str,
     form of Lee et al. doesn't distribute. ``_shingles`` output is
     already per-doc distinct."""
     grams = _gram_relation(spark, sf_dir, k)
-    incidence = (grams.where(F.col("h").isNotNull())
-                 .groupBy("h").agg(F.count("*").alias("nd")))
+    incidence = _gram_incidence(grams)
     return (
         grams.join(incidence, "h", "left")
         .groupBy("doc_id")
@@ -1338,6 +1337,13 @@ def _gram_relation(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     return grams
 
 
+def _gram_incidence(grams: DataFrame) -> DataFrame:
+    """(h, nd): in how many documents each gram appears — the single
+    home of the incidence relation both consumers join against."""
+    return (grams.where(F.col("h").isNotNull())
+            .groupBy("h").agg(F.count("*").alias("nd")))
+
+
 def ngram_clean(spark: SparkSession, sf_dir: str,
                 k: int = DECON_K) -> DataFrame:
     """Cross-document substring REMOVAL — the action step after
@@ -1358,8 +1364,7 @@ def ngram_clean(spark: SparkSession, sf_dir: str,
     The oracle SQL deliberately uses that naive relational form, so the
     two formulations are independent."""
     grams = _gram_relation(spark, sf_dir, k)
-    incidence = (grams.where(F.col("h").isNotNull())
-                 .groupBy("h").agg(F.count("*").alias("nd")))
+    incidence = _gram_incidence(grams)
     doc_dups = (
         grams.join(incidence.where(F.col("nd") > 1), "h")
         .groupBy("doc_id").agg(F.collect_set("h").alias("dup_hashes"))
@@ -1378,7 +1383,7 @@ def ngram_clean(spark: SparkSession, sf_dir: str,
             f"CASE WHEN n >= {k} THEN transform(sequence(1, n-{k}+1), "
             f"i -> array_contains(dup, md5(concat_ws(' ', "
             f"slice(toks, i, {k}))))) "
-            f"ELSE array() END"))
+            f"ELSE CAST(array() AS array<boolean>) END"))
         .withColumn("clean_toks", F.expr(
             f"CASE WHEN n >= {k} THEN transform(filter(sequence(1, n), "
             f"p -> NOT exists(sequence(greatest(1, p-{k}+1), "

@@ -274,26 +274,40 @@ def streaming_cms(spark: SparkSession, docs_dir: str,
     growth risk here, unlike the dedup operators' per-key state."""
     from ..operators.textstats import _cms_hash_structs, _tokens
 
-    stream = (
-        spark.readStream
-        .schema("doc_id long, text string, lang string, source string, "
-                "n_chars long")
-        .parquet(docs_dir)
+    sketch = (
+        _docs_stream(spark, docs_dir)
         .select(F.explode(_tokens()).alias("token"))
         .select(F.explode(_cms_hash_structs()).alias("h"))
         .groupBy(F.col("h.d").alias("d"), F.col("h.c").alias("c"))
         .agg(F.count("*").alias("n"))
     )
+    _run_update_sketch(spark, sketch, output_dir, stream_ckpt_dir,
+                       ["d", "c"])
 
+
+# the testdata documents-table schema (one home: the streaming sketch
+# maintainers must all read the same shape or silently diverge)
+DOCS_TABLE_SCHEMA = ("doc_id long, text string, lang string, "
+                     "source string, n_chars long")
+
+
+def _docs_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
+    return spark.readStream.schema(DOCS_TABLE_SCHEMA).parquet(docs_dir)
+
+
+def _run_update_sketch(spark: SparkSession, sketch: DataFrame,
+                       output_dir: str, stream_ckpt_dir: str,
+                       keys: list[str]) -> None:
+    """Shared scaffolding for mergeable-sketch maintainers: update-mode
+    aggregation (emits the CUMULATIVE counter for every cell changed by
+    the batch) into the versioned merge layer, which keeps unchanged
+    cells and the torn-overwrite protection."""
     def write_sketch(batch, batch_id: int) -> None:
-        # update mode emits the CUMULATIVE counter for every changed
-        # cell; the shared versioned merge keeps unchanged cells and
-        # the torn-overwrite protection
         _versioned_merge_write(spark, f"{output_dir}/v", batch_id,
-                               batch, ["d", "c"])
+                               batch, keys)
 
     (
-        stream.writeStream
+        sketch.writeStream
         .outputMode("update")
         .foreachBatch(write_sketch)
         .option("checkpointLocation", stream_ckpt_dir)
@@ -328,31 +342,10 @@ def streaming_quantile_hist(spark: SparkSession, docs_dir: str,
     argument as streaming_cms)."""
     from ..operators.textstats import qsketch_buckets
 
-    stream = (
-        spark.readStream
-        .schema("doc_id long, text string, lang string, source string, "
-                "n_chars long")
-        .parquet(docs_dir)
-    )
-    hist = (qsketch_buckets(stream)
+    hist = (qsketch_buckets(_docs_stream(spark, docs_dir))
             .groupBy("source", "bucket").agg(F.count("*").alias("cnt")))
-
-    def write_hist(batch, batch_id: int) -> None:
-        # update mode emits the CUMULATIVE count for every changed
-        # cell; the shared versioned merge keeps unchanged cells and
-        # the torn-overwrite protection
-        _versioned_merge_write(spark, f"{output_dir}/v", batch_id,
-                               batch, ["source", "bucket"])
-
-    (
-        hist.writeStream
-        .outputMode("update")
-        .foreachBatch(write_hist)
-        .option("checkpointLocation", stream_ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    _run_update_sketch(spark, hist, output_dir, stream_ckpt_dir,
+                       ["source", "bucket"])
 
 
 def read_streaming_quantiles(spark: SparkSession, output_dir: str):
