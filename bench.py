@@ -116,6 +116,14 @@ def main() -> None:
                 spark, sf_dir).collect(),
             "q_doc_length_quantiles": lambda: TS.length_quantiles(
                 spark, sf_dir).agg(F.count("*")).collect(),
+            "q_doc_quantile_sketch": lambda: TS.quantile_sketch(
+                spark, sf_dir).collect(),
+            "q_doc_ngram_clean": lambda: DD.ngram_clean(spark, sf_dir)
+            .agg(F.count("*")).collect(),
+            # the production sketch-only HLL: timed next to the exact
+            # quantile/distinct forms so the ledger shows the scale win
+            "q_doc_hll_sketch_only": lambda: TS.hll_distinct(
+                spark, sf_dir, with_exact=False).collect(),
         }
         for name, fn in bench_set.items():
             queries[name] = timed(fn)
