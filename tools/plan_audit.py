@@ -162,6 +162,10 @@ def main() -> None:
         "incidence, one doc-keyed join of dup-hash sets, then "
         "ROW-LOCAL coverage/filter (no token-level shuffle)":
             DD.ngram_clean(spark, SF),
+        "q_doc_bm25_topk — BM25 ranking: tiny exact term slice "
+        "BROADCAST onto the postings, per-term window only over the "
+        "selected postings lists":
+            TS.bm25_topk(spark, SF),
     }
 
     parts = [

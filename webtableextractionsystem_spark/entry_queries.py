@@ -276,8 +276,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        then entries whose CODE changed this round.
     3. Long-green entries rotate to the TAIL (positions >50), a
        different slice each round, so every query gets a driver row at
-       least every other round. Round-6 tail (27 entries, all green
-       r05): the 12 x_* extraction digests other than the
+       least every other round. Round-6 tail (28 entries, all green
+       r05): rollup (its grouping-sets Expand plan is a subset of the
+       still-rowed cube's), the 12 x_* extraction digests other than the
        filter-changed x_pdf_features, the 5 q_emb_* similarity
        queries, revenue_by_nation/anti_join, the 5 composed dedup
        consumers (lsh_pairs/neardup_canonical/neardup_components/
@@ -326,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 6 ---
         "q_doc_quantile_sketch": TS.quantile_sketch,
         "q_doc_ngram_clean": DD.ngram_clean,
+        "q_doc_bm25_topk": TS.bm25_topk,
         # --- code changed in round 6 (must stay rowed) ---
         "x_pdf_features": x_pdf_features,       # §7.4 filter battery
         "q_doc_bloom_filter": DD.bloom_filter_stats,  # lazy compose
@@ -341,7 +343,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_json_props": REL.events_json_props,
         "q_rel_queue_batch": REL.queue_batch,
         "q_rel_name_union": REL.name_union,
-        "q_rel_rollup": REL.lineitem_rollup,
         "q_rel_cube": REL.lineitem_cube,
         "q_rel_exists": REL.customers_with_open_orders,
         "q_rel_region_part_volume": REL.region_part_volume,
@@ -356,6 +357,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # repeated_ngrams' gram relation + incidence are exercised by
         # the still-rowed ngram_clean (shared _gram_relation)
         "q_doc_repeated_ngrams": DD.repeated_ngrams,
+        # rollup's grouping-sets machinery is a subset of the
+        # still-rowed cube's (same Expand + single-shuffle plan)
+        "q_rel_rollup": REL.lineitem_rollup,
         "q_events_closed_sessions": REL.closed_sessions,
         "q_doc_length_quantiles": TS.length_quantiles,
         "q_rel_revenue_by_nation": REL.revenue_by_nation,
@@ -442,6 +446,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_bigram_lm": TS.BIGRAM_LM_SQL,
         "q_doc_repeated_ngrams": DD.repeated_ngrams_sql(),
         "q_doc_ngram_clean": DD.ngram_clean_sql(),
+        "q_doc_bm25_topk": TS.BM25_TOPK_SQL,
         "q_events_interval_join": REL.EVENT_INTERVAL_JOIN_SQL,
         "q_doc_bloom_filter": DD.bloom_filter_sql(),
         "q_doc_length_quantiles": TS.LENGTH_QUANTILES_SQL,

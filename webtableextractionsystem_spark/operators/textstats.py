@@ -1228,3 +1228,118 @@ SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
 FROM ranked
 GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 term-document ranking — the standard retrieval scorer
+# (Robertson/Sparck Jones probabilistic relevance framework) over the
+# corpus inverted index, with strict cross-engine float discipline
+# ---------------------------------------------------------------------------
+
+BM25_TOP_TERMS = 20   # ranked vocabulary slice (exact, tie-broken)
+BM25_TOP_DOCS = 5     # postings per term in the output
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-BM25_TOP_DOCS documents per top term, scored with BM25
+    (k1=1.2, b=0.75). Float discipline (the reason this hashes
+    cross-engine): the ONLY transcendental, ln() in the idf, is
+    round(,4)-guarded immediately (its ulp divergence between JVM and
+    DuckDB libm is the measured hazard — see hll_distinct); everything
+    after is single IEEE-754 +,-,*,/ steps in an IDENTICAL expression
+    tree, each correctly rounded and therefore bit-equal in both
+    engines; and scores are PER (term, doc) — no cross-term float SUM
+    whose accumulation order could differ. Constants: 2.2 = k1+1 and
+    1.2 parse to the same double everywhere; 0.25 = 1-b and 0.75 are
+    exactly representable. Ranking ties break on doc_id.
+
+    Scale shape: one token explode feeding a (token, doc) partial agg;
+    document lengths and the 2-scalar corpus stats from the same scan
+    lineage; the term slice is exact top-k by total frequency
+    (deterministic tie-break) and BROADCAST back onto the postings, so
+    the scored relation is |top_terms| postings lists, never the whole
+    index; one per-term window for the final rank."""
+    toks = _tokens()
+    postings = (
+        load_documents(spark, sf_dir)
+        .select("doc_id", F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+    dl = load_documents(spark, sf_dir).select(
+        "doc_id", F.size(toks).alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"),
+                   F.sum("dl").cast("long").alias("sum_dl"))
+    df_tbl = postings.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").cast("long").alias("ttf"))
+    top_terms = (df_tbl
+                 .orderBy(F.col("ttf").desc(), F.col("token").asc())
+                 .limit(BM25_TOP_TERMS)
+                 .select("token", "df"))
+    scored = (
+        postings.join(F.broadcast(top_terms), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "token", "doc_id", "tf", "df",
+            F.round(
+                F.round(F.log((F.col("n_docs") - F.col("df") + 0.5)
+                              / (F.col("df") + 0.5)), 4)
+                * (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (0.25 + 0.75
+                   * (F.col("dl") * F.col("n_docs"))
+                   / F.col("sum_dl"))),
+                4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("token").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= BM25_TOP_DOCS))
+
+
+BM25_TOPK_SQL = rf"""
+WITH postings AS (
+  SELECT token, doc_id, CAST(count(*) AS INTEGER) AS tf
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents)
+  WHERE token != '' GROUP BY token, doc_id
+),
+dl AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+),
+df_tbl AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS ttf
+  FROM postings GROUP BY token
+),
+top_terms AS (
+  SELECT token, df FROM df_tbl ORDER BY ttf DESC, token LIMIT {BM25_TOP_TERMS}
+),
+scored AS (
+  SELECT p.token, p.doc_id, p.tf, t.df,
+         round(round(ln((s.n_docs - t.df + 0.5) / (t.df + 0.5)), 4)
+               * (p.tf * 2.2)
+               / (p.tf + 1.2 * (0.25 + 0.75
+                  * (d.dl * s.n_docs) / s.sum_dl)),
+               4) AS score
+  FROM postings p
+  JOIN top_terms t USING (token)
+  JOIN dl d USING (doc_id), stats s
+)
+SELECT token, doc_id, tf, df, score, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY token
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+WHERE rank <= {BM25_TOP_DOCS}
+"""
