@@ -455,6 +455,33 @@ def test_ngram_clean_crafted_removal(spark, tmp_path):
     assert got[4]["clean_hash"] == h("short doc")
 
 
+def test_dsir_weights_separate_target_domain(spark):
+    """The DSIR importance weight must actually DO data selection: on
+    the sf0.01 corpus, documents from the declared target sources score
+    strictly higher on average than the rest (the hashed-n-gram
+    importance estimator recovers domain membership). Also pins the
+    integer-quantization contract: weights are exact int64, so the sum
+    is reproducible at any parallelism."""
+    from webtableextractionsystem_spark.operators.textstats import (
+        DSIR_TARGET_SOURCES,
+        dsir_weights,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = {r["doc_id"]: r["source"]
+            for r in spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id", "source").collect()}
+    rows = dsir_weights(spark, sf).collect()
+    assert len(rows) == len(docs)
+    tgt = [r["weight_q"] for r in rows
+           if docs[r["doc_id"]] in DSIR_TARGET_SOURCES]
+    rest = [r["weight_q"] for r in rows
+            if docs[r["doc_id"]] not in DSIR_TARGET_SOURCES]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+    assert all(isinstance(r["weight_q"], int) for r in rows)
+
+
 def test_quantile_sketch_error_bound_vs_exact(spark):
     """The HDR-histogram sketch's defining guarantee: the reported
     quantile is the LOWER BOUND of the bucket containing the exact

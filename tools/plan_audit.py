@@ -166,6 +166,9 @@ def main() -> None:
         "BROADCAST onto the postings, per-term window only over the "
         "selected postings lists":
             TS.bm25_topk(spark, SF),
+        "q_doc_dsir_weights — DSIR importance: <=256-row llr dimension "
+        "broadcast onto the feature explode, one doc-keyed integer agg":
+            TS.dsir_weights(spark, SF),
     }
 
     parts = [

@@ -276,9 +276,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        then entries whose CODE changed this round.
     3. Long-green entries rotate to the TAIL (positions >50), a
        different slice each round, so every query gets a driver row at
-       least every other round. Round-6 tail (28 entries, all green
+       least every other round. Round-6 tail (29 entries, all green
        r05): rollup (its grouping-sets Expand plan is a subset of the
-       still-rowed cube's), the 12 x_* extraction digests other than the
+       still-rowed cube's), exists (the plan-audited broadcast
+       left-semi dual of the anti-join family), the 12 x_* extraction
+       digests other than the
        filter-changed x_pdf_features, the 5 q_emb_* similarity
        queries, revenue_by_nation/anti_join, the 5 composed dedup
        consumers (lsh_pairs/neardup_canonical/neardup_components/
@@ -328,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_quantile_sketch": TS.quantile_sketch,
         "q_doc_ngram_clean": DD.ngram_clean,
         "q_doc_bm25_topk": TS.bm25_topk,
+        "q_doc_dsir_weights": TS.dsir_weights,
         # --- code changed in round 6 (must stay rowed) ---
         "x_pdf_features": x_pdf_features,       # §7.4 filter battery
         "q_doc_bloom_filter": DD.bloom_filter_stats,  # lazy compose
@@ -344,7 +347,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rel_queue_batch": REL.queue_batch,
         "q_rel_name_union": REL.name_union,
         "q_rel_cube": REL.lineitem_cube,
-        "q_rel_exists": REL.customers_with_open_orders,
         "q_rel_region_part_volume": REL.region_part_volume,
         "q_events_interval_join": REL.event_interval_join,
         "q_events_retention": REL.event_retention,
@@ -360,6 +362,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rollup's grouping-sets machinery is a subset of the
         # still-rowed cube's (same Expand + single-shuffle plan)
         "q_rel_rollup": REL.lineitem_rollup,
+        # exists = the plan-audited broadcast left-semi dual of the
+        # anti-join family (r05-green)
+        "q_rel_exists": REL.customers_with_open_orders,
         "q_events_closed_sessions": REL.closed_sessions,
         "q_doc_length_quantiles": TS.length_quantiles,
         "q_rel_revenue_by_nation": REL.revenue_by_nation,
@@ -447,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_repeated_ngrams": DD.repeated_ngrams_sql(),
         "q_doc_ngram_clean": DD.ngram_clean_sql(),
         "q_doc_bm25_topk": TS.BM25_TOPK_SQL,
+        "q_doc_dsir_weights": TS.DSIR_WEIGHTS_SQL,
         "q_events_interval_join": REL.EVENT_INTERVAL_JOIN_SQL,
         "q_doc_bloom_filter": DD.bloom_filter_sql(),
         "q_doc_length_quantiles": TS.LENGTH_QUANTILES_SQL,

@@ -1343,3 +1343,124 @@ FROM (SELECT *, row_number() OVER (PARTITION BY token
       FROM scored)
 WHERE rank <= {BM25_TOP_DOCS}
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights — hashed n-gram importance resampling (Xie et
+# al. 2023, "Data Selection for Language Models via Importance
+# Resampling"): score every document by how much its hashed
+# unigram+bigram features resemble a target domain vs the raw corpus
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256                      # hashed feature space
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2")   # the "target domain"
+DSIR_LLR_SCALE = 10000                  # llr quantization (1e-4)
+
+
+def _dsir_features():
+    """Hashed unigram + bigram feature buckets per document (array of
+    ints in [0, DSIR_BUCKETS)) — one expression home for the target
+    and corpus distributions and the per-doc scorer."""
+    toks = _tokens()
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    return F.transform(
+        feats,
+        lambda t: (F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+                   .cast("long") % DSIR_BUCKETS).cast("int"),
+    )
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_features, weight_q) per document: weight_q = the
+    DSIR importance log-weight sum_f c_f * llr(f), quantized to 1e-4
+    integer units. llr(f) = ln(p_target(f) / p_corpus(f)) with
+    Laplace-smoothed hashed-feature distributions (+1 / +B), the bag of
+    hashed n-grams importance estimator from the paper.
+
+    Cross-engine float discipline — why an ITERATED float sum still
+    hash-matches: ln()'s inputs are rationals of integers (bit-stable),
+    its one-ulp JVM/DuckDB divergence is crushed by rounding
+    ln(x)*10000 to an INTEGER immediately (the round(,4) pattern,
+    integer-cast), and from there the per-doc weight is a sum of
+    integer products — order-independent and exact in both engines at
+    any parallelism. A float llr summed per doc would drift low bits
+    with accumulation order; the integer quantization is what makes
+    this oracle-gateable (cf. neardup_pagerank's fixed point).
+
+    Scale shape: the two distribution aggregates fold into <=B rows
+    each (map-side partials over the fixed bucket domain) and BROADCAST
+    back onto the per-doc feature explode; one doc-keyed integer agg.
+    No corpus-sized shuffle beyond the explode's partial counts."""
+    feats = _dsir_features()
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id", "source", F.explode(feats).alias("f"))
+    tgt = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    counts = docs.groupBy("f").agg(
+        F.count("*").alias("cq"),
+        F.count(F.when(tgt, True)).alias("cp"),
+    )
+    totals = docs.agg(
+        F.count("*").alias("nq"),
+        F.count(F.when(tgt, True)).alias("np"),
+    )
+    # llr quantized to integer 1e-4 units: round(ln(...)*SCALE) is a
+    # single guarded transcendental; everything downstream is integer
+    llr = counts.crossJoin(F.broadcast(totals)).select(
+        "f",
+        F.round(F.log(
+            ((F.col("cp") + 1.0) / (F.col("np") + F.lit(DSIR_BUCKETS)))
+            / ((F.col("cq") + 1.0) / (F.col("nq") + F.lit(DSIR_BUCKETS)))
+        ) * DSIR_LLR_SCALE, 0).cast("long").alias("llr_q"),
+    )
+    return (
+        docs.join(F.broadcast(llr), "f")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_features"),
+             F.sum("llr_q").cast("long").alias("weight_q"))
+    )
+
+
+_DSIR_FEATS_SQL = rf"""
+SELECT doc_id, source,
+       unnest([CAST(CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT)
+               % {DSIR_BUCKETS} AS INTEGER)
+               FOR t IN list_concat(toks,
+                 CASE WHEN len(toks) >= 2
+                      THEN [array_to_string(toks[i:i+1], ' ')
+                            FOR i IN range(1, len(toks))]
+                      ELSE [] END)]) AS f
+FROM (SELECT doc_id, source,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents)
+"""
+
+_DSIR_TGT_SQL = "('" + "', '".join(DSIR_TARGET_SOURCES) + "')"
+
+DSIR_WEIGHTS_SQL = rf"""
+WITH feats AS ({_DSIR_FEATS_SQL}),
+counts AS (
+  SELECT f, count(*) AS cq,
+         count(*) FILTER (WHERE source IN {_DSIR_TGT_SQL}) AS cp
+  FROM feats GROUP BY f
+),
+totals AS (
+  SELECT count(*) AS nq,
+         count(*) FILTER (WHERE source IN {_DSIR_TGT_SQL}) AS np
+  FROM feats
+),
+llr AS (
+  SELECT f, CAST(round(ln(((cp + 1.0) / (np + {DSIR_BUCKETS}))
+                         / ((cq + 1.0) / (nq + {DSIR_BUCKETS})))
+                       * {DSIR_LLR_SCALE}, 0) AS BIGINT) AS llr_q
+  FROM counts, totals
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+       CAST(sum(llr_q) AS BIGINT) AS weight_q
+FROM feats JOIN llr USING (f)
+GROUP BY doc_id
+"""
