@@ -455,6 +455,95 @@ def test_ngram_clean_crafted_removal(spark, tmp_path):
     assert got[4]["clean_hash"] == h("short doc")
 
 
+def test_bm25_lucene_idf_positive_and_ranks_by_relevance(spark, tmp_path):
+    """The Lucene idf variant ln(1 + ...) is strictly positive, so BM25
+    score INCREASES with tf — on a crafted equal-length corpus the
+    high-tf doc must rank first (the raw Robertson idf goes negative
+    for df > N/2 and inverted the entire ranking; review finding)."""
+    from webtableextractionsystem_spark.operators.textstats import (
+        bm25_topk,
+    )
+
+    # every doc has the term 'hot' (df = N > N/2 -> Robertson-negative
+    # regime) and identical length; tf varies 1..4
+    docs = [(i, " ".join(["hot"] * (1 + i % 4)
+                         + [f"pad{i}_{j}" for j in range(8 - (1 + i % 4))]),
+             "en", "s", 0) for i in range(12)]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    rows = bm25_topk(spark, d).collect()
+    assert rows and all(r["score"] > 0 for r in rows)
+    hot = sorted([r for r in rows if r["token"] == "hot"],
+                 key=lambda r: r["rank"])
+    assert hot and hot[0]["tf"] == 4     # highest tf ranks first
+    tfs = [r["tf"] for r in hot]
+    assert tfs == sorted(tfs, reverse=True)
+
+
+def test_guarded_ln_sweep_bm25_dsir_domains(spark):
+    """The round-guarded ln() pattern demands an exhaustive
+    cross-engine sweep of the realized input domain (CLAUDE.md; the
+    HLL sweep measured 18/255 divergent raw inputs). BM25: every
+    df in 1..N for the corpus N. DSIR: every realized (cp, cq) pair
+    plus ±1 neighbours, with the corpus (np, nq). Asserts the
+    QUANTIZED values (round 4 / integer 1e-4 units) are identical in
+    Spark and DuckDB everywhere."""
+    import duckdb
+
+    from webtableextractionsystem_spark.operators.textstats import (
+        DSIR_BUCKETS,
+        DSIR_LLR_SCALE,
+        _DSIR_FEATS_CACHE,
+        dsir_weights,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    # BM25 idf sweep over the complete df domain. e-notation floats:
+    # the sweep with bare 0.5/1.0 literals FOUND a live divergence —
+    # DuckDB parses them as DECIMAL and its decimal arithmetic lands on
+    # different doubles than the Spark double path, flipping the
+    # quantization on ~1% of inputs; the production oracles use 5e-1
+    # style literals for exactly this reason.
+    idf = (f"round(ln(1e0 + ({n_docs} - {{v}} + 5e-1) / "
+           f"({{v}} + 5e-1)), 4)")
+    s = {r["df"]: repr(r["idf"]) for r in spark.range(1, n_docs + 1)
+         .selectExpr("id AS df", idf.format(v="id") + " AS idf")
+         .collect()}
+    d = {int(df): repr(i) for df, i in duckdb.sql(
+        f"SELECT v AS df, {idf.format(v='v')} AS idf "
+        f"FROM (SELECT unnest(range(1, {n_docs + 1})) AS v)").fetchall()}
+    assert s == d and len(s) == n_docs
+
+    # DSIR llr sweep over the realized (cp, cq) pairs (+/-1 jitter)
+    dsir_weights(spark, sf)   # warms the cache
+    feats = next(v for k, v in _DSIR_FEATS_CACHE.items() if k[1] == sf)
+    from pyspark.sql import functions as F
+    tgt = F.col("source").isin("src0", "src1", "src2")
+    cnt = feats.groupBy("f").agg(
+        F.count("*").alias("cq"),
+        F.count(F.when(tgt, True)).alias("cp")).collect()
+    np_, nq_ = sum(r["cp"] for r in cnt), sum(r["cq"] for r in cnt)
+    pairs = sorted({(max(0, r["cp"] + dcp), max(1, r["cq"] + dcq))
+                    for r in cnt for dcp in (-1, 0, 1)
+                    for dcq in (-1, 0, 1)})
+    expr = (f"CAST(round(ln(((cp + 1e0) / ({np_} + {DSIR_BUCKETS})) / "
+            f"((cq + 1e0) / ({nq_} + {DSIR_BUCKETS}))) "
+            f"* {DSIR_LLR_SCALE}, 0) AS BIGINT) AS llr")
+    sdf = spark.createDataFrame(pairs, "cp long, cq long") \
+        .selectExpr("cp", "cq", expr)
+    sres = {(r["cp"], r["cq"]): r["llr"] for r in sdf.collect()}
+    con = duckdb.connect()
+    con.sql("CREATE TABLE p (cp BIGINT, cq BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+    dres = {(cp, cq): llr for cp, cq, llr in
+            con.sql(f"SELECT cp, cq, {expr} FROM p").fetchall()}
+    assert sres == dres and len(sres) == len(pairs)
+
+
 def test_dsir_weights_separate_target_domain(spark):
     """The DSIR importance weight must actually DO data selection: on
     the sf0.01 corpus, documents from the declared target sources score
