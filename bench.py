@@ -124,6 +124,10 @@ def main() -> None:
             # quantile/distinct forms so the ledger shows the scale win
             "q_doc_hll_sketch_only": lambda: TS.hll_distinct(
                 spark, sf_dir, with_exact=False).collect(),
+            "q_doc_bm25_topk": lambda: TS.bm25_topk(spark, sf_dir)
+            .agg(F.count("*")).collect(),
+            "q_doc_dsir_weights": lambda: TS.dsir_weights(spark, sf_dir)
+            .agg(F.count("*")).collect(),
         }
         for name, fn in bench_set.items():
             queries[name] = timed(fn)

@@ -84,3 +84,37 @@ def test_entry_smoke(spark, entry_mod):
     assert n > 0
     assert set(df.columns) == {"doc_id", "seq", "kind", "text", "media_ref",
                                "offset", "n_triples"}
+
+
+def test_no_unvetted_bare_decimal_literals_in_oracles(entry_mod):
+    """DuckDB parses bare decimal literals (1.0, 0.5) as DECIMAL, not
+    DOUBLE — float arithmetic built on them silently diverges from
+    Spark's double path (measured round 6: ~1% of swept llr inputs
+    flipped; CLAUDE.md invariant). New oracle float expressions must
+    use e-notation (1e0, 5e-1). This guard allows exactly the vetted
+    exceptions: pinned-literal VALUES oracles (plain data, no
+    arithmetic), the HLL alpha expression (the SAME string is parsed
+    by BOTH engines, so both run decimal arithmetic — and the
+    exhaustive domain sweep proves agreement), and bare comparison
+    thresholds (one literal conversion, no arithmetic chain)."""
+    import re
+
+    from webtableextractionsystem_spark.x_oracles import X_ORACLES
+
+    ALLOWED = {
+        # HLL alpha: same-string-both-engines + exhaustive sweep
+        "0.7213", "1.079", "256.0", "640.0", "1.0", "2.0",
+        # comparison thresholds / quantization scales (single literal
+        # conversion, no decimal arithmetic chain)
+        "0.3", "0.0", "1000000.0",
+    }
+    pat = re.compile(r"(?<![\w.])\d+\.\d+(?![\w.eE])")
+    bad = {}
+    for name, sql in entry_mod.oracle_sql().items():
+        if name in X_ORACLES:        # pinned literal VALUES rows
+            continue
+        stripped = re.sub(r"--[^\n]*", "", sql)   # drop SQL comments
+        hits = set(pat.findall(stripped)) - ALLOWED
+        if hits:
+            bad[name] = sorted(hits)
+    assert not bad, f"bare decimal literals in oracle arithmetic: {bad}"
