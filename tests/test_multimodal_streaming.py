@@ -2289,10 +2289,11 @@ def test_pdf_filter_battery_roundtrip_and_boundaries():
         assert P._run_length_decode(P._run_length_encode(d)) == d
         for early in (0, 1):
             assert P._lzw_decode(P._lzw_encode(d, early), early) == d
-        # differential: the stdlib implements the same base85/hex
-        # alphabets independently
-        assert P._ascii85_encode(d) == base64.a85encode(d) + b"~>"
-        assert P._ascii_hex_encode(d) == binascii.hexlify(d) + b">"
+        # differential for the DECODER: stdlib-produced base85/hex must
+        # decode exactly (the encode side IS stdlib a85encode, so an
+        # encode-vs-stdlib assert would be tautological)
+        assert P._ascii85_decode(base64.a85encode(d) + b"~>") == d
+        assert P._ascii_hex_decode(binascii.hexlify(d) + b">") == d
 
     # spec fixtures
     assert P._ascii85_decode(b"z~>") == b"\0\0\0\0"        # zero shorthand
@@ -2476,6 +2477,45 @@ def test_pdf_type0_identity_h_fonts():
         f2(b"\x00\x99")
     with pytest.raises(ValueError, match="odd-length"):
         f2(b"\x00")
+
+
+def test_pdf_round6_review_fixes():
+    """Round-6 whole-round review findings, each with a repro: (1) Q
+    must restore `leading` (TL) too, or T* after Q steps by the stale
+    inner leading; (2) full-table LZW streams (Clear deferred until
+    4096 entries, permitted by §7.4.4.2) must decode, not raise at the
+    width recomputation; (3) ToUnicode CMap parsing must be linear —
+    a large crafted block parses in bounded time (the per-entry slice
+    was quadratic: 23.5 s for 2.8 MB)."""
+    import os
+    import random
+    import time
+
+    from webtableextractionsystem_spark.operators import pdf as P
+
+    # (1) leading save/restore: TL 20 outside, TL 5 inside q/Q; the
+    # T* after Q must step by 20 (y=700), not the stale 5 (y=715)
+    content = (b"BT /F1 10 Tf 20 TL 1 0 0 1 72 720 Tm (a) Tj "
+               b"q 5 TL Q T* (b) Tj ET")
+    runs = P._interpret_content(content)
+    assert [(r[3], r[1]) for r in runs] == [("a", 720.0), ("b", 700.0)]
+
+    # (2) full-table LZW: low-entropy long input -> >4095 table
+    # entries before the deferred Clear, both EarlyChange values
+    random.seed(11)
+    data = bytes(random.randrange(5) for _ in range(40000))
+    for early in (0, 1):
+        enc = P._lzw_encode(data, early, full_tables=True)
+        assert P._lzw_decode(enc, early) == data
+
+    # (3) linear CMap parse: 200k-entry bfchar block (~2.8 MB, all
+    # mapping one CID so the entry cap never trips) must parse fast
+    block = (b"200000 beginbfchar\n"
+             + b"<0001> <4E2D>\n" * 200000 + b"endbfchar\n")
+    t0 = time.monotonic()
+    cmap = P._parse_tounicode(block)
+    assert cmap == {1: "中"}
+    assert time.monotonic() - t0 < 5.0
 
 
 def test_pdf_lzw_earlychange_parm_hand_built():

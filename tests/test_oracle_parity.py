@@ -101,20 +101,22 @@ def test_no_unvetted_bare_decimal_literals_in_oracles(entry_mod):
 
     from webtableextractionsystem_spark.x_oracles import X_ORACLES
 
+    # allowlist scoped PER ORACLE (a flat set would let a new oracle
+    # reintroduce `(x + 1.0)` — the exact measured bug — unnoticed)
+    _hll = {"0.7213", "1.079", "256.0", "640.0", "1.0", "2.0"}
     ALLOWED = {
-        # HLL alpha: same-string-both-engines + exhaustive sweep
-        "0.7213", "1.079", "256.0", "640.0", "1.0", "2.0",
-        # comparison thresholds / quantization scales (single literal
-        # conversion, no decimal arithmetic chain)
-        "0.3", "0.0", "1000000.0",
+        "q_doc_hll_distinct": _hll,
+        "q_doc_hll_by_source": _hll,
+        "q_emb_neardup_pairs": {"0.3"},            # threshold compare
+        "q_emb_centroid_outliers": {"0.0", "1000000.0"},
     }
-    pat = re.compile(r"(?<![\w.])\d+\.\d+(?![\w.eE])")
+    pat = re.compile(r"(?<![\w.])(?:\d+\.\d*|\.\d+)(?![\w.eE])")
     bad = {}
     for name, sql in entry_mod.oracle_sql().items():
         if name in X_ORACLES:        # pinned literal VALUES rows
             continue
         stripped = re.sub(r"--[^\n]*", "", sql)   # drop SQL comments
-        hits = set(pat.findall(stripped)) - ALLOWED
+        hits = set(pat.findall(stripped)) - ALLOWED.get(name, set())
         if hits:
             bad[name] = sorted(hits)
     assert not bad, f"bare decimal literals in oracle arithmetic: {bad}"

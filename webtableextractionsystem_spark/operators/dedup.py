@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ._cache import session_persisted
 from .textstats import load_documents
 
 SHINGLE_K = 3
@@ -1063,22 +1064,15 @@ def bloom_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not a LocalTableScan of pre-collected literals) while repeated
     # calls (gate, bench, plan audit) reuse one resident copy instead of
     # accumulating persists or recomputing from scratch each time.
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _BLOOM_CACHE.get(key)
-    if cached is None:
-        fp = F.md5(F.concat_ws(" ", F.slice(_tokens(), 1, 5)))
-        keys = (load_documents(spark, sf_dir)
-                .select(fp.alias("key")).distinct().persist())
-        bits = (keys.select(
-            F.explode(_bloom_bits(F.col("key"))).alias("bit"))
-            .distinct().persist())
-        # materialize now: a lazy persist would never warm before the
-        # single final action, so the four aggregates below would each
-        # re-derive keys/bits through lineage.
-        bits.count()
-        cached = (keys, bits)
-        _BLOOM_CACHE[key] = cached
-    keys, bits = cached
+    fp = F.md5(F.concat_ws(" ", F.slice(_tokens(), 1, 5)))
+    keys = session_persisted(
+        spark, _BLOOM_CACHE, ("keys", sf_dir),
+        lambda: load_documents(spark, sf_dir)
+        .select(fp.alias("key")).distinct())
+    bits = session_persisted(
+        spark, _BLOOM_CACHE, ("bits", sf_dir),
+        lambda: keys.select(
+            F.explode(_bloom_bits(F.col("key"))).alias("bit")).distinct())
 
     def probe_hits(probe_keys: DataFrame):
         rows = probe_keys.select(
@@ -1105,8 +1099,8 @@ def bloom_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# one materialized (keys, bits) pair per (SparkContext, sf_dir)
-_BLOOM_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+# materialized keys/bits relations per (SparkContext, kind, sf_dir)
+_BLOOM_CACHE: dict[tuple, DataFrame] = {}
 
 
 def bloom_filter_sql() -> str:
@@ -1185,24 +1179,16 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str,
     (test_spark_pipeline) covers the irregular-graph arithmetic the
     corpus can't."""
     docs = load_documents(spark, sf_dir).select("doc_id")
-    key = (spark.sparkContext.applicationId, sf_dir)
-    edges_deg = _PR_EDGE_CACHE.get(key)
-    if edges_deg is None:
-        # persist AND materialize now: a lazy persist would never warm
-        # before the single final action, so every iteration would
-        # re-run the expensive LSH+Jaccard derivation through lineage.
-        # Cached per (app, sf_dir) like entry_queries._EXT_CACHE so
-        # repeated calls (gate, bench, audit) reuse ONE resident copy
-        # instead of accumulating persists.
-        edges_deg = _edges_with_deg(
-            _verified_pairs(spark, sf_dir)).persist()
-        edges_deg.count()
-        _PR_EDGE_CACHE[key] = edges_deg
+    # without the persist every iteration would re-run the expensive
+    # LSH+Jaccard derivation through lineage (see _cache.py)
+    edges_deg = session_persisted(
+        spark, _PR_EDGE_CACHE, (sf_dir,),
+        lambda: _edges_with_deg(_verified_pairs(spark, sf_dir)))
     return pagerank(docs, edges_deg=edges_deg, iters=iters)
 
 
 # one materialized edge relation per (SparkContext, sf_dir)
-_PR_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PR_EDGE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _edges_with_deg(pairs: DataFrame) -> DataFrame:
@@ -1318,23 +1304,19 @@ def repeated_ngrams(spark: SparkSession, sf_dir: str,
 
 
 # one materialized gram relation per (SparkContext, sf_dir, k)
-_GRAM_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+_GRAM_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _gram_relation(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """The persisted per-doc-DISTINCT hashed k-gram relation shared by
     repeated_ngrams and ngram_clean (cached per (session, sf_dir, k) —
     the corpus shingle+hash pass runs once per session)."""
-    key = (spark.sparkContext.applicationId, sf_dir, k)
-    grams = _GRAM_CACHE.get(key)
-    if grams is None:
-        grams = load_documents(spark, sf_dir).select(
+    return session_persisted(
+        spark, _GRAM_CACHE, (sf_dir, k),
+        lambda: load_documents(spark, sf_dir).select(
             "doc_id",
             F.explode_outer(_shingles(k)).alias("g"),
-        ).select("doc_id", F.md5("g").alias("h")).persist()
-        grams.count()
-        _GRAM_CACHE[key] = grams
-    return grams
+        ).select("doc_id", F.md5("g").alias("h")))
 
 
 def _gram_incidence(grams: DataFrame) -> DataFrame:

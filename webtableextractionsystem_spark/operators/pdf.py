@@ -749,9 +749,12 @@ def _lzw_width(next_code: int, early: int) -> int:
         return 10
     if v < 2048:
         return 11
-    if v < 4096:
-        return 12
-    raise ValueError("PDF LZW table overflow")
+    # capped at 12, never raised: §7.4.4.2 permits an encoder to defer
+    # the Clear until the table is COMPLETELY full (4096 entries), so
+    # a decoder that errored at the width recomputation after entry
+    # 4095 would reject valid streams (review finding). The table-full
+    # state itself stops growth in _lzw_decode.
+    return 12
 
 
 def _lzw_decode(raw: bytes, early: int = 1) -> bytes:
@@ -793,7 +796,10 @@ def _lzw_decode(raw: bytes, early: int = 1) -> bytes:
             entry = prev + prev[:1]     # the KwKwK case
         else:
             raise ValueError("invalid PDF LZW code")
-        if prev is not None:
+        if prev is not None and next_code < 4096:
+            # 12-bit code space: a full table stops growing (memory
+            # bound); codes stay <= 4095 so reads remain valid until
+            # the encoder's (spec-required) Clear arrives
             table.append(prev + entry[:1])
             next_code += 1
         out += entry
@@ -803,12 +809,15 @@ def _lzw_decode(raw: bytes, early: int = 1) -> bytes:
         width = _lzw_width(next_code, early)
 
 
-def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+def _lzw_encode(data: bytes, early: int = 1,
+                full_tables: bool = False) -> bytes:
     """Paired greedy LZW encoder, bit-synchronized with _lzw_decode:
     width is recomputed from the DECODER's table size (one entry behind
     the encoder's — the decoder adds on read, starting from the second
-    code), and a Clear is emitted before the decoder's next width
-    computation would need 13 bits."""
+    code). The default emits a conservative early Clear; §7.4.4.2 also
+    permits deferring the Clear until the table is COMPLETELY full —
+    ``full_tables=True`` exercises that spec edge (the decoder must
+    cap the width at 12 and stop growing, not raise)."""
     acc = nbits = 0
     out = bytearray()
 
@@ -854,8 +863,9 @@ def _lzw_encode(data: bytes, early: int = 1) -> bytes:
         table[nxt] = enc_next
         enc_next += 1
         cur = nxt[-1:]
-        if dec_next >= 4094 - early:
-            # reset BEFORE the decoder's width calc would overflow 12
+        if dec_next >= (4096 - early if full_tables else 4094 - early):
+            # default: reset conservatively early; full_tables: defer
+            # to the completely-full table per §7.4.4.2
             emit(_LZW_CLEAR, width)
             table.clear()
             enc_next = _LZW_FIRST
@@ -1252,6 +1262,7 @@ _RANGE_RE = re.compile(
     r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
     r"(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\])")
 _HEX_ITEM_RE = re.compile(r"<([0-9A-Fa-f]+)>")
+_WS_RE = re.compile(r"\s*")
 
 
 def _utf16be_hex(h: str) -> str:
@@ -1282,11 +1293,12 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
         # would misalign on an unsupported entry form (e.g. a missing
         # destination) and silently consume the NEXT entry's bounds as
         # a destination — corrupting neighbours instead of raising
-        # (review finding).
+        # (review finding). Positional match only — slicing the block
+        # per entry would be quadratic, an executor-pinning DoS on a
+        # crafted multi-MB CMap (review finding).
         pos = 0
         while True:
-            ws = re.match(r"\s*", block[pos:])
-            pos += ws.end()
+            pos = _WS_RE.match(block, pos).end()
             if pos >= len(block):
                 return
             m = pat.match(block, pos)
@@ -1446,17 +1458,18 @@ def _interpret_content(content: bytes, decoders=None):
         try:
             if op == "q":
                 # §8.4.2 Table 52: the saved graphics state includes
-                # the TEXT state (font => decoder, size), not just the
-                # CTM — a Q that restored only the CTM would leave a
-                # stale decoder and show silent mojibake afterwards
-                gstack.append((ctm, size, cur_dec))
+                # the TEXT state (font => decoder, size, leading), not
+                # just the CTM — a Q that restored only the CTM would
+                # leave a stale decoder (silent mojibake) or a stale
+                # TL (wrong T*/'/" line positions) afterwards
+                gstack.append((ctm, size, leading, cur_dec))
                 if len(gstack) > 256:
                     raise ValueError("PDF graphics-state stack too deep")
             elif op == "Q":
                 # unbalanced Q: real interpreters ignore it — resetting
                 # to identity would silently move every later run
                 if gstack:
-                    ctm, size, cur_dec = gstack.pop()
+                    ctm, size, leading, cur_dec = gstack.pop()
             elif op == "cm":
                 m = tuple(float(v) for v in stack[-6:])
                 ctm = _mat_mul(m, ctm)

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ._cache import session_persisted
+
 # common-word list for the stopword/langid heuristics (includes the
 # synthetic corpus' function-ish words so the signal is non-trivial)
 STOPWORDS = (
@@ -1271,18 +1273,13 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     |top_terms| postings lists; one per-term window for the final
     rank (WindowGroupLimit pushes the top-k down)."""
     toks = _tokens()
-    key = (spark.sparkContext.applicationId, sf_dir)
-    postings = _BM25_POSTINGS_CACHE.get(key)
-    if postings is None:
-        postings = (
-            load_documents(spark, sf_dir)
-            .select("doc_id", F.explode(toks).alias("token"))
-            .where(F.col("token") != "")
-            .groupBy("token", "doc_id")
-            .agg(F.count("*").cast("int").alias("tf"))
-        ).persist()
-        postings.count()
-        _BM25_POSTINGS_CACHE[key] = postings
+    postings = session_persisted(
+        spark, _BM25_POSTINGS_CACHE, (sf_dir,),
+        lambda: load_documents(spark, sf_dir)
+        .select("doc_id", F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").cast("int").alias("tf")))
     dl = load_documents(spark, sf_dir).select(
         "doc_id", F.size(toks).alias("dl"))
     stats = dl.agg(F.count("*").alias("n_docs"),
@@ -1318,7 +1315,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # one materialized (token, doc_id, tf) index per (SparkContext, sf_dir)
-_BM25_POSTINGS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_BM25_POSTINGS_CACHE: dict[tuple, DataFrame] = {}
 
 
 BM25_TOPK_SQL = rf"""
@@ -1423,14 +1420,11 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a window over those <=B rows (NOT a second corpus aggregate —
     review finding), and the llr dimension BROADCASTS back onto the
     feature relation; one doc-keyed integer agg."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    docs = _DSIR_FEATS_CACHE.get(key)
-    if docs is None:
-        docs = load_documents(spark, sf_dir).select(
+    docs = session_persisted(
+        spark, _DSIR_FEATS_CACHE, (sf_dir,),
+        lambda: load_documents(spark, sf_dir).select(
             "doc_id", "source",
-            F.explode(_dsir_features()).alias("f")).persist()
-        docs.count()
-        _DSIR_FEATS_CACHE[key] = docs
+            F.explode(_dsir_features()).alias("f")))
     tgt = F.col("source").isin(*DSIR_TARGET_SOURCES)
     counts = docs.groupBy("f").agg(
         F.count("*").alias("cq"),
@@ -1460,7 +1454,7 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # one materialized (doc_id, source, f) relation per (SparkContext, sf_dir)
-_DSIR_FEATS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_DSIR_FEATS_CACHE: dict[tuple, DataFrame] = {}
 
 
 _DSIR_FEATS_SQL = rf"""
