@@ -48,6 +48,13 @@ _MAX_OBJECTS = 1 << 20        # xref entry bound
 _PAGE_W, _PAGE_H = 612, 792   # US Letter, the encoder's MediaBox
 
 
+def _strict_int(v) -> bool:
+    """bool subclasses int: '/Length true' etc. must raise, not be
+    silently treated as 1 (the round-5 predictor fix, applied to EVERY
+    untrusted integer field)."""
+    return isinstance(v, int) and not isinstance(v, bool)
+
+
 # ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------
@@ -332,10 +339,6 @@ class _Lexer:
             else:
                 return
 
-    def peek_bytes(self, k: int) -> bytes:
-        self._skip_ws()
-        return self.data[self.pos:self.pos + k]
-
     def token(self):
         """Next syntactic token: returns a python value for atoms, or
         one of the marker strings '<<' '>>' '[' ']' or an operator/
@@ -429,6 +432,13 @@ class _Lexer:
                 if depth == 0:
                     return bytes(out)
                 out.append(c)
+            elif c == 0x0D:
+                # §7.3.4.2: an unescaped EOL marker (CR, LF, or CRLF)
+                # inside a literal string is treated as a single 0x0A
+                out.append(0x0A)
+                self.pos += 1
+                if self.pos < n and d[self.pos] == 0x0A:
+                    self.pos += 1
             else:
                 out.append(c)
                 self.pos += 1
@@ -888,6 +898,11 @@ def _flate_decode(raw: bytes) -> bytes:
         raise ValueError("corrupt PDF Flate stream") from e
     if len(data) > _MAX_STREAM_BYTES:
         raise ValueError("PDF stream exceeds the inflate bound")
+    if not dec.eof:
+        # a payload cut off mid-stream decompresses its prefix without
+        # error — every sibling decoder raises 'truncated' for the
+        # same condition, and silent partial text is worse
+        raise ValueError("truncated PDF Flate stream")
     return data
 
 
@@ -939,7 +954,9 @@ class _Doc:
             raise ValueError("PDF has no startxref")
         lx = _Lexer(d, at + len(b"startxref"))
         off = lx.token()
-        if not isinstance(off, int):
+        if not _strict_int(off) or not (0 <= off < len(d)):
+            # a negative offset would silently index from the file
+            # TAIL via Python slicing and parse garbage
             raise ValueError("bad startxref offset")
         for _ in range(_MAX_XREF_CHAIN):
             lx = _Lexer(d, off)
@@ -953,6 +970,11 @@ class _Doc:
                 raise ValueError("bad PDF xref section")
             if prev is None:
                 return
+            if not _strict_int(prev) or not (0 <= prev < len(d)):
+                # non-int / negative /Prev must fail HERE as the
+                # contractual ValueError, not as a TypeError in the
+                # lexer or a silent tail-indexed parse
+                raise ValueError("bad PDF /Prev offset")
             off = prev
         raise ValueError("PDF xref /Prev chain too long")
 
@@ -970,15 +992,22 @@ class _Doc:
                 break
             start = t
             count = lx.token()
-            if not isinstance(start, int) or not isinstance(count, int) \
+            if not _strict_int(start) or not _strict_int(count) \
                     or count < 0 or start + count > _MAX_OBJECTS:
                 raise ValueError("bad PDF xref subsection header")
             for i in range(count):
                 o = lx.token()
                 _gen = lx.token()
                 kind = lx.token()
-                if kind == "n" and (start + i) not in self.offsets:
-                    if not isinstance(o, int):
+                # incremental-update precedence: the chain parses
+                # NEWEST section first, so an object already mapped —
+                # including as a type-2 in_stream entry by a newer
+                # xref STREAM — must NOT be overridden by this older
+                # table (the stream path checks both maps; checking
+                # only offsets here returned STALE pre-update objects)
+                if kind == "n" and (start + i) not in self.offsets \
+                        and (start + i) not in self.in_stream:
+                    if not _strict_int(o) or o < 0:
                         # a malformed offset must fail HERE as a
                         # ValueError, not later as a TypeError when
                         # obj() compares it to ints
@@ -990,7 +1019,8 @@ class _Doc:
         # hybrid-reference file (§7.5.8.4): a classic table whose
         # trailer points at a SUPPLEMENTARY xref stream holding the
         # compressed-object entries old readers can't see
-        if isinstance(trailer.get("XRefStm"), int):
+        if _strict_int(trailer.get("XRefStm")) \
+                and 0 <= trailer["XRefStm"] < len(self.data):
             self._parse_xref_stream(trailer["XRefStm"])
         return self._take_trailer(trailer)
 
@@ -1001,7 +1031,7 @@ class _Doc:
         trailer fields live in the stream dict itself."""
         lx = _Lexer(self.data, off)
         num, gen, kw = lx.token(), lx.token(), lx.token()
-        if not isinstance(num, int) or kw != "obj":
+        if not _strict_int(num) or kw != "obj":
             raise ValueError("bad PDF xref stream object header")
         sdict = _parse_value(lx)
         if not isinstance(sdict, dict) or lx.token() != "stream":
@@ -1014,10 +1044,10 @@ class _Doc:
         w = sdict.get("W")
         size = sdict.get("Size")
         if (not isinstance(w, list) or len(w) != 3
-                or not all(isinstance(x, int) and 0 <= x <= 8 for x in w)
+                or not all(_strict_int(x) and 0 <= x <= 8 for x in w)
                 or sum(w) == 0  # zero row width would never consume
                                 # data: /Index loops spin unboundedly
-                or not isinstance(size, int)):
+                or not _strict_int(size)):
             raise ValueError("bad PDF xref stream /W or /Size")
         index = sdict.get("Index", [0, size])
         if not isinstance(index, list) or len(index) % 2:
@@ -1026,7 +1056,7 @@ class _Doc:
         pos = 0
         for s in range(0, len(index), 2):
             start, count = index[s], index[s + 1]
-            if not isinstance(start, int) or not isinstance(count, int) \
+            if not _strict_int(start) or not _strict_int(count) \
                     or count < 0 or start + count > _MAX_OBJECTS:
                 raise ValueError("bad PDF xref stream /Index range")
             for i in range(count):
@@ -1107,14 +1137,14 @@ class _Doc:
                              "an object stream")
         sdict, data = container[1], container[2]
         n, first = sdict.get("N"), sdict.get("First")
-        if not isinstance(n, int) or not isinstance(first, int) \
+        if not _strict_int(n) or not _strict_int(first) \
                 or not (0 <= first <= len(data)) or n < 0:
             raise ValueError("bad PDF object stream /N or /First")
         lx = _Lexer(data, 0)
         off = None
         for _ in range(n):
             onum, ooff = lx.token(), lx.token()
-            if not isinstance(onum, int) or not isinstance(ooff, int):
+            if not _strict_int(onum) or not _strict_int(ooff):
                 raise ValueError("bad PDF object stream pair table")
             if onum == num:
                 off = ooff
@@ -1134,7 +1164,7 @@ class _Doc:
         elif d[p:p + 1] == b"\n":
             p += 1
         length = self.resolve(sdict.get("Length"))
-        if not isinstance(length, int) or length < 0 \
+        if not _strict_int(length) or length < 0 \
                 or p + length > len(d):
             raise ValueError("bad PDF stream /Length")
         raw = d[p:p + length]
@@ -1168,15 +1198,24 @@ class _Doc:
             raise ValueError("PDF trailer has no /Root catalog")
         tree = self.resolve(root.get("Pages"))
         out: list[dict] = []
+        seen: set[int] = set()
 
         def walk(node, depth: int) -> None:
             if depth > 64:
                 raise ValueError("PDF page tree too deep")
+            if len(out) + len(seen) > _MAX_OBJECTS:
+                raise ValueError("PDF page tree too large")
             node = self.resolve(node)
             if not isinstance(node, dict):
                 raise ValueError("bad PDF page tree node")
             t = str(node.get("Type", ""))
             if t == "Pages":
+                # the depth cap alone leaves repeated /Kids refs
+                # exponential (k -> [k+1, k+1] doubles per level, all
+                # under depth 64); a Pages node may appear ONCE
+                if id(node) in seen:
+                    raise ValueError("PDF page tree repeats a node")
+                seen.add(id(node))
                 for kid in self.resolve(node.get("Kids")) or []:
                     walk(kid, depth + 1)
             elif t == "Page":
@@ -1212,7 +1251,11 @@ class _Doc:
                 break
             res = self.resolve(node.get("Resources"))
             if res is not None:
+                if not isinstance(res, dict):
+                    raise ValueError("bad PDF /Resources")
                 fonts = self.resolve(res.get("Font")) or {}
+                if not isinstance(fonts, dict):
+                    raise ValueError("bad PDF /Font resource")
                 return {k: self.resolve(v) for k, v in fonts.items()}
             parent = node.get("Parent")
             if parent is None:
@@ -1344,6 +1387,8 @@ def _font_decoder(doc: "_Doc", fdict: dict):
     (1-byte) fonts decode latin-1; Type0/Identity-H decodes 2-byte
     CIDs through /ToUnicode; anything else raises the honest named
     ValueError."""
+    if fdict is not None and not isinstance(fdict, dict):
+        raise ValueError("bad PDF font object")
     sub = str((fdict or {}).get("Subtype", ""))
     if sub != "Type0":
         return _decode_text
@@ -1432,11 +1477,16 @@ def _interpret_content(content: bytes, decoders=None):
             t = lx.token()
             if t == "ID":
                 break
-            if not isinstance(t, (_Name, int, float, bytes, bool, list)) \
-                    and t not in ("<<",):
-                raise ValueError("malformed PDF inline image header")
-            if t == "<<":
+            # token() yields the STRINGS "true"/"false"/"null"/"[" for
+            # those atoms (never python bool/list) — a guard written
+            # against the python types rejected valid headers like
+            # '/IM true' or '/D [1 0]' (review finding)
+            if t in ("<<", "["):
                 _parse_from(lx, t)
+            elif t in ("true", "false", "null"):
+                pass
+            elif not isinstance(t, (_Name, int, float, bytes)):
+                raise ValueError("malformed PDF inline image header")
         m = _EI.search(lx.data, lx.pos)
         if m is None:
             raise ValueError("unterminated PDF inline image")
