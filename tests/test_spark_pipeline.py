@@ -544,6 +544,23 @@ def test_guarded_ln_sweep_bm25_dsir_domains(spark):
     assert sres == dres and len(sres) == len(pairs)
 
 
+def test_tokenizer_vertical_tab_cross_engine(spark):
+    """Java's \\s includes vertical tab (\\x0B); RE2's (every DuckDB
+    oracle) does not — so _tokens() splits on the explicit class
+    [ \\t\\n\\f\\r]+ instead of \\s+. This probe pins the agreement on
+    the one character the two engines disagreed about: both must see
+    'a\\x0Bb c' as TWO tokens, with 'a\\x0Bb' intact."""
+    import duckdb
+
+    row = spark.sql(
+        "SELECT split(trim(concat('a', char(11), 'b c')), "
+        "'[ \\t\\n\\f\\r]+') AS t").collect()[0]["t"]
+    d = duckdb.sql(
+        "SELECT regexp_split_to_array(trim('a' || chr(11) || 'b c'), "
+        r"'\s+') AS t").fetchone()[0]
+    assert row == list(d) == ["a\x0bb", "c"]
+
+
 def test_dsir_weights_separate_target_domain(spark):
     """The DSIR importance weight must actually DO data selection: on
     the sf0.01 corpus, documents from the declared target sources score

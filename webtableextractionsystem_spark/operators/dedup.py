@@ -44,7 +44,9 @@ JACCARD_MAX_ID = 200  # bounded id range for the oracle-checked pair query
 
 
 def _tokens():
-    return F.split(F.trim(F.col("text")), r"\s+")
+    # explicit class, NOT \s+ — Java \s vs RE2 \s differ on \x0B; see
+    # textstats._tokens (review finding)
+    return F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+")
 
 
 def _shingles(k: int = SHINGLE_K):

@@ -29,7 +29,12 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tokens():
-    return F.split(F.trim(F.col("text")), r"\s+")
+    # explicit class, NOT \s+: Java's \s includes vertical tab (\x0B)
+    # but RE2's (every DuckDB oracle) does not — a corpus document
+    # containing \x0B would silently diverge n_tokens and every
+    # token-derived column between the engines (review finding; the
+    # cross-engine probe test pins the agreement)
+    return F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+")
 
 
 # ---------------------------------------------------------------------------
@@ -60,11 +65,26 @@ FROM documents
 # quality scoring (length / punctuation / stopword-ratio flags)
 # ---------------------------------------------------------------------------
 
-def quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _quality_cols():
+    """(n_tokens, stop_hits, quality_ok) expressions — the SINGLE home
+    of the quality band, shared by quality_stats and source_stats
+    (review finding: the band was written out twice; a one-sided edit
+    would silently decouple the dashboard rollup from the per-doc
+    flags while each still matched its own oracle). Integer
+    cross-multiplication instead of a float ratio: stopword ratio
+    >= 10% and a sane length band."""
     toks = _tokens()
     stop = F.array(*[F.lit(w) for w in STOPWORDS])
     n_tokens = F.size(toks)
-    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    quality_ok = ((stop_hits * 10 >= n_tokens)
+                  & (n_tokens >= 5) & (n_tokens <= 10000))
+    return n_tokens, stop_hits, quality_ok
+
+
+def quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_tokens, stop_hits, quality_ok = _quality_cols()
     # dropping [A-Za-z0-9 ] keeps exactly the punctuation characters
     punct = F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", ""))
     return load_documents(spark, sf_dir).select(
@@ -72,20 +92,22 @@ def quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.alias("n_tokens"),
         stop_hits.alias("stop_hits"),
         punct.cast("int").alias("punct_count"),
-        # integer cross-multiplication instead of a float ratio:
-        # stopword ratio >= 10% and a sane length band
-        ((stop_hits * 10 >= n_tokens) & (n_tokens >= 5) & (n_tokens <= 10000))
-        .alias("quality_ok"),
+        quality_ok.alias("quality_ok"),
     )
 
+
+# the quality band over a `toks` list alias — one SQL home shared by
+# QUALITY_SQL and SOURCE_STATS_SQL (mirrors _quality_cols)
+_QUALITY_OK_SQL = (
+    f"(len([t FOR t IN toks IF list_contains({_STOP_SQL}, lower(t))])"
+    f" * 10 >= len(toks) AND len(toks) >= 5 AND len(toks) <= 10000)")
 
 QUALITY_SQL = rf"""
 SELECT doc_id,
        CAST(len(toks) AS INTEGER) AS n_tokens,
        CAST(len([t FOR t IN toks IF list_contains({_STOP_SQL}, lower(t))]) AS INTEGER) AS stop_hits,
        CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS INTEGER) AS punct_count,
-       (len([t FOR t IN toks IF list_contains({_STOP_SQL}, lower(t))]) * 10 >= len(toks)
-        AND len(toks) >= 5 AND len(toks) <= 10000) AS quality_ok
+       {_QUALITY_OK_SQL} AS quality_ok
 FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
       FROM documents)
 """
@@ -391,18 +413,15 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     LM (the vocabulary domain, far smaller than the corpus); the doc
     side re-derives bigrams and equi-joins the LM — at 100 TB the LM
     side is the broadcast/bucketed dimension. No float anywhere."""
-    toks = _tokens()
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    d = load_documents(spark, sf_dir).select(
-        "doc_id", F.explode_outer(bigrams).alias("bg"))
+    # shared bigram expression (_bigrams — one home with the
+    # repetition/DSIR consumers); persisted per session: the exploded
+    # relation feeds BOTH the LM build and the join side, and
+    # unpersisted each action re-runs the corpus explode twice
+    # (review finding; cf. _BM25_POSTINGS_CACHE)
+    d = session_persisted(
+        spark, _BIGRAM_LM_CACHE, (sf_dir,),
+        lambda: load_documents(spark, sf_dir).select(
+            "doc_id", F.explode_outer(_bigrams()).alias("bg")))
     lm = d.where(F.col("bg").isNotNull()) \
         .groupBy("bg").agg(F.count("*").alias("freq"))
     return (
@@ -415,6 +434,10 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+# materialized per-session relations (see operators/_cache.py)
+_BIGRAM_LM_CACHE: dict[tuple, DataFrame] = {}
+_CMS_TOKENS_CACHE: dict[tuple, DataFrame] = {}
 
 BIGRAM_LM_SQL = r"""
 WITH d AS (
@@ -477,8 +500,12 @@ def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     with counts and total tokens per bucket. One partial-aggregated
     groupBy on a tiny key domain."""
     n = F.size(_tokens())
+    # floor(log2) via the integer `length(bin(n)) - 1` trick (the
+    # HLL/qsketch pattern): floating log2 routes through different
+    # libm code paths in the JVM (ln/ln2) and DuckDB (std::log2), and
+    # a one-ulp flip at a power of two would move a bucket boundary
     bucket = F.when(n <= 0, F.lit(-1)) \
-        .otherwise(F.floor(F.log2(n)).cast("int"))
+        .otherwise((F.length(F.bin(n.cast("long"))) - 1).cast("int"))
     return (
         load_documents(spark, sf_dir)
         .select(bucket.alias("len_bucket"), n.alias("n_tokens"))
@@ -490,7 +517,8 @@ def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LENGTH_BUCKETS_SQL = r"""
 SELECT CASE WHEN n <= 0 THEN -1
-            ELSE CAST(floor(log2(n)) AS INTEGER) END AS len_bucket,
+            ELSE CAST(length(bin(CAST(n AS BIGINT))) - 1 AS INTEGER)
+            END AS len_bucket,
        count(*) AS n_docs,
        CAST(sum(n) AS BIGINT) AS total_tokens
 FROM (SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n
@@ -515,7 +543,6 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the already-aggregated (small) term table partitioned by
     source. The window input is |vocab| x |sources| rows, not corpus
     rows."""
-    from pyspark.sql import Window
 
     tf = (
         load_documents(spark, sf_dir)
@@ -599,13 +626,7 @@ def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same quality expression as quality_stats) — the per-domain rollup a
     curation dashboard reads. One scan, one tiny-key groupBy with
     map-side partials."""
-    toks = _tokens()
-    stop = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_tokens = F.size(toks)
-    stop_hits = F.size(
-        F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
-    quality_ok = ((stop_hits * 10 >= n_tokens)
-                  & (n_tokens >= 5) & (n_tokens <= 10000))
+    n_tokens, _stop_hits, quality_ok = _quality_cols()
     return (
         load_documents(spark, sf_dir)
         .select("source", "lang", F.length("text").alias("n_chars"),
@@ -628,10 +649,7 @@ SELECT source,
        CAST(sum(length(text)) AS BIGINT) AS total_chars,
        CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
        count(DISTINCT lang) AS n_langs,
-       CAST(sum(CASE WHEN
-              len([t FOR t IN toks IF list_contains({_STOP_SQL}, lower(t))])
-                  * 10 >= len(toks)
-              AND len(toks) >= 5 AND len(toks) <= 10000
+       CAST(sum(CASE WHEN {_QUALITY_OK_SQL}
             THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok
 FROM (SELECT source, lang, text,
              regexp_split_to_array(trim(text), '\s+') AS toks
@@ -667,7 +685,8 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "toks", F.explode(starts).alias("start"))
         .select(
             "doc_id", "start",
-            ((F.col("start") - 1) / CHUNK_STRIDE).cast("int")
+            # integral DIV per the CLAUDE.md double-`/` rule
+            F.expr(f"(start - 1) DIV {CHUNK_STRIDE}").cast("int")
             .alias("chunk_idx"),
             F.size(chunk).alias("n_tokens"),
             F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
@@ -728,11 +747,18 @@ def pack_sequences(spark: SparkSession, sf_dir: str,
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum_before = (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    # integral DIV, never double `/` + cast (CLAUDE.md): past 2^53
+    # cumulative tokens the double rounds and pack_id diverges from
+    # the oracle's exact `//`
     return d.select(
         "doc_id", "bucket", "n_tokens",
         F.lit(PACK_CAPACITY).cast("int").alias("capacity"),
-        (cum_before / PACK_CAPACITY).cast("long").alias("pack_id"),
-        (cum_before % PACK_CAPACITY).cast("int").alias("offset_in_pack"),
+        cum_before.alias("_cb"),
+    ).select(
+        "doc_id", "bucket", "n_tokens", "capacity",
+        F.expr(f"_cb DIV {PACK_CAPACITY}").alias("pack_id"),
+        (F.col("_cb") % PACK_CAPACITY).cast("int")
+        .alias("offset_in_pack"),
     )
 
 
@@ -935,8 +961,12 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch: per-partition sketches union by +); the probe side is the
     exact top-k (itself one token shuffle) broadcast-joined against the
     1024-row sketch."""
-    tok_occ = load_documents(spark, sf_dir).select(
-        F.explode(_tokens()).alias("token"))
+    # persisted per session: the token explode feeds both the sketch
+    # build and the exact top-k probe side (review finding)
+    tok_occ = session_persisted(
+        spark, _CMS_TOKENS_CACHE, (sf_dir,),
+        lambda: load_documents(spark, sf_dir).select(
+            F.explode(_tokens()).alias("token")))
     rows = tok_occ.select(
         "token", F.explode(_cms_hash_structs()).alias("h")
     ).select("token", "h.d", "h.c")
@@ -1381,14 +1411,10 @@ DSIR_LLR_SCALE = 10000                  # llr quantization (1e-4)
 def _dsir_features():
     """Hashed unigram + bigram feature buckets per document (array of
     ints in [0, DSIR_BUCKETS)) — one expression home for the target
-    and corpus distributions and the per-doc scorer."""
+    and corpus distributions and the per-doc scorer; bigrams come from
+    the shared _bigrams() home (review finding: three inline copies)."""
     toks = _tokens()
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
-    ).otherwise(F.array().cast("array<string>"))
-    feats = F.concat(toks, bigrams)
+    feats = F.concat(toks, _bigrams())
     return F.transform(
         feats,
         lambda t: (F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
