@@ -544,6 +544,21 @@ def test_guarded_ln_sweep_bm25_dsir_domains(spark):
     assert sres == dres and len(sres) == len(pairs)
 
 
+def test_documents_text_nonnull_precondition(spark):
+    """The dedup fingerprints assume non-null text: Spark's
+    md5(concat_ws(...)) of a NULL-token array yields md5('') while
+    DuckDB's array_to_string(NULL) yields NULL — a NULL-text document
+    would silently diverge exact_dedup/bloom/funnel cross-engine
+    (file-level review finding). The testdata generator never emits
+    NULL text; this pins that precondition so a datagen change that
+    breaks it fails HERE with the reason, not in a value-hash
+    mismatch with no hint."""
+    for sf in ("sf0.001", "sf0.01"):
+        n = (spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+             .where("text IS NULL").count())
+        assert n == 0, f"{sf} has NULL-text documents"
+
+
 def test_tokenizer_vertical_tab_cross_engine(spark):
     """Java's \\s includes vertical tab (\\x0B); RE2's (every DuckDB
     oracle) does not — so _tokens() splits on the explicit class

@@ -35,18 +35,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._cache import session_persisted
-from .textstats import load_documents
+from .textstats import _tokens, load_documents
 
 SHINGLE_K = 3
 N_SEEDS = 8          # minhash permutations
 BAND_ROWS = 2        # seeds per LSH band -> 4 bands
 JACCARD_MAX_ID = 200  # bounded id range for the oracle-checked pair query
-
-
-def _tokens():
-    # explicit class, NOT \s+ — Java \s vs RE2 \s differ on \x0B; see
-    # textstats._tokens (review finding)
-    return F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+")
 
 
 def _shingles(k: int = SHINGLE_K):
@@ -77,8 +71,21 @@ def _shingles_sql(k: int = SHINGLE_K) -> str:
 # collides; full-text exact dedup is the same query with the full md5)
 # ---------------------------------------------------------------------------
 
+def _prefix_fp():
+    """First-5-token fingerprint — the SINGLE home shared by
+    exact_dedup, the curation funnel, and the Bloom keys (Spark side;
+    _PREFIX_FP_SQL is the DuckDB twin). A one-sided width/separator
+    edit would silently decouple the three while each still matched
+    its own oracle (review finding)."""
+    return F.md5(F.concat_ws(" ", F.slice(_tokens(), 1, 5)))
+
+
+_PREFIX_FP_SQL = ("md5(array_to_string(regexp_split_to_array(trim(text), "
+                  r"'\s+')[1:5], ' '))")
+
+
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = F.md5(F.concat_ws(" ", F.slice(_tokens(), 1, 5)))
+    fp = _prefix_fp()
     w = Window.partitionBy("fp")
     return (
         load_documents(spark, sf_dir)
@@ -88,12 +95,12 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EXACT_DEDUP_SQL = r"""
+EXACT_DEDUP_SQL = rf"""
 SELECT doc_id, fp,
        min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
        doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
 FROM (SELECT doc_id,
-             md5(array_to_string(regexp_split_to_array(trim(text), '\s+')[1:5], ' ')) AS fp
+             {_PREFIX_FP_SQL} AS fp
       FROM documents)
 """
 
@@ -281,8 +288,15 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation_funnel the extra serialized pass makes eager ~20% SLOWER
     (6.7 s vs 5.6 s). Lazy persist stands."""
     bk = lsh_band_keys(spark, sf_dir).persist()
-    a = bk.alias("a")
-    b = bk.alias("b")
+    return _band_selfjoin(bk)
+
+
+def _band_selfjoin(bk: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) -> ordered distinct candidate pairs —
+    the ONE home of the band equi-self-join, shared by the standalone
+    query and the curation funnel (review finding: a contract edit
+    must not update one path and miss the other)."""
+    a, b = bk.alias("a"), bk.alias("b")
     return (
         a.join(b, ["band", "band_key"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -532,7 +546,12 @@ def jaccard_verified(cand: DataFrame, shingles: DataFrame,
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
         cand.join(a, "doc_a").join(b, "doc_b")
-        .where(inter * 100 >= union * pct)
+        # union > 0: two shingle-less docs give J = 0/0, and 0 >= 0
+        # would mark EVERY pair of sub-K-token docs as verified
+        # duplicates for a caller whose candidates are not
+        # band-filtered (review finding; the SQL twin carries the
+        # same guard)
+        .where((inter * 100 >= union * pct) & (union > 0))
         .select("doc_a", "doc_b")
     )
 
@@ -560,6 +579,7 @@ verified AS (
   JOIN d b ON b.doc_id = p.doc_b
   WHERE len(list_intersect(a.sh, b.sh)) * 100 >=
         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * {JACCARD_PCT}
+    AND (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0
 )"""
 
 
@@ -808,10 +828,14 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, one shuffle for the per-doc count. Docs too short to form a
     K-gram report 0 hits."""
     docs = load_documents(spark, sf_dir)
-    grams = docs.select(
-        "doc_id", F.explode(_shingles(DECON_K)).alias("g")
-    ).select("doc_id", F.md5("g").alias("h"))
-    bench = grams.where(F.col("doc_id") < DECON_BENCH_MAX_ID) \
+    # the SAME session-persisted per-doc-distinct gram relation that
+    # repeated_ngrams/ngram_clean share (k = DECON_K for all three):
+    # reusing it removes two corpus scans per call (review finding).
+    # Its explode_outer NULL rows are dropped by the inner joins and
+    # the not-null filter, so results are unchanged.
+    grams = _gram_relation(spark, sf_dir, DECON_K)
+    bench = grams.where((F.col("doc_id") < DECON_BENCH_MAX_ID)
+                        & F.col("h").isNotNull()) \
         .select("h").distinct()
     hits = (
         grams.where(F.col("doc_id") >= DECON_BENCH_MAX_ID)
@@ -898,32 +922,30 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang 'unk' needs <5% and no CJK — pinned in the cascade test); the
     branch is kept because the thresholds are per-corpus knobs, and the
     cascade order is the contract."""
-    from .textstats import STOPWORDS
+    from .textstats import _lang_pred_col, _quality_cols
 
     # the signal projection is md5/fold-heavy: spread the scan across
     # the executors (the sf-dir parquet is one file -> one partition;
-    # same pattern as minhash_signatures)
-    docs = load_documents(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism)
-    toks = _tokens()
-    stop = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_tokens = F.size(toks)
-    stop_hits = F.size(
-        F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
-    cjk = (F.length("text")
-           - F.length(F.regexp_replace("text", "[一-龥]", "")))
+    # same pattern as minhash_signatures). Projected to (doc_id, text)
+    # FIRST: persist caches the plan's full output, so the unused
+    # lang/source/n_chars columns would otherwise sit in every cached
+    # block (review finding).
+    docs = load_documents(spark, sf_dir).select("doc_id", "text") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    # quality band / language cascade / prefix fp from their single
+    # expression homes — the funnel's oracle composes the standalone
+    # QUALITY_SQL/LANG_ID_SQL/EXACT_DEDUP_SQL bodies, so inline copies
+    # here could drift one-sidedly (review finding)
+    n_tokens, _stop_hits, quality_ok = _quality_cols()
     # the ONE source read: persisted narrow signature relation; every
     # branch below projects from this cache with column pruning
     # (lazy persist, LRU-left — see lsh_candidate_pairs docstring)
     sig = row_minhash(docs).persist()
     base = sig.select(
         "doc_id",
-        ((stop_hits * 10 >= n_tokens)
-         & (n_tokens >= 5) & (n_tokens <= 10000)).alias("quality_ok"),
-        F.when(cjk > 0, F.lit("zh"))
-        .when(stop_hits * 20 >= n_tokens, F.lit("en"))
-        .otherwise(F.lit("unk")).alias("lang_pred"),
-        F.md5(F.concat_ws(" ", F.slice(toks, 1, 5))).alias("fp"),
+        quality_ok.alias("quality_ok"),
+        _lang_pred_col().alias("lang_pred"),
+        _prefix_fp().alias("fp"),
         F.when(F.col("mh0").isNotNull(), band_structs())
         .otherwise(F.array().cast(
             "array<struct<band:int,band_key:string>>")).alias("bands"),
@@ -938,14 +960,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup: band equi-self-join + the shared Jaccard verifier
     bk = base.select("doc_id", F.explode("bands").alias("bk")) \
         .select("doc_id", "bk.band", "bk.band_key")
-    a, b = bk.alias("a"), bk.alias("b")
-    cand = (
-        a.join(b, ["band", "band_key"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _band_selfjoin(bk)
     near = (
         jaccard_verified(cand, base.select("doc_id", "sh"))
         .select(F.col("doc_b").alias("doc_id")).distinct()
@@ -1066,7 +1081,7 @@ def bloom_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not a LocalTableScan of pre-collected literals) while repeated
     # calls (gate, bench, plan audit) reuse one resident copy instead of
     # accumulating persists or recomputing from scratch each time.
-    fp = F.md5(F.concat_ws(" ", F.slice(_tokens(), 1, 5)))
+    fp = _prefix_fp()
     keys = session_persisted(
         spark, _BLOOM_CACHE, ("keys", sf_dir),
         lambda: load_documents(spark, sf_dir)
@@ -1106,8 +1121,7 @@ _BLOOM_CACHE: dict[tuple, DataFrame] = {}
 
 
 def bloom_filter_sql() -> str:
-    key = ("md5(array_to_string(regexp_split_to_array(trim(text), "
-           r"'\s+')[1:5], ' '))")
+    key = _PREFIX_FP_SQL
     return rf"""
 WITH keys AS (SELECT DISTINCT {key} AS key FROM documents),
 bits AS (
@@ -1215,6 +1229,8 @@ def pagerank(docs: DataFrame, pairs: DataFrame | None = None,
     a cast, whose exactness would silently depend on intermediates
     staying under 2^53 (a PR_SCALE bump to 10^15 would cross it)."""
     if edges_deg is None:
+        if pairs is None:
+            raise ValueError("pagerank needs `pairs` or `edges_deg`")
         edges_deg = _edges_with_deg(pairs)
     n = docs.agg(F.count("*").alias("n"))
     base = F.expr(f"{PR_SCALE} div n")

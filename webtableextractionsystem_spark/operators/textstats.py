@@ -117,21 +117,25 @@ FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
 # language-ID heuristic (CJK presence, stopword density)
 # ---------------------------------------------------------------------------
 
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lang_pred_col():
+    """The zh/en/unk language cascade — single home shared by lang_id
+    and the curation funnel (whose oracle composes LANG_ID_SQL, so a
+    one-sided threshold edit would silently decouple them)."""
     toks = _tokens()
     stop = F.array(*[F.lit(w) for w in STOPWORDS])
     cjk = (F.length("text")
            - F.length(F.regexp_replace("text", "[一-龥]", "")))
-    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
     n_tokens = F.size(toks)
+    return (F.when(cjk > 0, F.lit("zh"))
+            .when(stop_hits * 20 >= n_tokens, F.lit("en"))
+            .otherwise(F.lit("unk")))
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_documents(spark, sf_dir).select(
-        "doc_id",
-        "lang",
-        F.when(cjk > 0, F.lit("zh"))
-        .when(stop_hits * 20 >= n_tokens, F.lit("en"))
-        .otherwise(F.lit("unk"))
-        .alias("lang_pred"),
-    )
+        "doc_id", "lang", _lang_pred_col().alias("lang_pred"))
 
 
 LANG_ID_SQL = rf"""
