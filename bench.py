@@ -128,6 +128,8 @@ def main() -> None:
             .agg(F.count("*")).collect(),
             "q_doc_dsir_weights": lambda: TS.dsir_weights(spark, sf_dir)
             .agg(F.count("*")).collect(),
+            "q_emb_semdedup": lambda: SIM.semdedup(spark, sf_dir)
+            .collect(),
         }
         for name, fn in bench_set.items():
             queries[name] = timed(fn)

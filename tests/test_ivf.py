@@ -50,3 +50,62 @@ def test_ivf_sims_match_bruteforce_for_hits(topk_pair):
         key = (r["q_id"], r["nbr_id"])
         if key in exact_sim:  # same pair -> identical rounded cosine
             assert abs(exact_sim[key] - r["sim_r"]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def _cell_map(spark):
+    assigned, _ = SIM.ivf_assignments(spark, SF)
+    return {r["vec_id"]: r["cell"] for r in assigned.collect()}
+
+
+def test_semdedup_partitions_the_corpus(spark):
+    rows = SIM.semdedup(spark, SF).collect()
+    n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert sum(r["n_vecs"] for r in rows) == n
+    for r in rows:
+        dropped = [x for x in r["dropped"].split(",") if x]
+        assert r["n_kept"] + len(dropped) == r["n_vecs"]
+        assert len(set(dropped)) == len(dropped)
+
+
+def test_semdedup_min_partner_rule_matches_bruteforce(spark):
+    """dropped(v) <=> exists same-cell u < v with rounded cosine >= tau,
+    re-derived independently from the raw vectors in python."""
+    import math
+
+    emb = {r["vec_id"]: r["embedding"]
+           for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()}
+    cell_of = _cell_map(spark)
+    by_cell = {}
+    for vid, c in cell_of.items():
+        by_cell.setdefault(c, []).append(vid)
+
+    def cos(u, v):
+        a, b = emb[u], emb[v]
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 4)
+
+    expected_dropped = {}
+    for c, ids in by_cell.items():
+        ids.sort()
+        d = set()
+        for i, v in enumerate(ids):
+            if any(cos(u, v) >= SIM.SEMDEDUP_TAU for u in ids[:i]):
+                d.add(v)
+        expected_dropped[c] = d
+
+    got = {r["cell"]: {int(x) for x in r["dropped"].split(",") if x}
+           for r in SIM.semdedup(spark, SF).collect()}
+    assert got == expected_dropped
+
+
+def test_semdedup_threshold_above_max_sim_keeps_everything(spark):
+    rows = SIM.semdedup(spark, SF, tau=1.1).collect()
+    assert all(r["n_kept"] == r["n_vecs"] and r["dropped"] == ""
+               for r in rows)

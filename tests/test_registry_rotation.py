@@ -15,9 +15,11 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _EXPECTED_TAIL = {
-    # round-6 tail (29 entries) — see the queries() docstring for the
+    # round-6 tail (30 entries) — see the queries() docstring for the
     # per-entry twin reasoning; all were driver-rowed green in r05
-    "q_doc_repeated_ngrams", "q_rel_rollup", "q_rel_exists",
+    # (bigram_lm rotated out late-round to admit the new q_emb_semdedup)
+    "q_doc_repeated_ngrams", "q_doc_bigram_lm", "q_rel_rollup",
+    "q_rel_exists",
     "q_events_closed_sessions", "q_doc_length_quantiles",
     "q_rel_revenue_by_nation", "q_rel_anti_join",
     "q_emb_topk_cosine", "q_emb_neardup_pairs", "q_emb_ivf_topk",
@@ -43,7 +45,7 @@ def _entry_mod():
 def test_registry_order_and_tail_match_documentation():
     mod = _entry_mod()
     qs = list(mod.queries())
-    assert len(qs) == 79
+    assert len(qs) == 80
     tail = set(qs[50:])
     assert tail == _EXPECTED_TAIL, (
         "registry tail drifted from the documented rotation — update "

@@ -246,6 +246,7 @@ PINNED = (
     "x_media_features", "x_audio_features", "x_video_features",
     "x_pdf_features",
     "x_tables_docx", "x_er_graph", "q_emb_ivf_topk", "q_emb_ivf_recall",
+    "q_emb_semdedup",
 )
 
 # queries deliberately WITHOUT any oracle (driver records the weaker
@@ -291,6 +292,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        relation + incidence are shared via _gram_relation with the
        new, rowed ngram_clean) — round 7 MUST rotate these back
        inside the first 50 and push round-6's rowed veterans out.
+       Late-round addition: q_emb_semdedup (new, pinned) entered the
+       prefix and q_doc_bigram_lm (green r05, its integer-sum shape
+       twinned by the still-rowed dsir_weights) rotated to the tail,
+       which is now 30 entries.
        (50-boundary re-verified this round: list(queries())[49] is the
        last prefix entry, [50] the first tail entry.)
 
@@ -331,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_ngram_clean": DD.ngram_clean,
         "q_doc_bm25_topk": TS.bm25_topk,
         "q_doc_dsir_weights": TS.dsir_weights,
+        "q_emb_semdedup": SIM.semdedup,
         # --- code changed in round 6 (must stay rowed) ---
         "x_pdf_features": x_pdf_features,       # §7.4 filter battery
         "q_doc_bloom_filter": DD.bloom_filter_stats,  # lazy compose
@@ -353,12 +359,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_stratified_sample": TS.stratified_sample,
         "q_doc_neardup_pagerank": DD.neardup_pagerank,
         "q_events_anomalies": REL.event_anomalies,
-        "q_doc_bigram_lm": TS.bigram_lm_score,
         # --- tail (rotated out this round; all green r05, unchanged;
         # see the rotation-policy docstring for the twin reasoning) ---
         # repeated_ngrams' gram relation + incidence are exercised by
         # the still-rowed ngram_clean (shared _gram_relation)
         "q_doc_repeated_ngrams": DD.repeated_ngrams,
+        # bigram_lm (green r05): integer corpus-frequency sums, the same
+        # shape as the still-rowed dsir_weights' hashed-ngram counts
+        "q_doc_bigram_lm": TS.bigram_lm_score,
         # rollup's grouping-sets machinery is a subset of the
         # still-rowed cube's (same Expand + single-shuffle plan)
         "q_rel_rollup": REL.lineitem_rollup,

@@ -358,6 +358,73 @@ def centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic deduplication — k-means cluster
+# the embedding space, then drop near-identical vectors WITHIN each
+# cluster. The clustering makes the pairwise step tractable: candidate
+# pairs only form inside a cell, never across the corpus.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.3  # rounded-cosine duplicate threshold, calibrated to
+                    # the synthetic corpus (within-cell p99 ~= 0.35; the
+                    # max is ~0.5 — real corpora use ~0.95+)
+
+
+def semdedup(spark: SparkSession, sf_dir: str,
+             tau: float = SEMDEDUP_TAU,
+             quantizer: tuple | None = None) -> DataFrame:
+    """SemDeDup per-cell verdicts: (cell, n_vecs, n_kept, dropped).
+
+    A vector is DROPPED iff some same-cell vector with a smaller vec_id
+    has rounded cosine >= tau to it — the same deterministic min-partner
+    canonical rule as dedup.neardup_canonical, so batch reruns and both
+    engines agree without the paper's centroid-distance tiebreak.
+
+    Scale shape: the quantizer is fit on a bounded sample and assignment
+    is a narrow map (ivf_assignments); pair generation is ONE shuffle on
+    cell, and the per-cell pairwise cost is bounded because k scales
+    with the corpus (k ~= n / target_cell_size — SemDeDup's tractability
+    argument). The per-cell rollup re-uses the same cell partitioning,
+    and `dropped` collect_sets are bounded by cell size. k-means isn't
+    SQL-expressible, so the driver oracle is a PINNED literal
+    (tools/pin_extraction_oracles.py), like ivf_topk."""
+    assigned, _ = quantizer or ivf_assignments(spark, sf_dir)
+    emb = load_embeddings(spark, sf_dir) \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    side = emb.join(assigned, "vec_id")
+    a = side.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"),
+                    "cell")
+    b = side.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"),
+                    "cell")
+    sim = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea")))
+        * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    )
+    dup = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("cell", "id_b", F.round(sim, 4).alias("sim_r"))
+        .where(F.col("sim_r") >= tau)
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_set("id_b")).alias("dropped_ids"))
+    )
+    sizes = assigned.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    return (
+        sizes.join(dup, "cell", "left")
+        .select(
+            "cell", "n_vecs",
+            (F.col("n_vecs")
+             - F.coalesce(F.size("dropped_ids"), F.lit(0)))
+            .cast("long").alias("n_kept"),
+            F.coalesce(
+                F.array_join(
+                    F.transform("dropped_ids",
+                                lambda x: x.cast("string")), ","),
+                F.lit("")).alias("dropped"),
+        )
+    )
+
+
 CENTROID_OUTLIERS_SQL = f"""
 WITH dims AS (
   SELECT label, t.range - 1 AS pos,
