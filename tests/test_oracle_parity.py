@@ -120,3 +120,21 @@ def test_no_unvetted_bare_decimal_literals_in_oracles(entry_mod):
         if hits:
             bad[name] = sorted(hits)
     assert not bad, f"bare decimal literals in oracle arithmetic: {bad}"
+
+
+def test_no_session_timezone_dependent_exprs_in_oracles(entry_mod):
+    """DuckDB's to_timestamp() returns TIMESTAMP WITH TIME ZONE, so any
+    strftime/string rendering of it follows the gate host's session
+    TimeZone — while the Spark side is pinned UTC
+    (spark.sql.session.timeZone). On a non-UTC host every rendered hour
+    shifts and the value hash mismatches (caught round 6 in
+    EVENT_ANOMALIES_SQL; verified: '1969-12-31 20:00:00' vs
+    '1970-01-01 01:00:00' under America/New_York). Epoch->string must
+    route through make_timestamp(us), which returns plain TIMESTAMP;
+    NTZ parquet columns formatted directly are already safe."""
+    bad = {name for name, sql in entry_mod.oracle_sql().items()
+           if "to_timestamp(" in sql.lower()}
+    assert not bad, (
+        f"session-timezone-dependent to_timestamp() in oracles: {bad} — "
+        "use make_timestamp(epoch_s * 3600 * 1000000)-style plain "
+        "TIMESTAMP construction instead")

@@ -116,9 +116,12 @@ def customers_without_orders(spark, sf_dir):
 
 ANTI_JOIN_SQL = """
 SELECT c_custkey, c_name
-FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
+# NOT EXISTS, not NOT IN: a NULL c_custkey makes NOT IN evaluate to NULL
+# (row dropped) while Spark's left_anti finds no match and KEEPS it —
+# NOT EXISTS is the exact dual of left_anti under NULL keys.
 
 
 # --- TOP-n batch consumption (S3: SELECT TOP n ... ORDER BY ID) --------------
@@ -196,11 +199,15 @@ def events_json_props(spark, sf_dir):
 
 
 EVENTS_JSON_SQL = r"""
-SELECT CAST(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) % 10
+SELECT CAST(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) % 10
             AS INTEGER) AS k_bucket,
        count(*) AS n
 FROM events GROUP BY 1
 """
+# TRY_CAST, not CAST: DuckDB regexp_extract returns '' on no-match and
+# CAST('' AS INTEGER) is a hard Conversion Error, while Spark's
+# regexp_extract('').cast('int') degrades to a NULL group — TRY_CAST
+# mirrors the NULL-bucket semantics instead of erroring the gate.
 
 
 # --- events: per-user sessions-ish profile -----------------------------------
@@ -497,7 +504,9 @@ def anomaly_flags(hourly):
 
 def event_anomalies(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    hour_idx = (_epoch_s() / 3600).cast("long")
+    # integral `div`, never double `/` + cast (CLAUDE.md discipline) —
+    # matches the oracle's BIGINT // 3600 exactly at any magnitude
+    hour_idx = F.expr("cast(cast(ts as timestamp) as long) div 3600")
     hourly = e.groupBy(hour_idx.alias("hour_idx")).agg(
         F.count("*").alias("n"))
     return anomaly_flags(hourly)
@@ -520,12 +529,17 @@ trailed AS (
                         AND 1 PRECEDING) AS trail_n
   FROM hourly
 )
-SELECT strftime(to_timestamp(hour_idx * 3600), '%Y-%m-%d %H:00:00') AS hour,
+SELECT strftime(make_timestamp(hour_idx * 3600 * 1000000),
+                '%Y-%m-%d %H:00:00') AS hour,
        n, trail_sum, trail_n,
        trail_n > 0 AND n * trail_n > {ANOMALY_FACTOR} * trail_sum
          AS anomaly
 FROM trailed
 """
+# make_timestamp(us), not to_timestamp(s): to_timestamp returns
+# TIMESTAMPTZ, so strftime would render it in the gate host's session
+# TimeZone while the Spark side is pinned UTC — make_timestamp returns
+# plain TIMESTAMP and is timezone-independent.
 
 
 # --- rollup (grouping sets) ---------------------------------------------------

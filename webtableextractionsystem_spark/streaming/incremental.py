@@ -233,8 +233,9 @@ def streaming_anomalies(spark: SparkSession, events_dir: str,
 
     def upsert(batch, batch_id: int) -> None:
         changed = batch.select(
-            (F.unix_timestamp(F.col("w.start")) / 3600).cast("long")
-            .alias("hour_idx"),
+            # integral `div` — same hour_idx expression discipline as the
+            # batch twin (relational.event_anomalies)
+            F.expr("unix_timestamp(w.start) div 3600").alias("hour_idx"),
             F.col("n"),
         )
         _versioned_merge_write(spark, hourly_root, batch_id, changed,
