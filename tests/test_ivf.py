@@ -105,6 +105,25 @@ def test_semdedup_min_partner_rule_matches_bruteforce(spark):
     assert got == expected_dropped
 
 
+def test_lsh_plane_signs_match_engine_md5(spark):
+    """The literal sign arrays baked into _bucket_expr must equal the
+    in-engine md5-parity derivation (which the DuckDB twin mirrors)."""
+    engine = {(r["plane"], r["dim"]): r["sign"]
+              for r in SIM.plane_signs(spark).collect()}
+    lits = SIM._plane_sign_rows()
+    assert {(p, d): lits[p][d]
+            for p in range(SIM.N_PLANES)
+            for d in range(SIM.N_DIMS)} == engine
+
+
+def test_lsh_buckets_plan_is_narrow(spark):
+    """The bucket computation must stay a per-row map over the scan —
+    no exchange anywhere in the plan."""
+    plan = SIM.lsh_buckets(spark, SF)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
 def test_semdedup_threshold_above_max_sim_keeps_everything(spark):
     rows = SIM.semdedup(spark, SF, tau=1.1).collect()
     assert all(r["n_kept"] == r["n_vecs"] and r["dropped"] == ""
