@@ -2775,3 +2775,69 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
     want = {(r["d"], r["c"]): r["n"] for r in batch.collect()}
     assert got == want
     assert len(got) > 0 and sum(got.values()) == 70 * 5 * 4  # 5 toks x D
+
+
+# ---------------------------------------------------------------------------
+# round-6 file-level review regressions: degenerate media payloads
+# ---------------------------------------------------------------------------
+
+
+def test_ppm_low_maxval_rescales_to_8bit():
+    """Spec-valid P6 with maxval<255 must rescale: an all-maxval (white)
+    image decodes to 255s, not raw low-intensity sample bytes."""
+    payload = b"P6\n2 2\n15\n" + bytes([15] * 12)
+    img = MM._decode_ppm(payload)
+    assert img.shape == (2, 2, 3)
+    assert img.max() == img.min() == 255
+    mid = b"P6\n1 1\n15\n" + bytes([7, 0, 15])
+    assert MM._decode_ppm(mid)[0, 0].tolist() == [7 * 255 // 15, 0, 255]
+
+
+def test_bmp_zero_dims_raise():
+    import numpy as np
+    import pytest
+
+    good = MM.encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
+    bad = bytearray(good)
+    bad[18:22] = (0).to_bytes(4, "little")  # biWidth = 0
+    with pytest.raises(ValueError, match="dimensions"):
+        MM._decode_bmp(bytes(bad))
+
+
+def test_decode_audio_degenerate_wavs_raise():
+    import numpy as np
+    import pytest
+
+    wav = bytearray(MM.encode_wav(np.ones((4, 1), dtype=np.int16), 8000))
+    # fmt chunk starts at 12+8; dwSamplesPerSec at fmt+4
+    assert wav[12:16] == b"fmt "
+    rate0 = bytearray(wav)
+    rate0[24:28] = (0).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="sample rate"):
+        MM.decode_audio(bytes(rate0))
+    empty = MM.encode_wav(np.zeros((0, 1), dtype=np.int16), 8000)
+    with pytest.raises(ValueError, match="empty WAV data"):
+        MM.decode_audio(bytes(empty))
+
+
+def test_frame_sample_skips_audio_and_frameless_media(spark):
+    rows = [
+        ("m://img", "image", bytearray(b""),
+         {"width": 1, "height": 1, "n_frames": 1, "sample_rate": 0,
+          "mime": "image/bmp"}),
+        ("m://vid", "video", bytearray(b""),
+         {"width": 1, "height": 1, "n_frames": 4, "sample_rate": 5,
+          "mime": "video/x-msvideo"}),
+        # audio reuses n_frames as the SAMPLE count — must not explode
+        ("m://wav", "audio", bytearray(b""),
+         {"width": 0, "height": 0, "n_frames": 500, "sample_rate": 8000,
+          "mime": "audio/wav"}),
+        # frame-less media must emit no rows, not a phantom frame 0
+        ("m://nil", "video", bytearray(b""),
+         {"width": 1, "height": 1, "n_frames": 0, "sample_rate": 5,
+          "mime": "video/x-msvideo"}),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA)
+    got = {(r["media_ref"], r["frame_idx"])
+           for r in MM.frame_sample(media, every_n=2).collect()}
+    assert got == {("m://img", 0), ("m://vid", 0), ("m://vid", 2)}

@@ -65,6 +65,15 @@ MEDIA = T.StructType([
 N_IMG_FEATURES = 16
 
 
+def _synth_from_media_refs(spans_out: DataFrame, gen) -> DataFrame:
+    """The span-filtering contract shared by every synth_*_for_spans
+    generator: one distinct media_ref per media span, fanned through
+    the per-ref mapInPandas ``gen`` into a MEDIA-schema table."""
+    refs = spans_out.where(F.col("kind") == "media") \
+        .select("media_ref").distinct()
+    return refs.mapInPandas(gen, schema=MEDIA)
+
+
 def synth_media_for_spans(spans_out: DataFrame) -> DataFrame:
     """Deterministic media table for every media span: REAL encoded
     image payloads (PPM / BMP / PNG-RGB / PNG-RGBA / PNG-palette /
@@ -143,9 +152,7 @@ def synth_media_for_spans(spans_out: DataFrame) -> DataFrame:
                 })
             yield pd.DataFrame(rows)
 
-    refs = spans_out.where(F.col("kind") == "media") \
-        .select("media_ref").distinct()
-    return refs.mapInPandas(gen, schema=MEDIA)
+    return _synth_from_media_refs(spans_out, gen)
 
 
 def _decode_ppm(payload: bytes) -> np.ndarray:
@@ -185,7 +192,13 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
         # re-raise with the format-level diagnosis (ADVICE r2: the old
         # post-hoc size check was unreachable)
         raise ValueError("truncated PPM body") from e
-    return body.reshape(h, w, 3).copy()
+    img = body.reshape(h, w, 3)
+    if maxval != 255:
+        # spec-valid low-maxval files store samples 0..maxval; rescale
+        # to 8-bit (exact integer arithmetic) instead of silently using
+        # raw samples as 0..255 intensities
+        img = (img.astype(np.uint16) * 255 // maxval).astype(np.uint8)
+    return img.copy()
 
 
 def _decode_bmp(payload: bytes) -> np.ndarray:
@@ -210,6 +223,10 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
     top_down = h < 0
     h = abs(h)
+    if w <= 0 or h <= 0:
+        # same honest raise as the PPM/PNG dim checks — a (h, 0, 3)
+        # image would silently propagate NaN features downstream
+        raise ValueError(f"bad BMP dimensions {w}x{h}")
     stride = (w * 3 + 3) // 4 * 4
     if len(payload) < off + stride * h:
         raise ValueError("truncated BMP body")
@@ -607,9 +624,13 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     return rng.integers(0, 256, size=(side, side, 3), dtype=np.uint8)
 
 
-def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
+def image_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """(media_ref, features array<float>, width, height) via one batched
-    mapInPandas pass: decode -> per-channel stats -> fixed-dim vector."""
+    mapInPandas pass: decode -> per-channel stats -> fixed-dim vector.
+
+    ``fake`` defaults to False like decode_image: real payloads decode
+    for real, and an undecodable payload raises instead of silently
+    substituting md5-garbage pixels — tests opt in to fake=True."""
 
     def run(batches):
         for pdf in batches:
@@ -641,9 +662,10 @@ def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
 
 def resize_images(media: DataFrame, target: int = 8,
-                  fake: bool = True) -> DataFrame:
-    """Batched resize (nearest-neighbor on the fake decode) returning new
-    payloads — exercises binary-in/binary-out Arrow round-tripping."""
+                  fake: bool = False) -> DataFrame:
+    """Batched resize (nearest-neighbor) returning new payloads —
+    exercises binary-in/binary-out Arrow round-tripping. ``fake``
+    defaults to False like decode_image (see image_features)."""
 
     def run(batches):
         for pdf in batches:
@@ -666,16 +688,22 @@ def resize_images(media: DataFrame, target: int = 8,
     )
 
 
-def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
-    """Frame-sampling plumbing for video-kind media: emits one row per
-    sampled frame index (pure Catalyst: sequence + explode; the decode of
-    each frame would plug into decode_image batch-wise)."""
+def frame_sample(media: DataFrame, every_n: int = 2,
+                 kinds: tuple = ("image", "video")) -> DataFrame:
+    """Frame-sampling plumbing for frame-bearing media: emits one row
+    per sampled frame index (pure Catalyst: sequence + explode; the
+    decode of each frame would plug into decode_image batch-wise).
+    Restricted to ``kinds`` — audio rows reuse meta.n_frames as the
+    SAMPLE count (up to ~1000s), which must not explode into bogus
+    frame rows — and media with n_frames <= 0 emit no rows (not a
+    phantom frame 0)."""
     return (
-        media.select(
+        media
+        .where(F.col("kind").isin(*kinds) & (F.col("meta.n_frames") > 0))
+        .select(
             "media_ref",
             F.explode(
-                F.sequence(F.lit(0),
-                           F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
+                F.sequence(F.lit(0), F.col("meta.n_frames") - 1,
                            F.lit(every_n))
             ).alias("frame_idx"),
         )
@@ -917,27 +945,44 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
         raise NotImplementedError(
             "only RIFF/WAVE PCM or G.711 is decodable without audio "
             "libraries")
-    tag = _wav_format_tag(payload)
+    # ONE chunk walk shared by every decode path (fmt dispatch + the
+    # non-PCM decoders used to re-walk the same list)
+    chunks = _wav_first_chunks(payload, (b"fmt ", b"data", b"fact"))
+    fmt = chunks.get(b"fmt ")
+    if fmt is None:
+        raise ValueError("WAV without fmt chunk")
+    if len(fmt) < 16:
+        raise ValueError("truncated WAV fmt chunk")
+    tag = int.from_bytes(fmt[0:2], "little")
     if tag in (_WAV_FMT_ULAW, _WAV_FMT_ALAW):
-        return _decode_wav_g711(payload, tag)
-    if tag == _WAV_FMT_IMA_ADPCM:
-        return _decode_wav_ima(payload)
-    try:
-        with wave.open(io.BytesIO(payload), "rb") as w:
-            if w.getsampwidth() != 2:
-                raise ValueError(
-                    f"unsupported WAV sample width {w.getsampwidth()}")
-            ch = w.getnchannels()
-            frames = w.readframes(w.getnframes())
-            rate = w.getframerate()
-    # truncated containers surface as EOFError/struct.error from the
-    # stdlib chunk reader, not only wave.Error — all are data errors
-    except (wave.Error, EOFError, struct.error) as e:
-        raise ValueError("corrupt WAV container") from e
-    data = np.frombuffer(frames, dtype="<i2")
-    if ch <= 0 or data.size % max(ch, 1):
-        raise ValueError("truncated WAV frame data")
-    return data.reshape(-1, ch), rate
+        data, rate = _decode_wav_g711(chunks, tag)
+    elif tag == _WAV_FMT_IMA_ADPCM:
+        data, rate = _decode_wav_ima(chunks)
+    else:
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                if w.getsampwidth() != 2:
+                    raise ValueError(
+                        f"unsupported WAV sample width {w.getsampwidth()}")
+                ch = w.getnchannels()
+                frames = w.readframes(w.getnframes())
+                rate = w.getframerate()
+        # truncated containers surface as EOFError/struct.error from the
+        # stdlib chunk reader, not only wave.Error — all are data errors
+        except (wave.Error, EOFError, struct.error) as e:
+            raise ValueError("corrupt WAV container") from e
+        pcm = np.frombuffer(frames, dtype="<i2")
+        if ch <= 0 or pcm.size % max(ch, 1):
+            raise ValueError("truncated WAV frame data")
+        data = pcm.reshape(-1, ch)
+    # degenerate-but-parseable payloads must raise here, not divide by
+    # zero / NaN downstream in audio_features (rate=0 passes stdlib
+    # wave; an empty data chunk yields int(sqrt(nan)))
+    if rate <= 0:
+        raise ValueError(f"bad WAV sample rate {rate}")
+    if data.shape[0] == 0:
+        raise ValueError("empty WAV data chunk")
+    return data, rate
 
 
 def _wav_chunks(payload: bytes):
@@ -964,17 +1009,7 @@ def _wav_first_chunks(payload: bytes, wanted: tuple) -> dict:
     return out
 
 
-def _wav_format_tag(payload: bytes) -> int:
-    fmt = _wav_first_chunks(payload, (b"fmt ",)).get(b"fmt ")
-    if fmt is None:
-        raise ValueError("WAV without fmt chunk")
-    if len(fmt) < 16:
-        raise ValueError("truncated WAV fmt chunk")
-    return int.from_bytes(fmt[0:2], "little")
-
-
-def _decode_wav_ima(payload: bytes) -> tuple[np.ndarray, int]:
-    chunks = _wav_first_chunks(payload, (b"fmt ", b"data", b"fact"))
+def _decode_wav_ima(chunks: dict) -> tuple[np.ndarray, int]:
     fmt = chunks.get(b"fmt ")
     data_chunk = chunks.get(b"data")
     fact = chunks.get(b"fact")
@@ -996,8 +1031,7 @@ def _decode_wav_ima(payload: bytes) -> tuple[np.ndarray, int]:
     return out, rate
 
 
-def _decode_wav_g711(payload: bytes, tag: int) -> tuple[np.ndarray, int]:
-    chunks = _wav_first_chunks(payload, (b"fmt ", b"data"))
+def _decode_wav_g711(chunks: dict, tag: int) -> tuple[np.ndarray, int]:
     fmt = chunks.get(b"fmt ")
     data_chunk = chunks.get(b"data")
     if fmt is None or data_chunk is None:
@@ -1044,9 +1078,7 @@ def synth_audio_for_spans(spans_out: DataFrame) -> DataFrame:
                 })
             yield pd.DataFrame(rows)
 
-    refs = spans_out.where(F.col("kind") == "media") \
-        .select("media_ref").distinct()
-    return refs.mapInPandas(gen, schema=MEDIA)
+    return _synth_from_media_refs(spans_out, gen)
 
 
 def audio_features(media: DataFrame) -> DataFrame:
@@ -1116,9 +1148,7 @@ def synth_video_for_spans(spans_out: DataFrame) -> DataFrame:
                 })
             yield pd.DataFrame(rows)
 
-    refs = spans_out.where(F.col("kind") == "media") \
-        .select("media_ref").distinct()
-    return refs.mapInPandas(gen, schema=MEDIA)
+    return _synth_from_media_refs(spans_out, gen)
 
 
 def video_features(media: DataFrame) -> DataFrame:
@@ -1226,9 +1256,7 @@ def synth_pdfs_for_spans(spans_out: DataFrame) -> DataFrame:
                 })
             yield pd.DataFrame(rows)
 
-    refs = spans_out.where(F.col("kind") == "media") \
-        .select("media_ref").distinct()
-    return refs.mapInPandas(gen, schema=MEDIA)
+    return _synth_from_media_refs(spans_out, gen)
 
 
 def pdf_features(media: DataFrame) -> DataFrame:
