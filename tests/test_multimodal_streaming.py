@@ -2841,3 +2841,73 @@ def test_frame_sample_skips_audio_and_frameless_media(spark):
     got = {(r["media_ref"], r["frame_idx"])
            for r in MM.frame_sample(media, every_n=2).collect()}
     assert got == {("m://img", 0), ("m://vid", 0), ("m://vid", 2)}
+
+
+def test_jpeg_oversized_dc_size_symbol_raises_baseline():
+    """T.81 F.1: DC size (SSSS) is at most 11 at 8-bit precision — a
+    corrupt table symbol of 100 must raise ValueError, not overflow
+    the coefficient store with a 2^100 magnitude (OverflowError
+    escaped decode_image's ValueError-only fake fallback)."""
+    import pytest
+
+    from webtableextractionsystem_spark.operators import jpeg as J
+
+    dqt = b"\xff\xdb\x00\x43\x00" + b"\x01" * 64
+    dht_dc = b"\xff\xc4\x00\x14\x00" + bytes([1] + [0] * 15) + b"\x64"
+    dht_ac = b"\xff\xc4\x00\x14\x10" + bytes([1] + [0] * 15) + b"\x00"
+    sof = b"\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    sos = b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+    payload = (b"\xff\xd8" + dqt + dht_dc + dht_ac + sof + sos
+               + b"\x00\xff\xd9")
+    with pytest.raises(ValueError, match="DC size symbol"):
+        J.decode_jpeg(payload)
+    # and the batched image path must fall back, not crash the batch
+    assert MM.decode_image(payload, fake=True).shape[2] == 3
+
+
+def _entropy_bytes(bits: str) -> bytes:
+    """Pack a bit string into entropy-coded bytes with 0xFF stuffing
+    and 1-fill padding (T.81 F.1.2.3)."""
+    bits = bits + "1" * (-len(bits) % 8)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        b = int(bits[i:i + 8], 2)
+        out.append(b)
+        if b == 0xFF:
+            out.append(0x00)
+    return bytes(out)
+
+
+def test_progressive_jpeg_dc_predictor_overflow_raises():
+    """SOF2 DC scans accumulate the predictor across blocks into an
+    int32 store (shifted by Al): legit-sized diffs repeated across
+    blocks must raise past the range check, not wrap silently
+    (numpy<2) or OverflowError (numpy>=2)."""
+    import pytest
+
+    from webtableextractionsystem_spark.operators import jpeg as J
+
+    dqt = b"\xff\xdb\x00\x43\x00" + b"\x01" * 64
+    # single 1-bit DC code for size 11 (max legit diff 2047)
+    dht_dc = b"\xff\xc4\x00\x14\x00" + bytes([1] + [0] * 15) + b"\x0b"
+    # 8x136 gray SOF2 -> 17 blocks; 17 * 2047 = 34799 > 2^15
+    sof = b"\xff\xc2\x00\x0b\x08\x00\x08\x00\x88\x01\x01\x11\x00"
+    sos = b"\xff\xda\x00\x08\x01\x01\x00\x00\x00\x00"  # Ss=Se=0, Ah=Al=0
+    entropy = _entropy_bytes(("0" + "1" * 11) * 17)
+    payload = (b"\xff\xd8" + dqt + dht_dc + sof + sos + entropy
+               + b"\xff\xd9")
+    with pytest.raises(ValueError, match="DC predictor out of range"):
+        J.decode_jpeg(payload)
+
+
+def test_encode_jpeg_rejects_16bit_dim_overflow():
+    import numpy as np
+    import pytest
+
+    from webtableextractionsystem_spark.operators import jpeg as J
+
+    with pytest.raises(ValueError, match="65535"):
+        J.encode_jpeg(np.zeros((70000, 8), dtype=np.uint8))
+    with pytest.raises(ValueError, match="65535"):
+        J.encode_jpeg(np.zeros((8, 70000, 3), dtype=np.uint8),
+                      progressive=True)

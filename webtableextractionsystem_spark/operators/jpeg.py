@@ -306,6 +306,10 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if h > 0xFFFF or w > 0xFFFF:
+        # JPEG dims are 16-bit by format definition — fail before the
+        # encode, not at header serialization after the full DCT pass
+        raise ValueError(f"JPEG dimensions exceed 65535: {w}x{h}")
     qlum = _scaled_quant(QUANT_LUM, quality)
     qchr = _scaled_quant(QUANT_CHR, quality)
     lf = _SUBSAMPLING.get(subsampling)
@@ -423,10 +427,12 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF JPEG -> HxWx3 uint8 (grayscale broadcast to 3).
-    Unsupported variants (progressive, subsampled, 12-bit, arithmetic)
-    and corrupt streams raise ValueError — including header shapes whose
-    malformation would surface as out-of-range indexing."""
+    """Baseline (SOF0) or progressive (SOF2) JFIF JPEG -> HxWx3 uint8
+    (grayscale broadcast to 3), including 4:2:0/4:2:2 chroma
+    subsampling and restart markers. Remaining unsupported variants
+    (12-bit, arithmetic coding, hierarchical) and corrupt streams
+    raise ValueError — including header shapes whose malformation
+    would surface as out-of-range indexing."""
     try:
         return _decode_jpeg_impl(payload)
     except IndexError as e:
@@ -585,19 +591,25 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                      "truncated progressive JPEG (no EOI reached)")
 
 
-def _decode_scan(payload, pos, frame, scan_tabs, quant, huff_dc, huff_ac,
-                 restart_interval):
-    fh, fw, comps = frame
+def _scan_factors(comps) -> list:
+    """T.81 A.2.3/A.2.4: a single-component scan is NON-interleaved —
+    data units follow in plain block raster order and the sampling
+    factors do not shape MCUs; multi-component scans interleave hi*vi
+    blocks per component per MCU."""
+    if len(comps) == 1:
+        return [(1, 1)]
+    return [(hi, vi) for _, hi, vi, _ in comps]
+
+
+def _frame_geometry(fh, fw, factors):
+    """(hmax, vmax, mcus_x, mcus_y, true_blocks) — the ONE home of the
+    T.81 frame geometry (sampling-ratio rule, MCU counts, ceil'd
+    per-component true-block dims), shared by the baseline scan
+    decoder, the progressive state, and the progressive encoder so the
+    three paths cannot desynchronize (the pinned
+    baseline==progressive bit-identity depends on them agreeing)."""
     if fh == 0 or fw == 0:
         raise ValueError("bad JPEG dimensions")
-    # T.81 A.2.3/A.2.4: a single-component scan is NON-interleaved — data
-    # units follow in plain block raster order and the sampling factors
-    # do not shape MCUs; multi-component scans interleave hi*vi blocks
-    # per component per MCU
-    if len(comps) == 1:
-        factors = [(1, 1)]
-    else:
-        factors = [(hi, vi) for _, hi, vi, _ in comps]
     hmax = max(hi for hi, _ in factors)
     vmax = max(vi for _, vi in factors)
     for hi, vi in factors:
@@ -606,6 +618,25 @@ def _decode_scan(payload, pos, frame, scan_tabs, quant, huff_dc, huff_ac,
                 "fractional JPEG sampling-factor ratios unsupported")
     mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+    true_blocks = []
+    for hi, vi in factors:
+        cw = (fw * hi + hmax - 1) // hmax
+        ch = (fh * vi + vmax - 1) // vmax
+        true_blocks.append(((cw + 7) // 8, (ch + 7) // 8))
+    return hmax, vmax, mcus_x, mcus_y, true_blocks
+
+
+# T.81 table F.1: for 8-bit precision the DC difference category (SSSS)
+# is at most 11 — a bigger size symbol is corrupt data whose magnitude
+# read would overflow the coefficient stores
+_MAX_DC_SIZE = 11
+
+
+def _decode_scan(payload, pos, frame, scan_tabs, quant, huff_dc, huff_ac,
+                 restart_interval):
+    fh, fw, comps = frame
+    factors = _scan_factors(comps)
+    hmax, vmax, mcus_x, mcus_y, _ = _frame_geometry(fh, fw, factors)
     planes = [np.zeros((mcus_y * 8 * vi, mcus_x * 8 * hi), dtype=np.float64)
               for hi, vi in factors]
     br = _BitReader(payload, pos)
@@ -620,6 +651,8 @@ def _decode_scan(payload, pos, frame, scan_tabs, quant, huff_dc, huff_ac,
             raise ValueError("JPEG references an undefined table")
         zz = np.zeros(64, dtype=np.int64)
         size = read_symbol(huff_dc[td])
+        if size > _MAX_DC_SIZE:
+            raise ValueError(f"bad JPEG DC size symbol {size}")
         prev_dc[ci] += _decode_value(size, br.bits(size))
         zz[0] = prev_dc[ci]
         k = 1
@@ -719,27 +752,11 @@ def _progressive_state(frame) -> dict:
     ZIGZAG order over the MCU-padded grid (interleaved DC scans cover
     padded blocks; non-interleaved scans only touch the true grid)."""
     fh, fw, comps = frame
-    if fh == 0 or fw == 0:
-        raise ValueError("bad JPEG dimensions")
-    if len(comps) == 1:
-        factors = [(1, 1)]
-    else:
-        factors = [(hi, vi) for _, hi, vi, _ in comps]
-    hmax = max(hi for hi, _ in factors)
-    vmax = max(vi for _, vi in factors)
-    for hi, vi in factors:
-        if hmax % hi or vmax % vi:
-            raise ValueError(
-                "fractional JPEG sampling-factor ratios unsupported")
-    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+    factors = _scan_factors(comps)
+    hmax, vmax, mcus_x, mcus_y, true_blocks = _frame_geometry(
+        fh, fw, factors)
     coef = [np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32)
             for hi, vi in factors]
-    true_blocks = []
-    for hi, vi in factors:
-        cw = (fw * hi + hmax - 1) // hmax
-        ch = (fh * vi + vmax - 1) // vmax
-        true_blocks.append(((cw + 7) // 8, (ch + 7) // 8))
     return {"fh": fh, "fw": fw, "comps": comps, "factors": factors,
             "hmax": hmax, "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y,
             "coef": coef, "true_blocks": true_blocks}
@@ -787,7 +804,15 @@ def _decode_progressive_scan(payload, pos, st, scan_cis, scan_tabs,
     def dc_block(i, ci, blk):
         if ah == 0:
             size = _read_huff(br, huff_dc[scan_tabs[i][0]])
+            if size > _MAX_DC_SIZE:
+                raise ValueError(f"bad JPEG DC size symbol {size}")
             preds[ci] += _decode_value(size, br.bits(size))
+            # the store is int32 and the shift adds up to 13 bits: a
+            # predictor past the legit T.81 range (|DC| < 2^11 at 8-bit
+            # precision, with headroom) is corrupt data, not a value to
+            # wrap/overflow into the coefficient buffer
+            if not -(1 << 15) <= preds[ci] < (1 << 15):
+                raise ValueError("JPEG DC predictor out of range")
             blk[0] = preds[ci] << al
         elif br.bit():  # refinement: append bit al (two's complement OR)
             blk[0] = int(blk[0]) | p1
@@ -976,13 +1001,7 @@ def _encode_progressive(planes, factors, quants, gray, h, w,
                 qz[y, x] = np.round(c / q).astype(np.int64).reshape(-1)
         coef.append(qz[..., ZIGZAG])
 
-    hmax = max(hi for hi, _ in factors)
-    vmax = max(vi for _, vi in factors)
-    true_blocks = []
-    for hi, vi in factors:
-        cw = (w * hi + hmax - 1) // hmax
-        ch = (h * vi + vmax - 1) // vmax
-        true_blocks.append(((cw + 7) // 8, (ch + 7) // 8))
+    hmax, vmax, _, _, true_blocks = _frame_geometry(h, w, factors)
 
     dc_codetabs = [_build_code_table(*DC_LUM)] + (
         [] if gray else [_build_code_table(*DC_CHR)] * 2)
