@@ -2911,3 +2911,78 @@ def test_encode_jpeg_rejects_16bit_dim_overflow():
     with pytest.raises(ValueError, match="65535"):
         J.encode_jpeg(np.zeros((8, 70000, 3), dtype=np.uint8),
                       progressive=True)
+
+
+def test_streaming_sessionize_cross_batch_disorder_equals_batch(
+        spark, tmp_path):
+    """Within-watermark stragglers arriving in a LATER microbatch must
+    match the batch twin: a straggler >gap older than the open session
+    becomes its own session (not min()-absorbed into a session with an
+    internal >30-min hole), straggler runs sessionize among
+    themselves, and a straggler chain bridging into the open session
+    merges the whole chain."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from webtableextractionsystem_spark.operators.relational import (
+        event_sessions,
+    )
+    from webtableextractionsystem_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    base = datetime(2024, 3, 1, 9, 0, 0)
+    M = timedelta(minutes=1)
+
+    def ev(eid, uid, minutes):
+        return (eid, base + minutes * M, uid, "view", 1.0, "{}")
+
+    SCHEMA = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+
+    # wave 1 opens sessions late in event time
+    wave1 = [ev(1, 1, 100), ev(2, 1, 105),   # u1 open 100-105
+             ev(3, 2, 70),                   # u2 open at 70
+             ev(4, 3, 70)]                   # u3 open at 70
+    spark.createDataFrame(wave1, SCHEMA).write.mode("overwrite") \
+        .parquet(in_dir)
+    streaming_sessionize(spark, in_dir, out_dir, ck_dir)
+
+    # wave 2: in-watermark stragglers (10h watermark; all within)
+    wave2 = [
+        # u1: straggler run 0,10 — one separate session (gap to 100
+        # is 90min), NOT absorbed into 100-105
+        ev(5, 1, 0), ev(6, 1, 10),
+        # u2: isolated straggler at 20 (gap 50 to 70) — own session
+        ev(7, 2, 20),
+        # u3: chain 20,45 bridges into the open 70 (gaps 25,25) —
+        # batch merges ALL THREE into one session 20-70
+        ev(8, 3, 20), ev(9, 3, 45),
+    ]
+    spark.createDataFrame(wave2, SCHEMA).write.mode("append") \
+        .parquet(in_dir)
+    streaming_sessionize(spark, in_dir, out_dir, ck_dir)
+
+    for k, days in ((10, 30), (11, 31)):
+        spark.createDataFrame(
+            [ev(k, 9999, days * 24 * 60)], SCHEMA
+        ).write.mode("append").parquet(in_dir)
+        streaming_sessionize(spark, in_dir, out_dir, ck_dir)
+
+    got = {tuple(r) for r in spark.read.parquet(out_dir)
+           .where(F.col("user_id") != 9999)
+           .select("user_id", "session_id", "n_events",
+                   "session_start", "duration_s").collect()}
+    batch_dir = str(tmp_path / "batch")
+    spark.createDataFrame(wave1 + wave2, SCHEMA).write.mode("overwrite") \
+        .parquet(f"{batch_dir}/events.parquet")
+    want = {tuple(r) for r in event_sessions(spark, batch_dir)
+            .select("user_id", "session_id", "n_events",
+                    "session_start", "duration_s").collect()}
+    assert got == want
+    # the u3 bridge merged into ONE session spanning 20->70
+    assert (3, 0, 3, "2024-03-01 09:20:00", 50 * 60) in got

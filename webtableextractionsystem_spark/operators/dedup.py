@@ -232,21 +232,27 @@ GROUP BY doc_id
 # LSH banding + candidate pairs
 # ---------------------------------------------------------------------------
 
+def banded_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) from any mh0..-bearing signature
+    relation — the ONE home of the band-explode shape shared by the
+    batch band-keys query and both streaming near-dup stages. The
+    mh0-not-null guard is load-bearing: docs with < SHINGLE_K tokens
+    have NULL signatures (empty shingle set) and must emit NO bands —
+    otherwise concat_ws collapses the NULLs into a shared md5('') band
+    key and every short doc becomes a spurious near-dup candidate of
+    every other."""
+    return (
+        sig.where(F.col("mh0").isNotNull())
+        .select("doc_id", F.explode(band_structs()).alias("bk"))
+        .select("doc_id", "bk.band", "bk.band_key")
+    )
+
+
 def lsh_band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the aggregate in minhash_signatures is itself a projection-collapse
     # barrier, so band structs reference the materialized mh columns —
     # no persist needed for the single-consumer band-keys query
-    sig = minhash_signatures(spark, sf_dir)
-    bands = band_structs()
-    # docs with < SHINGLE_K tokens have NULL signatures (empty shingle
-    # set); they must emit NO bands — otherwise concat_ws collapses the
-    # NULLs into a shared md5('') band key and every short doc becomes a
-    # spurious near-dup candidate of every other
-    return (
-        sig.where(F.col("mh0").isNotNull())
-        .select("doc_id", F.explode(bands).alias("bk"))
-        .select("doc_id", "bk.band", "bk.band_key")
-    )
+    return banded_keys(minhash_signatures(spark, sf_dir))
 
 
 def lsh_band_keys_sql() -> str:

@@ -37,20 +37,23 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..schemas import DOCUMENTS
 
 OUTPUT_SCHEMA = "fp string, doc_id string"
-STATE_SCHEMA = "n_seen int"
+# long, not int: the docstring sizes state for a forever-kept corpus,
+# and a degenerate fingerprint seen >2^31 times must not fail the
+# Arrow state conversion
+STATE_SCHEMA = "n_seen long"
 
 
 def _dedup_fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
               state: GroupState) -> Iterator[pd.DataFrame]:
     (fp,) = key
     n_seen = state.get[0] if state.exists else 0
-    emit = []
-    for pdf in pdfs:
-        for doc_id in sorted(pdf["doc_id"]):
-            if n_seen == 0:
-                emit.append((fp, doc_id))
-            n_seen += 1
-    state.update((n_seen,))
+    # drain ALL Arrow chunks before picking the survivor (same rule as
+    # _neardup_fn): a group can span chunk boundaries, and taking the
+    # first chunk's minimum would make which duplicate survives depend
+    # on arrow batch sizing / scan order
+    doc_ids = sorted(pdf_doc for pdf in pdfs for pdf_doc in pdf["doc_id"])
+    emit = [(fp, doc_ids[0])] if n_seen == 0 and doc_ids else []
+    state.update((n_seen + len(doc_ids),))
     if emit:
         yield pd.DataFrame(emit, columns=["fp", "doc_id"])
 
@@ -61,7 +64,18 @@ def streaming_dedup(spark: SparkSession, input_dir: str, output_dir: str,
     fingerprints to ``output_dir``. Fingerprint = md5 over every span's
     (kind, text, media_ref) — media-only documents must NOT collide on
     their empty text vectors — computed JVM-side before the stateful
-    operator."""
+    operator. Each field is length-prefixed and NULL-coalesced to a
+    distinct sentinel: concat_ws silently SKIPS null args, so without
+    the sentinel {text:'a', media_ref:NULL} and {text:NULL,
+    media_ref:'a'} would collide, and without the length prefix a
+    field containing the separator bytes could forge span/field
+    boundaries — both silent data loss in an exact-dedup operator."""
+
+    def _fp_field(f):
+        return F.coalesce(
+            F.concat(F.length(f).cast("string"), F.lit(":"), f),
+            F.lit("-"))
+
     stream = (
         spark.readStream.schema(DOCUMENTS).parquet(input_dir)
         .withColumn(
@@ -71,7 +85,8 @@ def streaming_dedup(spark: SparkSession, input_dir: str, output_dir: str,
                 F.transform(
                     "spans",
                     lambda s: F.concat_ws(
-                        "\x02", s["kind"], s["text"], s["media_ref"]),
+                        "\x02", _fp_field(s["kind"]), _fp_field(s["text"]),
+                        _fp_field(s["media_ref"])),
                 ))),
         )
         .select("fp", "doc_id")
@@ -144,16 +159,11 @@ def streaming_neardup(spark: SparkSession, input_dir: str, output_dir: str,
     ``streaming_neardup_verified`` below composes the n-gram Jaccard
     verify stage into the stream and is equivalence-tested against the
     batch pipeline."""
-    from ..operators.dedup import band_structs, row_minhash
+    from ..operators.dedup import banded_keys, row_minhash
 
     stream = spark.readStream.schema(
         "doc_id long, text string").parquet(input_dir)
-    banded = (
-        row_minhash(stream)
-        .where(F.col("mh0").isNotNull())
-        .select("doc_id", F.explode(band_structs()).alias("bk"))
-        .select("doc_id", "bk.band", "bk.band_key")
-    )
+    banded = banded_keys(row_minhash(stream))
     flagged = banded.groupBy("band", "band_key").applyInPandasWithState(
         _neardup_fn,
         outputStructType=NEARDUP_OUTPUT,
@@ -274,7 +284,7 @@ def streaming_neardup_verified(spark: SparkSession, input_dir: str,
     pinned flatness evidence."""
     from ..operators.dedup import (
         _shingles,
-        band_structs,
+        banded_keys,
         jaccard_verified,
         row_minhash,
     )
@@ -369,16 +379,20 @@ def streaming_neardup_verified(spark: SparkSession, input_dir: str,
     # construction rather than by racing two input_dir snapshots.
     # An empty input_dir stages nothing, so make sure the root exists —
     # a first call over no data must be a clean no-op, not a
-    # path-does-not-exist failure at stream start.
-    os.makedirs(shingle_root, exist_ok=True)
+    # path-does-not-exist failure at stream start. os.makedirs only
+    # works for driver-local paths; for URI-schemed state dirs
+    # (hdfs://, s3a://) go through the Hadoop FileSystem so the no-op
+    # first call works on any supported filesystem.
+    if "://" in shingle_root:
+        jvm = spark._jvm
+        jsc = spark._jsc
+        path = jvm.org.apache.hadoop.fs.Path(shingle_root)
+        path.getFileSystem(jsc.hadoopConfiguration()).mkdirs(path)
+    else:
+        os.makedirs(shingle_root, exist_ok=True)
     stream = spark.readStream.schema(
         "doc_id long, sh array<string>").parquet(shingle_root)
-    banded = (
-        row_minhash(stream, shingles=F.col("sh"))
-        .where(F.col("mh0").isNotNull())
-        .select("doc_id", F.explode(band_structs()).alias("bk"))
-        .select("doc_id", "bk.band", "bk.band_key")
-    )
+    banded = banded_keys(row_minhash(stream, shingles=F.col("sh")))
     pairs = banded.groupBy("band", "band_key").applyInPandasWithState(
         _members_fn,
         outputStructType=NEARDUP_PAIR_OUTPUT,
@@ -453,23 +467,39 @@ def _session_fn(key: Tuple[int], pdfs: Iterator[pd.DataFrame],
     # floor-epoch seconds, matching the batch twin's CAST(ts AS LONG)
     epochs = (rows["ts"].astype("int64") // 1_000_000_000).tolist()
     closed = []
-    for e in epochs:
-        if start_s < 0:
-            start_s, last_s, n = e, e, 1
-        elif e - last_s > _SESSION_GAP_S:
-            closed.append(_session_close(user_id, sid, start_s, last_s, n))
-            sid += 1
-            start_s, last_s, n = e, e, 1
+    # Merge pass over (sorted batch events + the carried open session
+    # as a pseudo-run [start_s, last_s, n]): consecutive elements join
+    # when the next start is within a gap of the running end — the
+    # batch twin's exact split rule. This handles within-watermark
+    # cross-batch disorder completely: a straggler older than the open
+    # session by more than a gap becomes its own session (never
+    # min()-absorbed across a >gap internal hole, which would emit a
+    # session the split rule forbids), straggler RUNS sessionize among
+    # themselves, and a straggler chain bridging into the open session
+    # merges the whole chain. An event interior to the open run also
+    # merges in batch (the run's internal gaps are all <= gap, so the
+    # newcomer lands within a gap of a member). Straggler sessions
+    # take the current sids and the open session shifts up — the batch
+    # numbering whenever stragglers postdate every already-closed
+    # session; a straggler belonging inside an ALREADY-EMITTED session
+    # stays the documented watermark-contract divergence.
+    elems = [[e, e, 1] for e in epochs]
+    if start_s >= 0:
+        import bisect
+
+        bisect.insort(elems, [start_s, last_s, n])
+    cur = None
+    for s0, l0, n0 in elems:
+        if cur is None:
+            cur = [s0, l0, n0]
+        elif s0 - cur[1] <= _SESSION_GAP_S:
+            cur[1] = max(cur[1], l0)
+            cur[2] += n0
         else:
-            # absorb into the open session WITHOUT rewinding its span: a
-            # within-watermark out-of-order arrival from a later
-            # microbatch may precede last_s (or even start_s); min/max
-            # keeps durations non-negative and matches the batch twin
-            # whenever the disorder lands inside the open session's
-            # span. An event older than start_s - gap would belong to an
-            # already-closed session — that re-split is the documented
-            # watermark contract, same as the attribution join's.
-            start_s, last_s, n = min(start_s, e), max(last_s, e), n + 1
+            closed.append(_session_close(user_id, sid, *cur))
+            sid += 1
+            cur = [s0, l0, n0]
+    start_s, last_s, n = cur
     state.update((sid, start_s, last_s, n))
     # close the open session when the watermark passes last + gap
     state.setTimeoutTimestamp((last_s + _SESSION_GAP_S) * 1000)
@@ -502,6 +532,14 @@ def streaming_sessionize(spark: SparkSession, events_dir: str,
     session already closed and start a new one where the batch twin
     would have merged — the documented, bounded divergence every
     event-time system accepts in exchange for bounded state.
+    In-watermark disorder across microbatches is handled exactly via a
+    merge pass over (batch events + the open session as a pseudo-run):
+    stragglers within a gap of the open session extend it (including
+    chains that bridge into it), and stragglers more than a gap older
+    sessionize separately by the same gap rule (never min()-absorbed
+    across a >gap hole); the one remaining in-watermark divergence is
+    a straggler that belongs inside an ALREADY-EMITTED session, which
+    cannot be retracted.
 
     Exactly-once: each microbatch's closed sessions land in a
     ``batch=<id>`` partition with overwrite, so crash-replay rewrites
