@@ -37,7 +37,13 @@ def incremental_extract(spark: SparkSession, input_dir: str, output_dir: str,
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         extracted = extract_all(batch_df, num_buckets=num_buckets,
                                 repartition=False)
-        extracted.write.mode("append").parquet(output_dir)
+        # deterministic per-batch partition with OVERWRITE (same
+        # exactly-once shape as the sessionize sink): a crash between
+        # the sink write and the checkpoint commit replays the batch,
+        # which must rewrite identical files — a bare append would
+        # duplicate every replayed row
+        extracted.write.mode("overwrite").parquet(
+            f"{output_dir}/batch={batch_id}")
 
     (
         stream.writeStream
@@ -55,7 +61,7 @@ def windowed_event_counts(spark: SparkSession, events_dir: str,
                           window: str = "1 hour") -> None:
     """Event-time windowed counts with late-data watermark, run to
     completion over the currently-available files."""
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    stream = events_stream(spark, events_dir)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -77,8 +83,19 @@ def windowed_event_counts(spark: SparkSession, events_dir: str,
     )
 
 
-EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+# the ONE events-table shape: parquet stores NTZ wall-clock micros, so
+# every streaming reader must declare ntz and cast to timestamp for the
+# watermark clock (session tz pinned UTC) — declaring 'ts timestamp'
+# directly would reinterpret the stored wall clock as UTC instants and
+# silently shift windows on any non-UTC driver session
+EVENTS_SCHEMA = ("event_id long, ts timestamp_ntz, user_id long, "
                  "event_type string, value double, props string")
+
+
+def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """The one home of the events streaming scan (see EVENTS_SCHEMA)."""
+    return (spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp")))
 
 
 def attribution_join(spark: SparkSession, events_dir: str, output_dir: str,
@@ -101,7 +118,7 @@ def attribution_join(spark: SparkSession, events_dir: str, output_dir: str,
     recovery path for deeper stragglers. The cross-batch test pins both
     sides: an in-horizon wave-2 pair IS emitted; the horizon itself is
     the documented boundary."""
-    ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    ev = events_stream(spark, events_dir)
     clicks = (
         ev.where(F.col("event_type") == "click")
         .select(F.col("user_id").alias("c_user"),
@@ -145,7 +162,15 @@ def _versioned_merge_write(spark: SparkSession, root: str, batch_id: int,
     streaming_anomalies and streaming_cms): merge the batch into the
     newest COMMITTED prior version, write v=<batch_id> (own-version
     overwrite only — replay rewrites it identically, prior state is
-    never touched in place), prune all but the previous version."""
+    never touched in place), prune all but the previous version.
+
+    Contract notes: the version ledger uses driver-local filesystem
+    calls, so state roots must be LOCAL paths (a URI-schemed root
+    would need the Hadoop FileSystem API — see stateful.py's
+    shingle-root bootstrap for the pattern); and the keep-two prune
+    gives an external read_latest_version caller one-batch grace — a
+    reader racing a live stream should collect promptly or retry on a
+    pruned-version read failure."""
     import os
     import shutil
 
@@ -168,6 +193,11 @@ def _committed_versions(root: str) -> list[int]:
     scheme protects nothing."""
     import os
 
+    if not os.path.isdir(root):
+        # a reader before any stream run must reach the callers'
+        # documented 'no committed versions' ValueError, not
+        # FileNotFoundError from the listing
+        return []
     out = []
     for d in os.listdir(root):
         if d.startswith("v=") and d.split("=", 1)[1].isdigit() \
@@ -196,6 +226,10 @@ def streaming_anomalies(spark: SparkSession, events_dir: str,
     compact hourly table and re-derives the flags over it with the SAME
     ``anomaly_flags`` expression as the batch query — so online == batch
     by construction wherever the watermark admitted every event.
+    (One documented edge: a PRE-EPOCH ts — corrupt data for this table
+    — floors through F.window to hour_idx -1 where the batch twin's
+    truncating div says 0; aligning them would cost the batch oracle a
+    floor-division rewrite for inputs the events table never holds.)
 
     Re-deriving ALL flags per batch is deliberate, not lazy: a changed
     hour can flip the anomaly verdict of up to ANOMALY_TRAIL_H LATER
@@ -221,11 +255,7 @@ def streaming_anomalies(spark: SparkSession, events_dir: str,
     hourly_root = f"{state_dir}/hourly"
 
     stream = (
-        spark.readStream
-        .schema("event_id long, ts timestamp_ntz, user_id long, "
-                "event_type string, value double, props string")
-        .parquet(events_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
+        events_stream(spark, events_dir)
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("n"))

@@ -556,13 +556,11 @@ def streaming_sessionize(spark: SparkSession, events_dir: str,
     a reappearing user's numbering restarting at 0 (session rows are
     otherwise identical)."""
     import functools
+
+    from .incremental import events_stream
+
     stream = (
-        spark.readStream
-        .schema("event_id long, ts timestamp_ntz, user_id long, "
-                "event_type string, value double, props string")
-        .parquet(events_dir)
-        # NTZ -> TZ for the watermark clock (session tz pinned UTC)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
+        events_stream(spark, events_dir)
         .withWatermark("ts", watermark)
         .select("user_id", "ts", "event_id")
     )
