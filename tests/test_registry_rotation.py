@@ -15,22 +15,19 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _EXPECTED_TAIL = {
-    # round-6 tail (30 entries) — see the queries() docstring for the
-    # per-entry twin reasoning; all were driver-rowed green in r05
-    # (bigram_lm rotated out late-round to admit the new q_emb_semdedup)
-    "q_doc_repeated_ngrams", "q_doc_bigram_lm", "q_rel_rollup",
-    "q_rel_exists",
-    "q_events_closed_sessions", "q_doc_length_quantiles",
-    "q_rel_revenue_by_nation", "q_rel_anti_join",
-    "q_emb_topk_cosine", "q_emb_neardup_pairs", "q_emb_ivf_topk",
-    "q_emb_ivf_recall", "q_emb_centroid_outliers",
-    "q_doc_lsh_pairs", "q_doc_neardup_canonical",
-    "q_doc_neardup_components", "q_doc_decontaminate",
-    "q_doc_curation_funnel",
-    "x_spans_by_kind", "x_tables_by_type", "x_triples_by_rel",
-    "x_entities_fused", "x_doc_totals", "x_table_records",
-    "x_url_filter", "x_media_features", "x_audio_features",
-    "x_video_features", "x_tables_docx", "x_er_graph",
+    # round-7 tail (30 entries) — see the queries() docstring for the
+    # per-entry twin reasoning; all were driver-rowed green in r06
+    "q_doc_neardup_components_lsss", "q_doc_simhash_pairs",
+    "q_rel_top_orders", "q_rel_pricing_summary", "q_emb_lsh_buckets",
+    "q_doc_minhash", "q_doc_ngram_jaccard", "q_doc_exact_dedup",
+    "q_doc_lsh_bands", "q_doc_simhash", "q_doc_chunks",
+    "q_doc_pack_sequences", "q_doc_cms_heavy_hitters",
+    "q_doc_token_stats", "q_doc_quality", "q_doc_lang_id",
+    "q_doc_fingerprint", "q_doc_bpe_tokens", "q_doc_rolling_hash",
+    "q_doc_repetition", "q_doc_sample", "q_doc_length_buckets",
+    "q_doc_top_terms", "q_doc_inverted_index", "q_doc_source_stats",
+    "q_doc_quantile_sketch", "q_doc_ngram_clean", "q_doc_bm25_topk",
+    "q_doc_dsir_weights", "q_doc_hll_distinct",
 }
 
 

@@ -277,32 +277,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        then entries whose CODE changed this round.
     3. Long-green entries rotate to the TAIL (positions >50), a
        different slice each round, so every query gets a driver row at
-       least every other round. Round-6 tail (29 entries, all green
-       r05): rollup (its grouping-sets Expand plan is a subset of the
-       still-rowed cube's), exists (the plan-audited broadcast
-       left-semi dual of the anti-join family), the 12 x_* extraction
-       digests other than the
-       filter-changed x_pdf_features, the 5 q_emb_* similarity
-       queries, revenue_by_nation/anti_join, the 5 composed dedup
-       consumers (lsh_pairs/neardup_canonical/neardup_components/
-       decontaminate/curation_funnel), closed_sessions (its emit rule
-       is ALSO pinned against the actual streaming output in tests),
-       length_quantiles (its percentile semantics are twinned by the
-       new, rowed quantile_sketch) and repeated_ngrams (its gram
-       relation + incidence are shared via _gram_relation with the
-       new, rowed ngram_clean) — round 7 MUST rotate these back
-       inside the first 50 and push round-6's rowed veterans out.
-       Late-round addition: q_emb_semdedup (new, pinned) entered the
-       prefix and q_doc_bigram_lm (green r05, its integer-sum shape
-       twinned by the still-rowed dsir_weights) rotated to the tail,
-       which is now 30 entries.
+       least every other round. Round-7 tail (30 entries, all green
+       r06): the 25 veterans rotated back in for r06 (rowed green r04
+       AND r06 — the longest coverage in the registry: the minhash/
+       simhash/LSH/jaccard/exact-dedup signature family, chunks/pack/
+       cms/token_stats/quality/lang_id/fingerprint/bpe/rolling_hash/
+       repetition/sample/length_buckets/top_terms/inverted_index/
+       source_stats, top_orders/pricing_summary, lsh_buckets,
+       neardup_components_lsss), plus 5 of round-6's first-rowed
+       additions whose machinery stays exercised by rowed twins or
+       dedicated tests: quantile_sketch (lattice pinned by the
+       est-bound test + streaming online==batch twin; percentile
+       semantics twinned by the now-rowed length_quantiles),
+       ngram_clean (its _gram_relation/_gram_incidence shared with the
+       now-rowed repeated_ngrams), bm25_topk and dsir_weights (each
+       guarded by the cross-engine ln-domain sweep + crafted-ranking
+       pins), hll_distinct (same register pipeline as the still-rowed
+       hll_by_source) — round 8 MUST rotate these 30 back inside the
+       first 50 and push round-7's rowed veterans out.
        (50-boundary re-verified this round: list(queries())[49] is the
        last prefix entry, [50] the first tail entry.)
 
     Every entry stays green in the identical local gate regardless of
     position (tools/rehearse_gate.py runs ALL of them)."""
     return {
-        # --- rotated back in (last driver-rowed r04) ---
+        # --- rotated back in (tail r06; last driver-rowed r05) ---
+        "q_doc_repeated_ngrams": DD.repeated_ngrams,
+        "q_doc_bigram_lm": TS.bigram_lm_score,
+        "q_rel_rollup": REL.lineitem_rollup,
+        "q_rel_exists": REL.customers_with_open_orders,
+        "q_events_closed_sessions": REL.closed_sessions,
+        "q_doc_length_quantiles": TS.length_quantiles,
+        "q_rel_revenue_by_nation": REL.revenue_by_nation,
+        "q_rel_anti_join": REL.customers_without_orders,
+        "q_emb_topk_cosine": SIM.topk_bruteforce,
+        "q_emb_neardup_pairs": SIM.neardup_pairs,
+        "q_emb_ivf_topk": SIM.ivf_topk,
+        "q_emb_ivf_recall": SIM.ivf_recall,
+        "q_emb_centroid_outliers": SIM.centroid_outliers,
+        "q_doc_lsh_pairs": DD.lsh_candidate_pairs,
+        "q_doc_neardup_canonical": DD.neardup_canonical,
+        "q_doc_neardup_components": DD.neardup_components,
+        # decontaminate ALSO changed this round (bench-side pushdown fix)
+        "q_doc_decontaminate": DD.decontaminate,
+        "q_doc_curation_funnel": DD.curation_funnel,
+        # extraction engine (T1-T18, C1-C8, E1-E4, F4-F10 composed)
+        "x_spans_by_kind": x_spans_by_kind,
+        "x_tables_by_type": x_tables_by_type,
+        "x_triples_by_rel": x_triples_by_rel,
+        "x_entities_fused": x_entities_fused,   # + A6 fusion
+        "x_doc_totals": x_doc_totals,
+        "x_table_records": x_table_records,     # F10
+        "x_url_filter": x_url_filter,           # F1/F2
+        "x_media_features": x_media_features,   # multimodal image path
+        "x_audio_features": x_audio_features,   # multimodal audio path
+        "x_video_features": x_video_features,   # multimodal video path
+        "x_tables_docx": x_tables_docx,         # S13 docx sink digest
+        "x_er_graph": x_er_graph,               # S15 graph sink digest
+        # --- code changed in round 7 (must stay rowed) ---
+        "q_emb_semdedup": SIM.semdedup,         # corpus-scaled k_cells
+        "x_pdf_features": x_pdf_features,       # DCT image XObjects
+        # --- holdovers (rowed r05+r06; rotate out in round 8) ---
+        "q_doc_bloom_filter": DD.bloom_filter_stats,
+        "q_doc_hll_by_source": TS.hll_by_source,
+        "q_events_attribution": REL.event_attribution,
+        "q_events_funnel": REL.event_funnel,
+        "q_events_asof_join": REL.event_asof_join,
+        "q_events_sessionize": REL.event_sessions,
+        "q_events_user_profiles": REL.user_profiles,
+        "q_events_hourly": REL.events_hourly,
+        "q_events_json_props": REL.events_json_props,
+        "q_rel_queue_batch": REL.queue_batch,
+        "q_rel_name_union": REL.name_union,
+        "q_rel_cube": REL.lineitem_cube,
+        "q_rel_region_part_volume": REL.region_part_volume,
+        "q_events_interval_join": REL.event_interval_join,
+        "q_events_retention": REL.event_retention,
+        "q_doc_stratified_sample": TS.stratified_sample,
+        "q_doc_neardup_pagerank": DD.neardup_pagerank,
+        "q_events_anomalies": REL.event_anomalies,
+        # --- tail (rotated out this round; all green r06, unchanged;
+        # see the rotation-policy docstring for the twin reasoning) ---
         "q_doc_neardup_components_lsss": DD.neardup_components_lsss,
         "q_doc_simhash_pairs": DD.simhash_neardup_pairs,
         "q_rel_top_orders": REL.top_orders_per_customer,
@@ -331,75 +386,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_top_terms": TS.top_terms_per_source,
         "q_doc_inverted_index": TS.inverted_index_stats,
         "q_doc_source_stats": TS.source_stats,
-        # --- new in round 6 ---
         "q_doc_quantile_sketch": TS.quantile_sketch,
         "q_doc_ngram_clean": DD.ngram_clean,
         "q_doc_bm25_topk": TS.bm25_topk,
         "q_doc_dsir_weights": TS.dsir_weights,
-        "q_emb_semdedup": SIM.semdedup,
-        # --- code changed in round 6 (must stay rowed) ---
-        "x_pdf_features": x_pdf_features,       # §7.4 filter battery
-        "q_doc_bloom_filter": DD.bloom_filter_stats,  # lazy compose
-        "q_doc_hll_distinct": TS.hll_distinct,        # with_exact param
-        "q_doc_hll_by_source": TS.hll_by_source,      # with_exact param
-        # --- single driver row so far (first rowed r05) ---
-        "q_events_attribution": REL.event_attribution,
-        "q_events_funnel": REL.event_funnel,
-        "q_events_asof_join": REL.event_asof_join,
-        "q_events_sessionize": REL.event_sessions,
-        "q_events_user_profiles": REL.user_profiles,
-        "q_events_hourly": REL.events_hourly,
-        "q_events_json_props": REL.events_json_props,
-        "q_rel_queue_batch": REL.queue_batch,
-        "q_rel_name_union": REL.name_union,
-        "q_rel_cube": REL.lineitem_cube,
-        "q_rel_region_part_volume": REL.region_part_volume,
-        "q_events_interval_join": REL.event_interval_join,
-        "q_events_retention": REL.event_retention,
-        "q_doc_stratified_sample": TS.stratified_sample,
-        "q_doc_neardup_pagerank": DD.neardup_pagerank,
-        "q_events_anomalies": REL.event_anomalies,
-        # --- tail (rotated out this round; all green r05, unchanged;
-        # see the rotation-policy docstring for the twin reasoning) ---
-        # repeated_ngrams' gram relation + incidence are exercised by
-        # the still-rowed ngram_clean (shared _gram_relation)
-        "q_doc_repeated_ngrams": DD.repeated_ngrams,
-        # bigram_lm (green r05): integer corpus-frequency sums, the same
-        # shape as the still-rowed dsir_weights' hashed-ngram counts
-        "q_doc_bigram_lm": TS.bigram_lm_score,
-        # rollup's grouping-sets machinery is a subset of the
-        # still-rowed cube's (same Expand + single-shuffle plan)
-        "q_rel_rollup": REL.lineitem_rollup,
-        # exists = the plan-audited broadcast left-semi dual of the
-        # anti-join family (r05-green)
-        "q_rel_exists": REL.customers_with_open_orders,
-        "q_events_closed_sessions": REL.closed_sessions,
-        "q_doc_length_quantiles": TS.length_quantiles,
-        "q_rel_revenue_by_nation": REL.revenue_by_nation,
-        "q_rel_anti_join": REL.customers_without_orders,
-        "q_emb_topk_cosine": SIM.topk_bruteforce,
-        "q_emb_neardup_pairs": SIM.neardup_pairs,
-        "q_emb_ivf_topk": SIM.ivf_topk,
-        "q_emb_ivf_recall": SIM.ivf_recall,
-        "q_emb_centroid_outliers": SIM.centroid_outliers,
-        "q_doc_lsh_pairs": DD.lsh_candidate_pairs,
-        "q_doc_neardup_canonical": DD.neardup_canonical,
-        "q_doc_neardup_components": DD.neardup_components,
-        "q_doc_decontaminate": DD.decontaminate,
-        "q_doc_curation_funnel": DD.curation_funnel,
-        # extraction engine (T1-T18, C1-C8, E1-E4, F4-F10 composed)
-        "x_spans_by_kind": x_spans_by_kind,
-        "x_tables_by_type": x_tables_by_type,
-        "x_triples_by_rel": x_triples_by_rel,
-        "x_entities_fused": x_entities_fused,   # + A6 fusion
-        "x_doc_totals": x_doc_totals,
-        "x_table_records": x_table_records,     # F10
-        "x_url_filter": x_url_filter,           # F1/F2
-        "x_media_features": x_media_features,   # multimodal image path
-        "x_audio_features": x_audio_features,   # multimodal audio path
-        "x_video_features": x_video_features,   # multimodal video path
-        "x_tables_docx": x_tables_docx,         # S13 docx sink digest
-        "x_er_graph": x_er_graph,               # S15 graph sink digest
+        "q_doc_hll_distinct": TS.hll_distinct,
     }
 
 
