@@ -81,8 +81,10 @@ def main() -> None:
             REL.lineitem_cube(spark, SF),
         "q_rel_exists — broadcast left-semi (EXISTS dual of anti-join)":
             REL.customers_with_open_orders(spark, SF),
-        "q_doc_decontaminate — hashed 8-grams, broadcast benchmark side, "
-        "equi-join probe (no cross join)": DD.decontaminate(spark, SF),
+        "q_doc_decontaminate — hashed 8-grams, benchmark side a bespoke "
+        "filtered-then-exploded scan (doc_id<20 PUSHED into parquet, no "
+        "forced corpus-sized cache), broadcast onto the lazy equi-join "
+        "probe (no cross join)": DD.decontaminate(spark, SF),
         "q_rel_region_part_volume — five-table star join, 4 broadcast "
         "dims + one agg shuffle": REL.region_part_volume(spark, SF),
         "q_events_attribution — equi-key user join + event-time range "
@@ -169,6 +171,12 @@ def main() -> None:
         "q_doc_dsir_weights — DSIR importance: <=256-row llr dimension "
         "broadcast onto the feature explode, one doc-keyed integer agg":
             TS.dsir_weights(spark, SF),
+        "q_emb_semdedup — SemDeDup: bounded-sample k-means quantizer, "
+        "ONE cell-key shuffle for the within-cell pairwise; k_cells "
+        "defaults from the corpus count (ceil(n/256), floor 16) so "
+        "expected per-cell pairwise work is <= 256^2 and the corpus "
+        "total <= 256*n — linear, never the fixed-k quadratic":
+            SIM.semdedup(spark, SF),
     }
 
     parts = [
