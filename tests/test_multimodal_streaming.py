@@ -1736,6 +1736,92 @@ BT /F1 9 Tf 5 5 Td (after Q) Tj ET
     ]
 
 
+def test_pdf_embedded_images_roundtrip():
+    """Image XObjects: embedded JPEGs (baseline AND progressive) come
+    back pixel-exact through extract_pdf_images in both classic and
+    modern files and through every transport cascade; raw
+    DeviceRGB/DeviceGray sample streams decode; pages without images
+    report []; text extraction is unaffected by the Do operators."""
+    import numpy as np
+
+    from webtableextractionsystem_spark.operators import pdf as P
+    from webtableextractionsystem_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    img1 = rng.integers(0, 256, size=(8, 12, 3), dtype=np.uint8)
+    img2 = rng.integers(0, 256, size=(16, 5, 3), dtype=np.uint8)
+    j1 = encode_jpeg(img1, quality=90)
+    j2 = encode_jpeg(img2, quality=80, progressive=True)
+    pages = [[(72.0, 700.0, 12.0, "hello table")],
+             [(72.0, 700.0, 12.0, "第二页 表格抽取")]]
+    images = [[(j1, 12, 8, 72.0, 600.0)],
+              [(j2, 5, 16, 100.0, 500.0), (j1, 12, 8, 300.0, 500.0)]]
+    for modern in (False, True):
+        for transport in (None, "ASCII85Decode", "FlateDecode",
+                          "RunLengthDecode"):
+            pdf = P.encode_pdf(pages, modern=modern, images=images,
+                               image_transport=transport)
+            text = P.extract_pdf_text(pdf)
+            assert text[0] == "hello table" and "表格抽取" in text[1]
+            got = P.extract_pdf_images(pdf)
+            assert [[n for n, _ in pg] for pg in got] == \
+                [["Im0"], ["Im0", "Im1"]]
+            assert np.array_equal(got[0][0][1], decode_jpeg(j1))
+            assert np.array_equal(got[1][0][1], decode_jpeg(j2))
+            assert np.array_equal(got[1][1][1], decode_jpeg(j1))
+    # no images -> empty per-page lists
+    assert P.extract_pdf_images(P.encode_pdf(pages)) == [[], []]
+
+    # raw (no image coding) sample streams: RGB exact, Gray broadcast
+    base = P.encode_pdf([[(72.0, 720.0, 12.0, "x")]],
+                        images=[[(j1, 12, 8, 72.0, 600.0)]])
+    rgb = img1.tobytes()
+    raw_obj = (b"<< /Type /XObject /Subtype /Image /Width 12 /Height 8 "
+               b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Length %d "
+               b">>\nstream\n" % len(rgb) + rgb + b"\nendstream")
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>",
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        4: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> "
+            b"/XObject << /ImA 6 0 R /ImB 7 0 R >> >> "
+            b"/Contents 5 0 R >>"),
+        5: b"<< /Length 0 >>\nstream\n\nendstream",
+        6: raw_obj,
+        7: (b"<< /Type /XObject /Subtype /Image /Width 3 /Height 2 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 6 "
+            b">>\nstream\n\x00\x10\x20\x30\x40\x50\nendstream"),
+    }
+    (pg,) = P.extract_pdf_images(_mini_pdf(objs))
+    assert [n for n, _ in pg] == ["ImA", "ImB"]
+    assert np.array_equal(pg[0][1], img1)
+    assert pg[1][1].shape == (2, 3, 3)
+    assert np.array_equal(pg[1][1][:, :, 0],
+                          np.array([[0, 16, 32], [48, 64, 80]]))
+    assert np.array_equal(pg[1][1][:, :, 0], pg[1][1][:, :, 2])
+
+    import pytest
+
+    # the remaining image codings stay honest named raises (same-length
+    # name swap keeps every xref offset valid)
+    one = P.encode_pdf([[(72.0, 720.0, 12.0, "x")]],
+                       images=[[(j1, 12, 8, 72.0, 600.0)]])
+    bad = one.replace(b"/DCTDecode", b"/JPXDecode")
+    with pytest.raises(ValueError, match="JPXDecode"):
+        P.extract_pdf_images(bad)
+    # header/frame dimension disagreement is diagnosed, not mislabeled
+    lying = P.encode_pdf([[(72.0, 720.0, 12.0, "x")]],
+                         images=[[(j1, 12, 9, 72.0, 600.0)]])
+    with pytest.raises(ValueError, match="disagree"):
+        P.extract_pdf_images(lying)
+    # DCT on a NON-image stream (content) still raises as before
+    # (covered by test_pdf_honest_boundaries_and_dos)
+
+
 def test_pdf_honest_boundaries_and_dos():
     """Encrypted, xref-stream (1.5+), Type0-font, non-Flate-filter and
     deflate-bomb payloads raise ValueError naming the feature; bad xref

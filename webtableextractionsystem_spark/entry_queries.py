@@ -215,9 +215,11 @@ def x_pdf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible): media spans -> deterministic multi-page PDFs
     (shuffled content order, two-column layouts, content streams
     cycling the full §7.4 filter battery — plain, Flate, LZW,
-    RunLength, ASCIIHex, ASCII85+Flate — and ~half modern 1.5+ files)
-    -> batched decode + per-doc layout-text digest, so a parser,
-    filter, or layout regression fails the driver gate."""
+    RunLength, ASCIIHex, ASCII85+Flate — ~half modern 1.5+ files, and
+    ~half carrying embedded JPEG image XObjects through DCTDecode +
+    transport cascades) -> batched decode + per-doc layout-text digest
+    + decoded-pixel digest, so a parser, filter, layout, or embedded-
+    image regression fails the driver gate."""
     from .operators.multimodal import pdf_features, synth_pdfs_for_spans
 
     spans = spans_view(_extracted(spark))

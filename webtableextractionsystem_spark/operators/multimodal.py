@@ -1207,7 +1207,12 @@ def synth_pdfs_for_spans(spans_out: DataFrame) -> DataFrame:
     LZWDecode, RunLengthDecode, ASCIIHexDecode, and the legacy
     ASCII85+Flate transport cascade — and ~half are MODERN 1.5+ files
     — xref stream + object stream + Up predictor — so the driver gate
-    exercises both file structures and every decode path)."""
+    exercises both file structures and every decode path; ~half embed
+    1-2 REAL JPEG image XObjects (baseline or progressive, cycling a
+    bare /DCTDecode vs [ASCII85Decode|FlateDecode, DCTDecode]
+    transport cascade) so the gate also runs the embedded-image decode
+    end-to-end)."""
+    from .jpeg import encode_jpeg
     from .pdf import encode_pdf
 
     _FILTER_CYCLE = ((), "FlateDecode", "LZWDecode",
@@ -1242,12 +1247,34 @@ def synth_pdfs_for_spans(spans_out: DataFrame) -> DataFrame:
                                      f"p{p} {words}"))
                     rng.shuffle(runs)  # content order != reading order
                     pages.append(runs)
+                images = None
+                transport = None
+                if h[6] % 2:
+                    # 1-2 embedded JPEGs, always on page 0 (every PDF
+                    # has one); dims/pixels/quality/progressive all
+                    # md5-seeded like the standalone image corpus
+                    n_imgs = 1 + h[7] % 2
+                    page_imgs = []
+                    for j in range(n_imgs):
+                        iw = 4 + int(rng.integers(0, 13))
+                        ih = 4 + int(rng.integers(0, 13))
+                        img = rng.integers(0, 256, size=(ih, iw, 3),
+                                           dtype=np.uint8)
+                        jp = encode_jpeg(img,
+                                         quality=75 + int(rng.integers(0, 21)),
+                                         progressive=bool((h[8] + j) % 2))
+                        page_imgs.append(
+                            (jp, iw, ih, 72.0 + 40.0 * j, 80.0))
+                    images = [page_imgs] + [[] for _ in range(n_pages - 1)]
+                    transport = (None, "ASCII85Decode",
+                                 "FlateDecode")[h[9] % 3]
                 # stream_filter drives the content streams; compress
                 # still toggles the modern ObjStm's Flate so both its
                 # states stay exercised
                 payload = encode_pdf(
                     pages, compress=bool(h[5] % 2), modern=bool(h[4] % 2),
-                    stream_filter=_FILTER_CYCLE[h[3] % len(_FILTER_CYCLE)])
+                    stream_filter=_FILTER_CYCLE[h[3] % len(_FILTER_CYCLE)],
+                    images=images, image_transport=transport)
                 rows.append({
                     "media_ref": ref, "kind": "pdf", "payload": payload,
                     "meta": {"width": 612, "height": 792,
@@ -1260,32 +1287,52 @@ def synth_pdfs_for_spans(spans_out: DataFrame) -> DataFrame:
 
 
 def pdf_features(media: DataFrame) -> DataFrame:
-    """(media_ref, n_pages, n_runs, n_chars, text_md5) through the REAL
-    PDF parse + layout reading-order pass: text_md5 digests the
-    page-ordered, line-ordered extracted text, so a regression in the
-    xref walk, Flate bound, content interpreter, matrix composition, or
-    the layout sort all fail the pinned driver row. Narrow mapInPandas,
-    same partition-local shape as the other codec features."""
-    from .pdf import decode_pdf, layout_pages
+    """(media_ref, n_pages, n_runs, n_chars, text_md5, n_images,
+    img_px_md5) through the REAL PDF parse + layout reading-order pass:
+    text_md5 digests the page-ordered, line-ordered extracted text, so
+    a regression in the xref walk, Flate bound, content interpreter,
+    matrix composition, or the layout sort all fail the pinned driver
+    row; img_px_md5 digests the DECODED RGB pixels of every embedded
+    image XObject (page order, then resource-name order — through the
+    real DCTDecode->jpeg.py path), so a JPEG or transport-cascade
+    regression fails it too ('' when the PDF embeds no images). Narrow
+    mapInPandas, same partition-local shape as the other codec
+    features."""
+    from .pdf import decode_pdf, extract_pdf_images, layout_pages
 
     def run(batches):
         for pdf in batches:
             out = {k: [] for k in ("media_ref", "n_pages", "n_runs",
-                                   "n_chars", "text_md5")}
+                                   "n_chars", "text_md5", "n_images",
+                                   "img_px_md5")}
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
-                pages = decode_pdf(bytes(payload))  # parse ONCE
+                payload = bytes(payload)
+                pages = decode_pdf(payload)  # parse ONCE
                 text = layout_pages(pages)
                 joined = "\x0c".join(text)
+                img_pages = extract_pdf_images(payload)
+                n_images = sum(len(p) for p in img_pages)
+                if n_images:
+                    d = hashlib.md5()
+                    for p in img_pages:
+                        for _name, arr in p:
+                            d.update(arr.tobytes())
+                    px_md5 = d.hexdigest()
+                else:
+                    px_md5 = ""
                 out["media_ref"].append(ref)
                 out["n_pages"].append(len(pages))
                 out["n_runs"].append(sum(len(p) for p in pages))
                 out["n_chars"].append(len(joined))
                 out["text_md5"].append(
                     hashlib.md5(joined.encode()).hexdigest())
+                out["n_images"].append(n_images)
+                out["img_px_md5"].append(px_md5)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(
         run,
         schema=("media_ref string, n_pages int, n_runs int, "
-                "n_chars int, text_md5 string"),
+                "n_chars int, text_md5 string, n_images int, "
+                "img_px_md5 string"),
     )

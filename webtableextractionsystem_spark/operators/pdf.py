@@ -18,11 +18,17 @@ TJ) with q/Q + cm graphics-state matrix composition and inline-image
 skipping; simple (1-byte, latin-1-decoded) fonts AND Type0/Identity-H
 composite fonts (2-byte CIDs through the /ToUnicode CMap — bfchar and
 both bfrange destination forms — which is how CJK web PDFs embed
-text), with inherited /Resources; page trees of any nesting. Raises
-ValueError naming the feature for: encrypted files, Type0 fonts with
-predefined (non-Identity-H) CMaps or no /ToUnicode (extracting their
-bytes as text would be silent garbage), and filters outside the five
-above (JBIG2/JPX/DCT image codings have no text to extract).
+text), with inherited /Resources; page trees of any nesting; and
+EMBEDDED IMAGES — /Subtype /Image XObjects whose trailing filter is
+/DCTDecode decode through the in-repo JPEG decoder (operators/
+jpeg.py: baseline + progressive, subsampling, restart markers), after
+any §7.4 transport cascade, via ``extract_pdf_images``; raw 8-bit
+DeviceRGB/DeviceGray sample streams decode too. Raises ValueError
+naming the feature for: encrypted files, Type0 fonts with predefined
+(non-Identity-H) CMaps or no /ToUnicode (extracting their bytes as
+text would be silent garbage), filters outside the five transports
+above on non-image streams, and the image codings with no
+pure-stdlib decoder in scope (CCITTFax/JBIG2/JPX).
 
 Layout parse: runs carry the device-space position of their text matrix
 (Tm composed with the CTM), and ``extract_pdf_text`` groups runs into
@@ -42,6 +48,7 @@ import re
 import zlib
 
 _MAX_STREAM_BYTES = 1 << 26   # inflate cap per content stream (DoS bound)
+_MAX_PIXELS = 1 << 26         # per embedded image (matches jpeg.py's cap)
 _MAX_XREF_CHAIN = 64          # /Prev chain bound (cycle/DoS)
 _MAX_OBJECTS = 1 << 20        # xref entry bound
 
@@ -80,7 +87,8 @@ def _esc_string(s: str) -> bytes:
 
 
 def encode_pdf(pages, compress: bool = True, modern: bool = False,
-               stream_filter=None) -> bytes:
+               stream_filter=None, images=None,
+               image_transport=None) -> bytes:
     """pages = list of pages; each page a list of (x, y, size, text)
     runs -> a PDF (Helvetica, one content stream per page, FlateDecode
     when ``compress``). Positions are PDF user-space points (origin
@@ -97,7 +105,15 @@ def encode_pdf(pages, compress: bool = True, modern: bool = False,
     RunLengthDecode — e.g. ["ASCII85Decode", "FlateDecode"] emits
     Flate-compressed data wrapped for 7-bit transport, the legacy
     cascade real pre-web PDFs carry. Structural streams (ObjStm, xref
-    stream) stay FlateDecode, as real writers emit them."""
+    stream) stay FlateDecode, as real writers emit them.
+
+    ``images`` (optional) is a list aligned with ``pages``; each entry
+    a list of (jpeg_payload, width, height, x, y) tuples to embed as
+    /Subtype /Image XObjects with /Filter /DCTDecode, painted via
+    'q w 0 0 h x y cm /ImN Do Q' before the page's text (§8.9.5).
+    ``image_transport`` optionally names one §7.4 transport filter
+    (e.g. "ASCII85Decode") to wrap EVERY image stream, emitting the
+    [transport, DCTDecode] cascade form real scanners produce."""
     if not pages:
         raise ValueError("encode_pdf needs at least one page")
     objs: dict[int, bytes] = {}
@@ -131,9 +147,39 @@ def encode_pdf(pages, compress: bool = True, modern: bool = False,
                          "non-latin-1 characters (2-byte CID space)")
     cid_of = {ch: i + 1 for i, ch in enumerate(cjk_chars)}
     font2_id = 4 + 2 * n_pages
+    if images is not None and len(images) != n_pages:
+        raise ValueError("encode_pdf images list must align with pages")
+    # image XObject ids follow the (optional) Type0 font block
+    img_base = font2_id + (3 if cjk_chars else 0)
+    img_ids: list[list[int]] = []
+    next_img = img_base
+    for i in range(n_pages):
+        page_imgs = (images[i] if images else []) or []
+        img_ids.append(list(range(next_img, next_img + len(page_imgs))))
+        next_img += len(page_imgs)
     for i, runs in enumerate(pages):
         pid, cid = page_ids[i], page_ids[i] + 1
-        content = bytearray(b"BT\n")
+        content = bytearray()
+        page_imgs = (images[i] if images else []) or []
+        for j, (jpeg, iw, ih, ix, iy) in enumerate(page_imgs):
+            if jpeg[:2] != b"\xff\xd8":
+                raise ValueError("encode_pdf image payload is not a JPEG")
+            content += (b"q %s 0 0 %s %s %s cm /Im%d Do Q\n"
+                        % (_num(iw), _num(ih), _num(ix), _num(iy), j))
+            idata, ifilt = bytes(jpeg), b"/Filter /DCTDecode "
+            if image_transport is not None:
+                if image_transport not in _ENCODERS:
+                    raise ValueError(
+                        f"unsupported PDF filter {image_transport}")
+                idata = _ENCODERS[image_transport](idata)
+                ifilt = (f"/Filter [ /{image_transport} /DCTDecode ] "
+                         ).encode()
+            objs[img_ids[i][j]] = (
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceRGB /BitsPerComponent 8 " % (iw, ih)
+                + ifilt + b"/Length %d >>\nstream\n" % len(idata)
+                + idata + b"\nendstream")
+        content += b"BT\n"
         for x, y, size, text in runs:
             if _is_simple(text):
                 content += b"/F1 %s Tf\n" % _num(size)
@@ -167,9 +213,14 @@ def encode_pdf(pages, compress: bool = True, modern: bool = False,
                      + data + b"\nendstream")
         fres = (f"/F1 3 0 R /F2 {font2_id} 0 R" if cjk_chars
                 else "/F1 3 0 R")
+        xres = ""
+        if page_imgs:
+            ents = " ".join(f"/Im{j} {oid} 0 R"
+                            for j, oid in enumerate(img_ids[i]))
+            xres = f"/XObject << {ents} >> "
         objs[pid] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {_PAGE_W} "
-            f"{_PAGE_H}] /Resources << /Font << {fres} >> >> "
+            f"{_PAGE_H}] /Resources << /Font << {fres} >> {xres}>> "
             f"/Contents {cid} 0 R >>").encode()
 
     if cjk_chars:
@@ -907,6 +958,12 @@ def _flate_decode(raw: bytes) -> bytes:
 
 
 # filter name -> (decode(raw, parms), takes_predictor)
+# image-coding filters (§7.4.8-10 + DCT): terminate a /Filter chain on
+# /Subtype /Image streams; _stream_data leaves the stream at the coded
+# bytes and extract_pdf_images performs (or refuses) the image decode
+_IMAGE_CODINGS = frozenset(
+    {"DCTDecode", "CCITTFaxDecode", "JBIG2Decode", "JPXDecode"})
+
 _FILTERS = {
     "FlateDecode": (lambda raw, parms: _flate_decode(raw), True),
     "LZWDecode": (lambda raw, parms: _lzw_decode(
@@ -1176,6 +1233,16 @@ class _Doc:
         parms_list = parms if isinstance(parms, list) else [parms]
         for i, f in enumerate(filts):
             f = self.resolve(f)
+            if (str(f) in _IMAGE_CODINGS and i == len(filts) - 1
+                    and str(self.resolve(sdict.get("Subtype", "")))
+                    == "Image"):
+                # image XObjects: the TRAILING image-coding filter
+                # (§7.4.8/9/10) is not a byte transport — leave the
+                # stream at its coded form; extract_pdf_images applies
+                # the actual image decode (JPEG via operators/jpeg.py)
+                # or raises the named boundary. A DCT on a NON-image
+                # stream, or not in last position, still raises below.
+                return raw
             entry = _FILTERS.get(str(f))
             if entry is None:
                 raise ValueError(f"PDF filter {f} unsupported")
@@ -1240,7 +1307,7 @@ class _Doc:
             data += b"\n"
         return bytes(data)
 
-    def page_fonts(self, page: dict) -> dict[str, dict]:
+    def _page_resources(self, page: dict) -> dict:
         # /Resources is INHERITABLE (§7.7.3.4): real files commonly
         # declare fonts once on the /Pages root — walk the /Parent
         # chain until a Resources dict appears, or the CID-font guard
@@ -1253,15 +1320,24 @@ class _Doc:
             if res is not None:
                 if not isinstance(res, dict):
                     raise ValueError("bad PDF /Resources")
-                fonts = self.resolve(res.get("Font")) or {}
-                if not isinstance(fonts, dict):
-                    raise ValueError("bad PDF /Font resource")
-                return {k: self.resolve(v) for k, v in fonts.items()}
+                return res
             parent = node.get("Parent")
             if parent is None:
                 break
             node = self.resolve(parent)
         return {}
+
+    def _resource_dict(self, page: dict, key: str) -> dict:
+        entry = self.resolve(self._page_resources(page).get(key)) or {}
+        if not isinstance(entry, dict):
+            raise ValueError(f"bad PDF /{key} resource")
+        return {k: self.resolve(v) for k, v in entry.items()}
+
+    def page_fonts(self, page: dict) -> dict[str, dict]:
+        return self._resource_dict(page, "Font")
+
+    def page_xobjects(self, page: dict) -> dict[str, object]:
+        return self._resource_dict(page, "XObject")
 
 
 # ---------------------------------------------------------------------------
@@ -1612,3 +1688,97 @@ def extract_pdf_text(payload: bytes) -> list[str]:
     """decode + layout in one call (the deterministic reading-order pass
     the extraction pipeline applies before text analysis)."""
     return layout_pages(decode_pdf(payload))
+
+
+# ---------------------------------------------------------------------------
+# embedded images (image XObjects, §8.9.5) — DCTDecode through the
+# in-repo JPEG decoder (operators/jpeg.py); raw 8-bit RGB/Gray samples
+# after any transport cascade; CCITTFax/JBIG2/JPX stay honest raises.
+# ---------------------------------------------------------------------------
+
+
+def extract_pdf_images(payload: bytes):
+    """payload -> per page, a list of (name, pixels) with pixels an
+    HxWx3 uint8 ndarray — every /Subtype /Image XObject reachable from
+    the page's (inherited) /Resources, decoded for real:
+
+    - trailing /DCTDecode -> operators/jpeg.py (baseline+progressive,
+      subsampling, restart markers), after any §7.4 transport cascade
+      ([ASCII85Decode, DCTDecode] etc.) which _stream_data already
+      applied;
+    - no image coding -> raw samples, 8 bits/component, /DeviceRGB or
+      /DeviceGray (broadcast to 3 channels), strict length check;
+    - /CCITTFaxDecode, /JBIG2Decode, /JPXDecode -> named ValueError
+      (no pure-stdlib decoder in scope), as does /Subtype /Form (a
+      nested content stream, not pixels) and sub-8-bit or exotic
+      color spaces.
+
+    Enumerating the resource dict (sorted by name) rather than Do
+    operators is deliberate: features must not depend on how many
+    times a page paints the same XObject, and our encoder draws every
+    declared image exactly once. Dimensions are cross-checked against
+    /Width//Height so a forged header can't mislabel pixel data."""
+    import numpy as np
+
+    from .jpeg import decode_jpeg
+
+    doc = _Doc(payload)
+    pages_out = []
+    decoded_cache: dict[int, object] = {}
+    for page in doc.pages():
+        imgs = []
+        for name, xo in sorted(doc.page_xobjects(page).items()):
+            if not (isinstance(xo, tuple) and xo[0] == "stream"):
+                raise ValueError("PDF XObject is not a stream")
+            sdict, data = xo[1], xo[2]
+            key = id(xo)
+            if key in decoded_cache:
+                imgs.append((name, decoded_cache[key]))
+                continue
+            sub = str(doc.resolve(sdict.get("Subtype", "")))
+            if sub != "Image":
+                raise ValueError(
+                    f"PDF XObject subtype {sub or '(none)'} unsupported")
+            w = doc.resolve(sdict.get("Width"))
+            h = doc.resolve(sdict.get("Height"))
+            if not (_strict_int(w) and _strict_int(h)) \
+                    or w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+                raise ValueError("bad PDF image /Width //Height")
+            filt = doc.resolve(sdict.get("Filter"))
+            filts = filt if isinstance(filt, list) else [filt]
+            coding = str(doc.resolve(filts[-1])) if filt is not None \
+                else None
+            if coding is not None and coding not in _IMAGE_CODINGS:
+                coding = None  # pure transport chain: already decoded
+            if coding == "DCTDecode":
+                arr = decode_jpeg(bytes(data))
+                if arr.shape[0] != h or arr.shape[1] != w:
+                    raise ValueError(
+                        "PDF image /Width //Height disagree with the "
+                        "embedded JPEG frame")
+            elif coding is not None:
+                raise ValueError(f"PDF image coding {coding} unsupported")
+            else:
+                bpc = doc.resolve(sdict.get("BitsPerComponent"))
+                cs = str(doc.resolve(sdict.get("ColorSpace", "")))
+                if bpc != 8 or isinstance(bpc, bool):
+                    raise ValueError(
+                        f"PDF raw image BitsPerComponent {bpc} unsupported")
+                if cs == "DeviceRGB":
+                    ncomp = 3
+                elif cs == "DeviceGray":
+                    ncomp = 1
+                else:
+                    raise ValueError(
+                        f"PDF raw image ColorSpace {cs} unsupported")
+                if len(data) != w * h * ncomp:
+                    raise ValueError("PDF raw image data length disagrees "
+                                     "with /Width //Height")
+                arr = np.frombuffer(bytes(data), dtype=np.uint8) \
+                    .reshape(h, w, ncomp)
+                if ncomp == 1:
+                    arr = np.repeat(arr, 3, axis=2)
+            decoded_cache[key] = arr
+            imgs.append((name, arr))
+        pages_out.append(imgs)
+    return pages_out
