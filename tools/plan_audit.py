@@ -179,6 +179,22 @@ def main() -> None:
             SIM.semdedup(spark, SF),
     }
 
+    # staging forms LAST: stage_* replaces the session cache entry, so
+    # every section above this line shows the default persisted shape
+    # and the two below show consumers reading the bucketed staged
+    # table (zero exchange on the bucket-keyed aggregation)
+    DD.stage_gram_relation(spark, SF)
+    TS.stage_dsir_features(spark, SF)
+    sections[
+        "q_doc_repeated_ngrams AFTER stage_gram_relation — consumers "
+        "scan the h-bucketed staged parquet table; the incidence "
+        "groupBy(h) inherits the bucketing (no exchange of the "
+        "corpus-token-sized relation)"] = DD.repeated_ngrams(spark, SF)
+    sections[
+        "q_doc_dsir_weights AFTER stage_dsir_features — distribution "
+        "build aggregates straight off the f-bucketed staged scan"] = \
+        TS.dsir_weights(spark, SF)
+
     parts = [
         "# PLANS — physical-plan audit of the headline queries",
         "",

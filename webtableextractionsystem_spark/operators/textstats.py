@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._cache import session_persisted
+from ._cache import session_persisted, session_staged
 
 # common-word list for the stopword/langid heuristics (includes the
 # synthetic corpus' function-ish words so the signal is non-trivial)
@@ -1449,12 +1449,17 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distribution folds into <=B rows map-side, the totals come
     from a window over those <=B rows (NOT a second corpus aggregate —
     review finding), and the llr dimension BROADCASTS back onto the
-    feature relation; one doc-keyed integer agg."""
+    feature relation; one doc-keyed integer agg.
+
+    Storage contract: the feature relation is corpus-token-sized (~2
+    rows per token with bigrams), so the in-memory persist is right
+    only within one query; a multi-query 100 TB session calls
+    ``stage_dsir_features`` first and every consumer reads the
+    f-bucketed staged table (the distribution groupBy('f') then
+    inherits the bucketing, zero exchange)."""
     docs = session_persisted(
         spark, _DSIR_FEATS_CACHE, (sf_dir,),
-        lambda: load_documents(spark, sf_dir).select(
-            "doc_id", "source",
-            F.explode(_dsir_features()).alias("f")))
+        lambda: _dsir_feats_lazy(spark, sf_dir))
     tgt = F.col("source").isin(*DSIR_TARGET_SOURCES)
     counts = docs.groupBy("f").agg(
         F.count("*").alias("cq"),
@@ -1485,6 +1490,29 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # one materialized (doc_id, source, f) relation per (SparkContext, sf_dir)
 _DSIR_FEATS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _dsir_feats_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-persisted (doc_id, source, f) hashed-feature explode —
+    the building block dsir_weights persists and stage_dsir_features
+    writes to a bucketed table."""
+    return load_documents(spark, sf_dir).select(
+        "doc_id", "source",
+        F.explode(_dsir_features()).alias("f"))
+
+
+def stage_dsir_features(spark: SparkSession, sf_dir: str,
+                        n_buckets: int = 64) -> DataFrame:
+    """Write-once f-bucketed staging form of the DSIR feature relation
+    (the 100 TB path for multi-query sessions — see dsir_weights'
+    storage contract and operators/_cache.session_staged). After this
+    call dsir_weights reads the staged table: the <=B-row distribution
+    build aggregates straight off the bucketed scan with no exchange
+    of the corpus-token-sized relation."""
+    return session_staged(
+        spark, _DSIR_FEATS_CACHE, (sf_dir,),
+        lambda: _dsir_feats_lazy(spark, sf_dir),
+        bucket_col="f", n_buckets=n_buckets)
 
 
 _DSIR_FEATS_SQL = rf"""
