@@ -395,6 +395,26 @@ def test_incremental_extract_exactly_once(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == 70
 
 
+def test_incremental_extract_refuses_legacy_flat_layout(spark, tmp_path):
+    """An output_dir holding flat parquet files (the pre-partitioned
+    append layout) is refused with a named error BEFORE any batch
+    writes — mixing flat files with batch=<id> dirs would break
+    partition discovery and silently change the read schema."""
+    import pytest
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "legacy_out")
+    os.makedirs(in_dir)
+    gen_documents_df(spark, 5).coalesce(1).write.mode("append") \
+        .parquet(in_dir)
+    # simulate the old sink: flat files at the output root
+    gen_documents_df(spark, 3).coalesce(1).write.mode("append") \
+        .parquet(out_dir)
+    with pytest.raises(ValueError, match="flat parquet"):
+        incremental_extract(spark, in_dir, out_dir,
+                            str(tmp_path / "ckpt2"), num_buckets=8)
+
+
 def test_streaming_stateful_dedup(spark, tmp_path):
     """applyInPandasWithState online dedup: duplicates suppressed within
     a batch, across batches, and across availableNow restarts (state

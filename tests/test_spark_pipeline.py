@@ -575,6 +575,22 @@ def test_tokenizer_vertical_tab_cross_engine(spark):
         r"'\s+') AS t").fetchone()[0]
     assert row == list(d) == ["a\x0bb", "c"]
 
+    # the NORMALIZER expression (fingerprints + HLL register hash)
+    # must agree on the same character: \x0B survives collapse in both
+    # engines, so the md5s match — probe the PRODUCTION expression
+    from pyspark.sql import functions as F
+
+    from webtableextractionsystem_spark.operators.textstats import (
+        _norm_text,
+    )
+
+    srow = (spark.createDataFrame([("A\x0bb  c",)], "text string")
+            .select(F.md5(_norm_text()).alias("h")).collect()[0]["h"])
+    drow = duckdb.sql(
+        "SELECT md5(lower(regexp_replace(trim('A' || chr(11) || 'b  c'), "
+        r"'\s+', ' ', 'g'))) AS h").fetchone()[0]
+    assert srow == drow
+
 
 def test_dsir_weights_separate_target_domain(spark):
     """The DSIR importance weight must actually DO data selection: on

@@ -222,10 +222,20 @@ FROM documents
 # document fingerprint (normalized-content hash)
 # ---------------------------------------------------------------------------
 
+def _norm_text():
+    """The whitespace-collapsed lowercased text — the single normalizer
+    home for fingerprints and the HLL register hash. Explicit class,
+    NOT \\s+, for the same reason as _tokens(): Java's \\s includes
+    vertical tab (\\x0B), RE2's (every DuckDB oracle) does not, so a
+    corpus document containing \\x0B would silently diverge the md5
+    between engines (the cross-engine probe test pins the agreement)."""
+    return F.lower(F.regexp_replace(
+        F.trim(F.col("text")), r"[ \t\n\f\r]+", " "))
+
+
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     return load_documents(spark, sf_dir).select(
-        "doc_id", F.md5(norm).alias("fingerprint")
+        "doc_id", F.md5(_norm_text()).alias("fingerprint")
     )
 
 
@@ -863,8 +873,7 @@ def _hll_doc_cols():
     the single home of the register construction, shared by the global
     and per-group sketches (divergence here would silently decouple the
     two from each other and their oracles)."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    h = F.md5(norm)
+    h = F.md5(_norm_text())
     bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
     v = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
     rho = (F.lit(53) - F.when(v > 0, F.length(F.bin(v))).otherwise(0)) \

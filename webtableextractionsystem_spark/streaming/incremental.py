@@ -24,10 +24,40 @@ from ..operators.extraction import extract_all
 from ..schemas import DOCUMENTS
 
 
+def _refuse_legacy_flat_layout(spark: SparkSession, output_dir: str) -> None:
+    """A pre-existing output_dir written by the old flat-append sink
+    holds bare *.parquet files at the root; resuming the batch=<id>
+    layout on top of them would mix files and partition dirs (broken
+    partition discovery + a schema change adding 'batch'). Goes through
+    the Hadoop FileSystem so URI-schemed outputs are covered too."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(output_dir)
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return
+    for st in fs.listStatus(path):
+        if st.isFile() and st.getPath().getName().endswith(".parquet"):
+            raise ValueError(
+                f"incremental_extract output dir {output_dir!r} contains "
+                "flat parquet files from the pre-batch-partition layout; "
+                "mixing them with batch=<id> directories would break "
+                "partition discovery — migrate the legacy files into a "
+                "batch=<id> directory or use a fresh output_dir")
+
+
 def incremental_extract(spark: SparkSession, input_dir: str, output_dir: str,
                         stream_ckpt_dir: str, num_buckets: int = 64) -> None:
     """Process all currently-available new files, then stop
-    (Trigger.AvailableNow — repeated invocations are incremental)."""
+    (Trigger.AvailableNow — repeated invocations are incremental).
+
+    Output layout: batch=<id> partition directories with per-batch
+    OVERWRITE (replay-idempotent). This layout is BREAKING for output
+    dirs written by the pre-partitioned (flat append) version: mixing
+    flat parquet files with partition dirs at one root breaks Spark's
+    partition discovery and changes the read schema, so a legacy flat
+    layout is detected up front and refused with a named error instead
+    of corrupting the directory on the next checkpointed batch."""
+    _refuse_legacy_flat_layout(spark, output_dir)
     stream = (
         spark.readStream.schema(DOCUMENTS)
         .option("maxFilesPerTrigger", 8)
