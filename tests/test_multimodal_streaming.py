@@ -47,7 +47,7 @@ def test_synth_media_payloads_real_decode(media):
         assert img.shape == (r["meta"]["height"], r["meta"]["width"], 3)
         mimes.add(r["meta"]["mime"])
     assert mimes == {"image/x-portable-pixmap", "image/bmp", "image/png",
-                     "image/jpeg", "image/gif"}
+                     "image/jpeg", "image/gif", "image/tiff"}
 
 
 def test_decode_stub_raises_without_fake():
@@ -736,6 +736,93 @@ def test_gif_decoder_handles_dictionary_grown_lzw():
     stream = lzw_compress(pixels, min_code=2)
     out = G._lzw_decode(stream, 2, len(pixels))
     assert np.array_equal(out, pixels)
+
+
+def test_tiff_roundtrip_all_forms():
+    """Baseline TIFF is lossless: exact round-trips across both byte
+    orders, all three compressions (none/LZW/PackBits), predictor 2,
+    grayscale and RGB, multi-strip organizations, through both the
+    module API and the decode_image dispatch."""
+    import numpy as np
+
+    from webtableextractionsystem_spark.operators import tiff as T
+
+    rng = np.random.default_rng(17)
+    for shape in ((1, 1, 3), (5, 7, 3), (16, 16, 3), (13, 3, 3)):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for comp in ("none", "lzw", "packbits"):
+            for pred in ((1,) if comp == "none" else (1, 2)):
+                for be in (False, True):
+                    t = T.encode_tiff(img, compression=comp,
+                                      predictor=pred, big_endian=be,
+                                      rows_per_strip=2)
+                    assert np.array_equal(T.decode_tiff(t), img)
+                    g = T.encode_tiff(img, compression=comp,
+                                      predictor=pred, big_endian=be,
+                                      grayscale=True)
+                    assert np.array_equal(
+                        T.decode_tiff(g),
+                        np.repeat(img[:, :, :1], 3, axis=2))
+    # decode_image dispatch on both magics
+    flat = np.full((6, 6, 3), 42, np.uint8)
+    assert np.array_equal(
+        MM.decode_image(T.encode_tiff(flat, big_endian=False)), flat)
+    assert np.array_equal(
+        MM.decode_image(T.encode_tiff(flat, big_endian=True)), flat)
+
+
+def test_tiff_honest_boundaries():
+    """Unsupported baseline variants raise ValueError NAMING the
+    feature; malformed structure diagnoses instead of misparsing."""
+    import struct
+
+    import numpy as np
+
+    from webtableextractionsystem_spark.operators import tiff as T
+
+    img = np.full((4, 4, 3), 9, np.uint8)
+    base = T.encode_tiff(img)
+
+    with pytest.raises(ValueError, match="not a TIFF"):
+        T.decode_tiff(b"II+\x00junk")
+    # 16-bit samples
+    bits16 = base.replace(b"\x08\x00\x08\x00\x08\x00",
+                          b"\x10\x00\x10\x00\x10\x00", 1)
+    with pytest.raises(ValueError, match="BitsPerSample"):
+        T.decode_tiff(bits16)
+
+    def with_tag(tag, typ, val):
+        # rewrite (or sorted-insert — the IFD sits at the file tail)
+        # one inline IFD entry in the little-endian file
+        (ifd,) = struct.unpack_from("<I", base, 4)
+        (cnt,) = struct.unpack_from("<H", base, ifd)
+        entry = struct.pack("<HHIHH", tag, typ, 1, val, 0)
+        out = bytearray(base)
+        for i in range(cnt):
+            t, = struct.unpack_from("<H", base, ifd + 2 + 12 * i)
+            if t == tag:
+                out[ifd + 2 + 12 * i:ifd + 14 + 12 * i] = entry
+                return bytes(out)
+            if t > tag:
+                out[ifd + 2 + 12 * i:ifd + 2 + 12 * i] = entry
+                struct.pack_into("<H", out, ifd, cnt + 1)
+                return bytes(out)
+        out[ifd + 2 + 12 * cnt:ifd + 2 + 12 * cnt] = entry
+        struct.pack_into("<H", out, ifd, cnt + 1)
+        return bytes(out)
+
+    for tag, val, name in ((259, 7, "JPEG"), (259, 4, "CCITT"),
+                           (262, 3, "PhotometricInterpretation"),
+                           (317, 3, "Predictor"), (284, 2, "Planar")):
+        with pytest.raises(ValueError, match=name):
+            T.decode_tiff(with_tag(tag, 3, val))
+    # strip pointing past EOF
+    with pytest.raises(ValueError, match="strip"):
+        T.decode_tiff(with_tag(273, 4, len(base) + 100))
+    # truncated LZW strip
+    lz = T.encode_tiff(img, compression="lzw")
+    with pytest.raises(ValueError):
+        T.decode_tiff(lz[:40] + lz[41:])
 
 
 def test_gif_roundtrip_property():

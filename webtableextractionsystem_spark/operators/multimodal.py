@@ -78,12 +78,13 @@ def synth_media_for_spans(spans_out: DataFrame) -> DataFrame:
     """Deterministic media table for every media span: REAL encoded
     image payloads (PPM / BMP / PNG-RGB / PNG-RGBA / PNG-palette /
     JPEG 4:4:4 baseline and subsampled 4:2:0/4:2:2 baseline OR
-    progressive / GIF; PNG rows cycle through all five scanline filters
-    and alternate Adam7 interlacing, palette PNGs through depths
-    1/2/4/8, JPEG across qualities 75-95, GIF alternating interlace)
-    with pixels seeded from md5(media_ref). Stands in for the real
-    object store; every payload decodes through the real codec path
-    (``decode_image(fake=False)``)."""
+    progressive / GIF / baseline TIFF; PNG rows cycle through all five
+    scanline filters and alternate Adam7 interlacing, palette PNGs
+    through depths 1/2/4/8, JPEG across qualities 75-95, GIF
+    alternating interlace, TIFF across none/LZW+predictor-2/PackBits x
+    both byte orders with small strips) with pixels seeded from
+    md5(media_ref). Stands in for the real object store; every payload
+    decodes through the real codec path (``decode_image(fake=False)``)."""
 
     def gen(batches):
         for pdf in batches:
@@ -93,7 +94,7 @@ def synth_media_for_spans(spans_out: DataFrame) -> DataFrame:
                 rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
                 w = 4 + h[1] % 13
                 ht = 4 + h[2] % 13
-                fmt = h[0] % 8
+                fmt = h[0] % 9
                 img = rng.integers(0, 256, size=(ht, w, 3), dtype=np.uint8)
                 if fmt == 0:
                     payload, mime = encode_ppm(img), "image/x-portable-pixmap"
@@ -130,7 +131,7 @@ def synth_media_for_spans(spans_out: DataFrame) -> DataFrame:
                         img, depth, filter_type=h[4] % 5,
                         interlace=bool(h[5] % 2))
                     mime = "image/png"
-                else:
+                elif fmt == 7:
                     from .jpeg import encode_jpeg
 
                     # half of these are progressive (SOF2) — decode is
@@ -142,6 +143,17 @@ def synth_media_for_spans(spans_out: DataFrame) -> DataFrame:
                         subsampling="420" if h[4] % 2 else "422",
                         progressive=bool(h[5] % 2))
                     mime = "image/jpeg"
+                else:
+                    from .tiff import encode_tiff
+
+                    comp = ("none", "lzw", "packbits")[h[3] % 3]
+                    payload = encode_tiff(
+                        img, compression=comp,
+                        predictor=2 if (comp != "none" and h[4] % 2)
+                        else 1,
+                        big_endian=bool(h[5] % 2),
+                        rows_per_strip=1 + h[6] % 4)
+                    mime = "image/tiff"
                 rows.append({
                     "media_ref": ref,
                     "kind": "image",
@@ -604,6 +616,10 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             from .gif import decode_gif
 
             return decode_gif(payload)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            from .tiff import decode_tiff
+
+            return decode_tiff(payload)
     except ValueError:
         # magic matched but the body didn't parse. With fake=True this is
         # expected for random synthetic payloads and falls through to the
@@ -615,8 +631,8 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     if not fake:
         raise NotImplementedError(
             "unrecognized image magic: PPM(P6), 24-bit BMP, 8-bit PNG, "
-            "GIF, and baseline JPEG are the decodable formats; pass "
-            "fake=True for the deterministic test decoder"
+            "GIF, baseline TIFF, and baseline JPEG are the decodable "
+            "formats; pass fake=True for the deterministic test decoder"
         )
     h = hashlib.md5(payload).digest()
     rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
