@@ -152,6 +152,17 @@ def test_semdedup_k_cells_bounds_per_cell_pairwise_cost():
         assert (n / k) ** 2 * k <= c * n or n == 0
     # and k actually grows: a 1000x corpus gets ~1000x the cells
     assert SIM.semdedup_k_cells(10**9) >= 1000 * SIM.semdedup_k_cells(10**6) / 2
+    # the quantizer fit sample must scale with k too: KMeans cannot
+    # make more clusters than training points, so a fixed sample would
+    # silently cap the cell count and restore the fixed-k quadratic
+    # (review finding)
+    for n in (10**6, 10**9, 10**12):
+        k = SIM.semdedup_k_cells(n)
+        assert SIM._ivf_fit_sample(k) >= k
+        assert SIM._ivf_fit_sample(k) <= max(SIM.IVF_FIT_SAMPLE,
+                                             SIM.IVF_FIT_PER_CELL * k)
+    # ...while the default-k value is unchanged (pin safety)
+    assert SIM._ivf_fit_sample(SIM.IVF_K) == SIM.IVF_FIT_SAMPLE
 
 
 def test_semdedup_explicit_k_cells_is_honored(spark):

@@ -823,6 +823,23 @@ def test_tiff_honest_boundaries():
     lz = T.encode_tiff(img, compression="lzw")
     with pytest.raises(ValueError):
         T.decode_tiff(lz[:40] + lz[41:])
+    # truncated STRUCTURE must still be ValueError, never struct.error
+    # or IndexError escaping into decode_image's ValueError-only
+    # contract (review finding)
+    with pytest.raises(ValueError):
+        T.decode_tiff(b"II*\x00")
+    with pytest.raises(ValueError):
+        T.decode_tiff(base[:10])
+    # count=0 on a required tag: one()'s vals[0] must not IndexError
+    (ifd,) = struct.unpack_from("<I", base, 4)
+    (cnt,) = struct.unpack_from("<H", base, ifd)
+    zeroed = bytearray(base)
+    for i in range(cnt):
+        t, = struct.unpack_from("<H", base, ifd + 2 + 12 * i)
+        if t == 256:  # ImageWidth
+            struct.pack_into("<I", zeroed, ifd + 2 + 12 * i + 4, 0)
+    with pytest.raises(ValueError):
+        T.decode_tiff(bytes(zeroed))
 
 
 def test_gif_roundtrip_property():
@@ -1912,6 +1929,20 @@ def test_pdf_embedded_images_roundtrip():
     assert np.array_equal(pg[1][1][:, :, 0], pg[1][1][:, :, 2])
 
     import pytest
+
+    # '/Filter [ ]' (legal: zero filters) on an image stream takes the
+    # raw-sample path instead of IndexError (review finding)
+    empty_filt = dict(objs)
+    empty_filt[6] = raw_obj.replace(
+        b"/BitsPerComponent 8 ", b"/BitsPerComponent 8 /Filter [ ] ")
+    (pg2,) = P.extract_pdf_images(_mini_pdf(empty_filt))
+    assert np.array_equal(pg2[0][1], img1)
+
+    # parse-once API: one parse_pdf result feeds both extractors
+    doc = P.parse_pdf(P.encode_pdf(pages, images=images))
+    assert P.extract_pdf_text(P.encode_pdf(pages, images=images)) == \
+        P.layout_pages(P.decode_pdf(doc))
+    assert [len(p) for p in P.extract_pdf_images(doc)] == [1, 2]
 
     # the remaining image codings stay honest named raises (same-length
     # name swap keeps every xref offset valid)

@@ -66,6 +66,16 @@ def test_staged_dsir_features_preserve_weights(spark):
     assert "Scan parquet" in counts_plan
 
 
+def test_session_staged_sweeps_dead_session_entries(spark):
+    """Both cache paths evict entries keyed to other (dead)
+    SparkContexts on a miss — a staged-path miss that skipped the
+    sweep would accumulate JVM references in long-lived processes
+    (review finding)."""
+    DD._GRAM_CACHE[("dead-app-id", "bogus", 99)] = object()
+    DD.stage_gram_relation(spark, SF, k=9)  # fresh key -> miss -> sweep
+    assert ("dead-app-id", "bogus", 99) not in DD._GRAM_CACHE
+
+
 def test_clear_session_caches_drops_everything(spark):
     DD.stage_gram_relation(spark, SF)
     assert DD._GRAM_CACHE

@@ -49,6 +49,15 @@ def _registered(cache: dict[tuple, DataFrame]) -> dict:
     return cache
 
 
+def _drop_dead_sessions(cache: dict[tuple, DataFrame], app: str) -> None:
+    """Evict entries bound to other (dead) SparkContexts on every
+    cache-miss build — shared by BOTH the persisted and staged paths,
+    or long-lived processes spawning many sessions would accumulate
+    JVM-side references through whichever path missed the sweep."""
+    for stale in [k for k in cache if k[0] != app]:
+        del cache[stale]
+
+
 def session_persisted(spark: SparkSession,
                       cache: dict[tuple, DataFrame],
                       key_suffix: tuple,
@@ -57,8 +66,7 @@ def session_persisted(spark: SparkSession,
     key = (app,) + key_suffix
     df = _registered(cache).get(key)
     if df is None:
-        for stale in [k for k in cache if k[0] != app]:
-            del cache[stale]
+        _drop_dead_sessions(cache, app)
         df = build().persist()
         df.count()
         cache[key] = df
@@ -88,6 +96,7 @@ def session_staged(spark: SparkSession,
     skey = key + ("staged",)
     df = _registered(cache).get(skey)
     if df is None:
+        _drop_dead_sessions(cache, app)
         name = ("staged_"
                 + hashlib.md5(repr(key_suffix).encode()).hexdigest()[:16])
         # a previous SESSION's staging leaves the warehouse directory

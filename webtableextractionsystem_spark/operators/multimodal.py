@@ -1314,7 +1314,12 @@ def pdf_features(media: DataFrame) -> DataFrame:
     regression fails it too ('' when the PDF embeds no images). Narrow
     mapInPandas, same partition-local shape as the other codec
     features."""
-    from .pdf import decode_pdf, extract_pdf_images, layout_pages
+    from .pdf import (
+        decode_pdf,
+        extract_pdf_images,
+        layout_pages,
+        parse_pdf,
+    )
 
     def run(batches):
         for pdf in batches:
@@ -1322,11 +1327,11 @@ def pdf_features(media: DataFrame) -> DataFrame:
                                    "n_chars", "text_md5", "n_images",
                                    "img_px_md5")}
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
-                payload = bytes(payload)
-                pages = decode_pdf(payload)  # parse ONCE
+                doc = parse_pdf(bytes(payload))  # parse ONCE
+                pages = decode_pdf(doc)
                 text = layout_pages(pages)
                 joined = "\x0c".join(text)
-                img_pages = extract_pdf_images(payload)
+                img_pages = extract_pdf_images(doc)
                 n_images = sum(len(p) for p in img_pages)
                 if n_images:
                     d = hashlib.md5()

@@ -1496,13 +1496,23 @@ def _font_decoder(doc: "_Doc", fdict: dict):
     return dec
 
 
-def decode_pdf(payload: bytes):
-    """payload -> list of pages, each a list of (x, y, size, text) runs
-    in content order. x/y are device-space positions of the run's text
-    matrix (Tm composed with the CTM at show time)."""
+def parse_pdf(payload: bytes) -> "_Doc":
+    """Parse the file structure once; the returned document can be
+    passed to both decode_pdf and extract_pdf_images so a feature
+    extractor needing text AND images walks the xref/object graph a
+    single time (review finding: building a fresh _Doc in each API
+    doubled the non-JPEG decode cost of pdf_features)."""
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
-    doc = _Doc(payload)
+    return _Doc(payload)
+
+
+def decode_pdf(payload):
+    """payload (bytes, or a parse_pdf result) -> list of pages, each a
+    list of (x, y, size, text) runs in content order. x/y are
+    device-space positions of the run's text matrix (Tm composed with
+    the CTM at show time)."""
+    doc = payload if isinstance(payload, _Doc) else parse_pdf(payload)
     pages_out = []
     # memoize per font OBJECT (resolve() caches, so the same font dict
     # is identity-stable across pages): N pages inheriting one Type0
@@ -1717,12 +1727,14 @@ def extract_pdf_images(payload: bytes):
     operators is deliberate: features must not depend on how many
     times a page paints the same XObject, and our encoder draws every
     declared image exactly once. Dimensions are cross-checked against
-    /Width//Height so a forged header can't mislabel pixel data."""
+    /Width//Height so a forged header can't mislabel pixel data.
+    Accepts bytes or a parse_pdf result (share one parse with
+    decode_pdf — see parse_pdf)."""
     import numpy as np
 
     from .jpeg import decode_jpeg
 
-    doc = _Doc(payload)
+    doc = payload if isinstance(payload, _Doc) else parse_pdf(payload)
     pages_out = []
     decoded_cache: dict[int, object] = {}
     for page in doc.pages():
@@ -1745,9 +1757,11 @@ def extract_pdf_images(payload: bytes):
                     or w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
                 raise ValueError("bad PDF image /Width //Height")
             filt = doc.resolve(sdict.get("Filter"))
-            filts = filt if isinstance(filt, list) else [filt]
-            coding = str(doc.resolve(filts[-1])) if filt is not None \
-                else None
+            # '/Filter [ ]' is legal (zero filters, raw samples) — an
+            # unguarded filts[-1] would IndexError (review finding)
+            filts = ([] if filt is None
+                     else filt if isinstance(filt, list) else [filt])
+            coding = str(doc.resolve(filts[-1])) if filts else None
             if coding is not None and coding not in _IMAGE_CODINGS:
                 coding = None  # pure transport chain: already decoded
             if coding == "DCTDecode":

@@ -221,6 +221,21 @@ IVF_K = 16
 IVF_NPROBE = 2
 IVF_FIT_SAMPLE = 4096  # quantizer training sample (sf0.01 has 500 vecs,
                        # so the pinned oracle is unaffected by the bound)
+IVF_FIT_PER_CELL = 4   # training points per requested cell (below)
+
+
+def _ivf_fit_sample(k: int) -> int:
+    """Training-sample size for a k-cell quantizer: the fixed
+    IVF_FIT_SAMPLE floor, grown to IVF_FIT_PER_CELL points per cell
+    when k exceeds it — KMeans cannot produce more clusters than
+    training points, so a fixed 4096-row sample under semdedup's
+    corpus-scaled k (ceil(n/256)) would silently cap the cell count
+    at ~4096 beyond ~1M vectors and quietly restore the fixed-k
+    quadratic the scaling exists to prevent (review finding). The
+    sample stays a vanishing fraction of the corpus (4k = n/64
+    rows when k = n/256). At the default k the value is exactly
+    IVF_FIT_SAMPLE, so the pinned oracles are unaffected."""
+    return max(IVF_FIT_SAMPLE, IVF_FIT_PER_CELL * k)
 
 
 def ivf_assignments(spark: SparkSession, sf_dir: str,
@@ -246,7 +261,7 @@ def ivf_assignments(spark: SparkSession, sf_dir: str,
     emb = raw.select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>"))
         .alias("features"))
-    fit_input = (emb.orderBy("vec_id").limit(IVF_FIT_SAMPLE)
+    fit_input = (emb.orderBy("vec_id").limit(_ivf_fit_sample(k))
                  .repartition(1).sortWithinPartitions("vec_id"))
     model = KMeans(k=k, seed=42, maxIter=20).fit(fit_input)
     assigned = model.transform(emb).select(

@@ -137,7 +137,17 @@ def _read_ifd(payload: bytes, endian: str, off: int) -> dict[int, list[int]]:
 
 def decode_tiff(payload: bytes) -> np.ndarray:
     """TIFF -> HxWx3 uint8 (grayscale broadcast to 3 channels,
-    WhiteIsZero inverted). First IFD only — see the module contract."""
+    WhiteIsZero inverted). First IFD only — see the module contract.
+    Malformed structure raises ValueError like every other codec here
+    (struct/index errors from truncated headers are converted, so the
+    decode_image ValueError-only contract holds)."""
+    try:
+        return _decode_tiff_impl(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError("truncated TIFF structure") from e
+
+
+def _decode_tiff_impl(payload: bytes) -> np.ndarray:
     if payload[:4] == b"II*\x00":
         endian = "<"
     elif payload[:4] == b"MM\x00*":
