@@ -130,6 +130,10 @@ def main() -> None:
             .agg(F.count("*")).collect(),
             "q_emb_semdedup": lambda: SIM.semdedup(spark, sf_dir)
             .collect(),
+            "q_doc_pii": lambda: TS.pii_stats(spark, sf_dir)
+            .agg(F.count("*")).collect(),
+            "q_doc_pmi_topk": lambda: TS.pmi_topk(spark, sf_dir)
+            .collect(),
         }
         for name, fn in bench_set.items():
             queries[name] = timed(fn)

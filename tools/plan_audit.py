@@ -177,6 +177,14 @@ def main() -> None:
         "expected per-cell pairwise work is <= 256^2 and the corpus "
         "total <= 256*n — linear, never the fixed-k quadratic":
             SIM.semdedup(spark, SF),
+        "q_doc_pii — per-row JVM regex redaction: one codegen span, "
+        "2-column scan, zero exchanges":
+            TS.pii_stats(spark, SF),
+        "q_doc_pmi_topk — collocation lift: two map-side-combined "
+        "count aggs, vocabulary-sized unigram table broadcast twice, "
+        "one-row totals broadcast, global top-k via "
+        "TakeOrderedAndProject (never a full sort)":
+            TS.pmi_topk(spark, SF),
     }
 
     # staging forms LAST: stage_* replaces the session cache entry, so

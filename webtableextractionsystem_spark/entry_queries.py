@@ -295,8 +295,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        now-rowed repeated_ngrams), bm25_topk and dsir_weights (each
        guarded by the cross-engine ln-domain sweep + crafted-ranking
        pins), hll_distinct (same register pipeline as the still-rowed
-       hll_by_source) — round 8 MUST rotate these 30 back inside the
-       first 50 and push round-7's rowed veterans out.
+       hll_by_source), plus queue_batch and name_union (rowed green
+       r05 AND r06; pushed out mid-round to make prefix room for the
+       two NEW round-7 entries q_doc_pii / q_doc_pmi_topk) — round 8
+       MUST rotate these 32 back inside the first 50 and push
+       round-7's rowed veterans out.
        (50-boundary re-verified this round: list(queries())[49] is the
        last prefix entry, [50] the first tail entry.)
 
@@ -336,6 +339,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_video_features": x_video_features,   # multimodal video path
         "x_tables_docx": x_tables_docx,         # S13 docx sink digest
         "x_er_graph": x_er_graph,               # S15 graph sink digest
+        # --- NEW in round 7 (never driver-hashed; policy rule 2) ---
+        "q_doc_pii": TS.pii_stats,              # PII detect/redact audit
+        "q_doc_pmi_topk": TS.pmi_topk,          # collocation lift top-k
         # --- code changed in round 7 (must stay rowed) ---
         "q_emb_semdedup": SIM.semdedup,         # corpus-scaled k_cells
         "x_pdf_features": x_pdf_features,       # DCT image XObjects
@@ -349,8 +355,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_user_profiles": REL.user_profiles,
         "q_events_hourly": REL.events_hourly,
         "q_events_json_props": REL.events_json_props,
-        "q_rel_queue_batch": REL.queue_batch,
-        "q_rel_name_union": REL.name_union,
         "q_rel_cube": REL.lineitem_cube,
         "q_rel_region_part_volume": REL.region_part_volume,
         "q_events_interval_join": REL.event_interval_join,
@@ -360,6 +364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_anomalies": REL.event_anomalies,
         # --- tail (rotated out this round; all green r06, unchanged;
         # see the rotation-policy docstring for the twin reasoning) ---
+        "q_rel_queue_batch": REL.queue_batch,
+        "q_rel_name_union": REL.name_union,
         "q_doc_neardup_components_lsss": DD.neardup_components_lsss,
         "q_doc_simhash_pairs": DD.simhash_neardup_pairs,
         "q_rel_top_orders": REL.top_orders_per_customer,
@@ -454,6 +460,8 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_ngram_clean": DD.ngram_clean_sql(),
         "q_doc_bm25_topk": TS.BM25_TOPK_SQL,
         "q_doc_dsir_weights": TS.DSIR_WEIGHTS_SQL,
+        "q_doc_pii": TS.PII_STATS_SQL,
+        "q_doc_pmi_topk": TS.PMI_TOPK_SQL,
         "q_events_interval_join": REL.EVENT_INTERVAL_JOIN_SQL,
         "q_doc_bloom_filter": DD.bloom_filter_sql(),
         "q_doc_length_quantiles": TS.LENGTH_QUANTILES_SQL,

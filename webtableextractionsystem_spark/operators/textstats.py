@@ -1564,3 +1564,167 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
 FROM feats JOIN llr USING (f)
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# PMI co-occurrence ranking — the collocation table a tokenizer-merge
+# fit or a phrase-mining pass consumes (Church & Hanks 1990)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COOC = 5   # bigram types below this count are noise, filtered
+PMI_TOP_K = 40
+
+
+def pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PMI_TOP_K adjacent token pairs by pointwise mutual
+    information. Ranking uses the exact LIFT
+
+        lift = P(x,y) / (P(x) P(y)) = (c_xy * N_uni^2) / (N_bi * c_x * c_y)
+
+    with the monotone ln() of textbook PMI omitted: the ranking is
+    invariant under it, and dropping it leaves ZERO transcendentals —
+    the expression is integer counts promoted to double, three IEEE
+    multiplications and one division in an identical association order
+    in both engines, each step correctly rounded and therefore
+    bit-equal (the proven alternative to the round(4)-guarded ln of
+    bm25/dsir when the log itself carries no information). round(,4)
+    only formats the output.
+
+    Scale shape: one token explode and one bigram explode, each into a
+    map-side-combined count (the bigram-TYPE table, not the corpus, is
+    what survives the shuffle); the unigram table is vocabulary-sized
+    and BROADCAST twice onto the pair table; corpus totals are a
+    one-row broadcast; the final global top-k is TakeOrderedAndProject
+    over the >=PMI_MIN_COOC pair types — never a single-partition sort
+    of corpus rows."""
+    docs = load_documents(spark, sf_dir)
+    uni = (docs.select(F.explode(_tokens()).alias("token"))
+           .groupBy("token").agg(F.count("*").alias("c")))
+    bi = (docs.select(F.explode(_bigrams()).alias("bg"))
+          .groupBy("bg").agg(F.count("*").alias("c_xy")))
+    stats = (uni.agg(F.sum("c").cast("long").alias("n_uni"))
+             .crossJoin(bi.agg(F.sum("c_xy").cast("long").alias("n_bi"))))
+    pairs = (bi.where(F.col("c_xy") >= PMI_MIN_COOC)
+             .select(F.split("bg", " ").getItem(0).alias("x"),
+                     F.split("bg", " ").getItem(1).alias("y"),
+                     "c_xy"))
+    ux = uni.select(F.col("token").alias("x"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("token").alias("y"), F.col("c").alias("c_y"))
+    scored = (
+        pairs.join(F.broadcast(ux), "x").join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "x", "y", F.col("c_xy").cast("long").alias("c_xy"),
+            F.round((F.col("c_xy").cast("double")
+                     * F.col("n_uni") * F.col("n_uni"))
+                    / (F.col("n_bi").cast("double")
+                       * F.col("c_x") * F.col("c_y")),
+                    4).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "x", "y").limit(PMI_TOP_K)
+
+
+PMI_TOPK_SQL = rf"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+uni AS (
+  SELECT u.token, CAST(count(*) AS BIGINT) AS c
+  FROM toks, LATERAL (SELECT unnest(t) AS token) u
+  GROUP BY u.token
+),
+bi AS (
+  SELECT b.bg, CAST(count(*) AS BIGINT) AS c_xy
+  FROM toks, LATERAL (
+    SELECT unnest(CASE WHEN len(t) >= 2
+                       THEN [array_to_string(t[i:i+1], ' ')
+                             FOR i IN range(1, len(t))]
+                       ELSE [] END) AS bg) b
+  GROUP BY b.bg
+),
+su AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+sb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bi FROM bi),
+pairs AS (
+  SELECT split_part(bg, ' ', 1) AS x, split_part(bg, ' ', 2) AS y, c_xy
+  FROM bi WHERE c_xy >= {PMI_MIN_COOC}
+)
+SELECT p.x, p.y, p.c_xy,
+       round((CAST(p.c_xy AS DOUBLE) * su.n_uni * su.n_uni)
+             / (CAST(sb.n_bi AS DOUBLE) * ux.c * uy.c), 4) AS lift
+FROM pairs p
+JOIN uni ux ON ux.token = p.x
+JOIN uni uy ON uy.token = p.y
+CROSS JOIN su CROSS JOIN sb
+ORDER BY lift DESC, x, y
+LIMIT {PMI_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction — the scrub pass a training-data pipeline
+# runs before packing (emails, IPv4s, phone-shaped digit runs)
+# ---------------------------------------------------------------------------
+
+# Java-regex AND RE2 compatible by construction: no lookaround, no
+# backreferences, explicit [0-9] (never \d — ASCII-vs-unicode class
+# defaults differ), \b is ASCII-word-boundary in both. Both engines
+# scan leftmost-first with greedy quantifiers, so match sets agree.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE = r"\+?[0-9][0-9() -]{6,}[0-9]"
+
+
+def _pii_stages(text):
+    """The three redaction stages of a text column: emails, then IPv4s,
+    then phone-shaped digit runs. The ORDER is the contract — each
+    count in pii_stats is taken on the PREVIOUS stage's output, so a
+    digit cluster inside an email local-part is counted once (as the
+    email), never again as an IP or phone; replacement tokens contain
+    no digits, so later stages cannot re-match inside them."""
+    t1 = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IP, "<IP>")
+    return t1, t2, F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+
+
+def pii_redacted(text):
+    """Fully redacted form of a text column (the transform a cleaning
+    pipeline maps over the corpus; pii_stats is its audit query)."""
+    return _pii_stages(text)[2]
+
+
+def pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII counts + the md5 of the fully redacted text.
+    Pure per-row JVM regex (whole-stage codegen, no shuffle at all);
+    the md5 pins the complete redaction pipeline, so the oracle fails
+    loudly if either engine's regex semantics drift even on a corpus
+    with zero PII (the synthetic corpus is digit-free — the crafted
+    cross-engine differential test in tests/test_pii.py is where the
+    match semantics are actually exercised)."""
+    t0 = F.col("text")
+    t1, t2, t3 = _pii_stages(t0)
+    return load_documents(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_count(t0, F.lit(PII_EMAIL)).cast("int").alias("n_email"),
+        F.regexp_count(t1, F.lit(PII_IP)).cast("int").alias("n_ip"),
+        F.regexp_count(t2, F.lit(PII_PHONE)).cast("int").alias("n_phone"),
+        F.md5(t3).alias("redacted_md5"),
+    )
+
+
+PII_STATS_SQL = rf"""
+WITH s1 AS (
+  SELECT doc_id, text AS t0,
+         regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM documents
+),
+s2 AS (SELECT *, regexp_replace(t1, '{PII_IP}', '<IP>', 'g') AS t2 FROM s1),
+s3 AS (SELECT *, regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g') AS t3
+       FROM s2)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t0, '{PII_EMAIL}')) AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(t1, '{PII_IP}')) AS INTEGER) AS n_ip,
+       CAST(len(regexp_extract_all(t2, '{PII_PHONE}')) AS INTEGER) AS n_phone,
+       md5(t3) AS redacted_md5
+FROM s3
+"""
