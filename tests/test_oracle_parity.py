@@ -109,6 +109,9 @@ def test_no_unvetted_bare_decimal_literals_in_oracles(entry_mod):
         "q_doc_hll_by_source": _hll,
         "q_emb_neardup_pairs": {"0.3"},            # threshold compare
         "q_emb_centroid_outliers": {"0.0", "1000000.0"},
+        # regex char class `0-9.-` in PII_EMAIL interpolated into the
+        # oracle string — pattern text, not a numeric literal
+        "q_doc_pii": {"9."},
     }
     pat = re.compile(r"(?<![\w.])(?:\d+\.\d*|\.\d+)(?![\w.eE])")
     bad = {}

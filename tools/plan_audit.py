@@ -181,9 +181,10 @@ def main() -> None:
         "2-column scan, zero exchanges":
             TS.pii_stats(spark, SF),
         "q_doc_pmi_topk — collocation lift: two map-side-combined "
-        "count aggs, vocabulary-sized unigram table broadcast twice, "
-        "one-row totals broadcast, global top-k via "
-        "TakeOrderedAndProject (never a full sort)":
+        "count aggs, unigram lookups as UNHINTED token equi-joins "
+        "(type-sized; a web-scale vocabulary exceeds broadcast — AQE "
+        "converts at small SF), one-row totals broadcast, global "
+        "top-k via TakeOrderedAndProject (never a full sort)":
             TS.pmi_topk(spark, SF),
     }
 

@@ -52,6 +52,11 @@ def _extracted(spark: SparkSession) -> DataFrame:
     key = spark.sparkContext.applicationId
     df = _EXT_CACHE.get(key)
     if df is None:
+        # same dead-session sweep discipline as operators/_cache.py:
+        # long-lived processes spawning many sessions (test suites)
+        # must not accumulate JVM references through stale entries
+        for stale in [k for k in _EXT_CACHE if k != key]:
+            del _EXT_CACHE[stale]
         docs = gen_documents_df(spark, N_X_DOCS)
         df = extract_all(docs, num_buckets=32).persist()
         _EXT_CACHE[key] = df

@@ -1592,11 +1592,14 @@ def pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one token explode and one bigram explode, each into a
     map-side-combined count (the bigram-TYPE table, not the corpus, is
-    what survives the shuffle); the unigram table is vocabulary-sized
-    and BROADCAST twice onto the pair table; corpus totals are a
-    one-row broadcast; the final global top-k is TakeOrderedAndProject
-    over the >=PMI_MIN_COOC pair types — never a single-partition sort
-    of corpus rows."""
+    what survives the shuffle); the unigram lookups are plain equi-joins
+    on token — type-sized relations on both sides, never corpus-sized —
+    deliberately left UNHINTED: a web-scale unigram vocabulary (10^8+
+    types) does not fit a broadcast, and AQE already converts the join
+    when the runtime size clears the threshold (it does at test SF, see
+    PLANS.md). Corpus totals are a one-row broadcast; the final global
+    top-k is TakeOrderedAndProject over the >=PMI_MIN_COOC pair types —
+    never a single-partition sort of corpus rows."""
     docs = load_documents(spark, sf_dir)
     uni = (docs.select(F.explode(_tokens()).alias("token"))
            .groupBy("token").agg(F.count("*").alias("c")))
@@ -1611,7 +1614,7 @@ def pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ux = uni.select(F.col("token").alias("x"), F.col("c").alias("c_x"))
     uy = uni.select(F.col("token").alias("y"), F.col("c").alias("c_y"))
     scored = (
-        pairs.join(F.broadcast(ux), "x").join(F.broadcast(uy), "y")
+        pairs.join(ux, "x").join(uy, "y")
         .crossJoin(F.broadcast(stats))
         .select(
             "x", "y", F.col("c_xy").cast("long").alias("c_xy"),
