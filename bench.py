@@ -134,6 +134,10 @@ def main() -> None:
             .agg(F.count("*")).collect(),
             "q_doc_pmi_topk": lambda: TS.pmi_topk(spark, sf_dir)
             .collect(),
+            "q_doc_gopher_rules": lambda: TS.gopher_rules(spark, sf_dir)
+            .agg(F.count("*")).collect(),
+            "q_doc_c4_clean": lambda: TS.c4_clean(spark, sf_dir)
+            .agg(F.count("*")).collect(),
         }
         for name, fn in bench_set.items():
             queries[name] = timed(fn)

@@ -1,0 +1,126 @@
+"""Gopher-rule + C4-cleaning tests.
+
+The synthetic documents corpus is single-line, symbol-free prose, so
+the driver's oracle rows for q_doc_gopher_rules / q_doc_c4_clean pin
+mostly the word-count/stopword paths. The crafted differential here is
+where the line/symbol/terminal-punctuation semantics are actually
+exercised: the SAME adversarial rows go through the Spark expression
+and the DuckDB oracle SQL and must agree byte-for-byte (the test_pii.py
+pattern for corpus-blind semantics).
+"""
+
+import duckdb
+import pandas as pd
+
+from webtableextractionsystem_spark.operators import textstats as TS
+
+# 60 plain words incl. >=2 Gopher stopwords — passes every Gopher rule
+_GOOD = ("the quick brown fox jumps over that lazy dog again and again "
+         * 5).strip()
+
+CRAFTED = [
+    (0, _GOOD),
+    (1, "too few words to pass the word count rule"),
+    (2, " ".join(["supercalifragilistic"] * 60)),          # mean len > 10
+    (3, _GOOD + " " + "#" * 40),                           # symbol ratio
+    (4, "\n".join(["- bullet item here"] * 10)),           # all bullet lines
+    (5, _GOOD + "\n" + "\n".join(["trailing off..."] * 9)),  # ellipsis lines
+    (6, " ".join(["12345"] * 60)),                         # no alpha words
+    (7, " ".join(["word"] * 60)),                          # no stopwords
+    # C4 shapes: terminal punct, short lines, javascript, braces, lorem
+    (8, "This is a sentence that clearly ends with punctuation.\n"
+        "short line.\n"
+        "no terminal punctuation on this line at all\n"
+        "Enable javascript to view this page properly.\n"
+        'He said "this quoted line has enough words to keep."\n'
+        "Another full sentence with plenty of words in it!\n"
+        "And a third full sentence with plenty of words in it?"),
+    (9, "A doc with code braces { should be dropped entirely. "
+        "Even when it has sentences. Three of them, in fact."),
+    (10, "Lorem Ipsum is simply dummy text of the printing industry.\n"
+         "It has survived five centuries of typesetting practice.\n"
+         "It was popularised in the sixties with Letraset sheets."),
+    (11, ""),                                              # empty doc
+    (12, "word\x0bword has a vertical tab that is NOT a separator."),
+    (13, "Line ends with spaces after the period .   \n"
+         "A second proper sentence sits right here today.\n"
+         "A third proper sentence sits right here today.\n"
+         "A fourth proper sentence sits right here today."),
+]
+
+
+def _register(tmp_path, spark):
+    pdf = pd.DataFrame(CRAFTED, columns=["doc_id", "text"])
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite") \
+        .parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    return sf_dir, con
+
+
+def _canon(pdf):
+    pdf = pdf[sorted(pdf.columns)].copy()
+    return sorted(map(tuple, pdf.astype(str).to_numpy().tolist()))
+
+
+def test_gopher_crafted_cross_engine_differential(spark, tmp_path):
+    sf_dir, con = _register(tmp_path, spark)
+    s = _canon(TS.gopher_rules(spark, sf_dir).toPandas())
+    d = _canon(con.sql(TS.GOPHER_RULES_SQL).df())
+    assert s == d
+
+
+def test_c4_crafted_cross_engine_differential(spark, tmp_path):
+    sf_dir, con = _register(tmp_path, spark)
+    s = _canon(TS.c4_clean(spark, sf_dir).toPandas())
+    d = _canon(con.sql(TS.C4_CLEAN_SQL).df())
+    assert s == d
+
+
+def test_gopher_rule_semantics(spark, tmp_path):
+    sf_dir, _ = _register(tmp_path, spark)
+    out = (TS.gopher_rules(spark, sf_dir).toPandas()
+           .set_index("doc_id").sort_index())
+    assert bool(out.loc[0, "keep"])           # the clean doc passes
+    assert not out.loc[[1, 2, 3, 4, 6, 7], "keep"].any()
+    # doc 5: 9 ellipsis lines of 10 -> 10*9 > 3*10 fails the line rule
+    assert not bool(out.loc[5, "keep"])
+    assert out.loc[5, "n_ellipsis_lines"] == 9
+    assert out.loc[4, "n_bullet_lines"] == 10
+    assert out.loc[6, "n_alpha_words"] == 0
+    assert out.loc[0, "n_stopwords"] >= 2 and out.loc[7, "n_stopwords"] == 0
+    # empty doc: zero words fails the word-count floor
+    assert out.loc[11, "n_words"] <= 1 and not bool(out.loc[11, "keep"])
+    # \x0b is NOT a token separator (explicit-class tokenizer contract):
+    # "word\x0bword" stays ONE token, so the line has 10 tokens not 11
+    assert out.loc[12, "n_words"] == 10
+
+
+def test_c4_clean_semantics(spark, tmp_path):
+    sf_dir, _ = _register(tmp_path, spark)
+    out = (TS.c4_clean(spark, sf_dir).toPandas()
+           .set_index("doc_id").sort_index())
+    # doc 8: 7 lines; kept = 4 (drops the short line, the no-terminal
+    # line, and the javascript line); >=3 sentences -> keep
+    assert out.loc[8, "n_lines"] == 7
+    assert out.loc[8, "n_kept"] == 4
+    assert bool(out.loc[8, "keep"])
+    # braces and lorem-ipsum docs are dropped at the document level
+    assert not bool(out.loc[9, "keep"])
+    assert not bool(out.loc[10, "keep"])
+    assert out.loc[10, "n_kept"] == 3       # lines survive; the DOC fails
+    # trailing spaces after the period: trimming makes the line keepable
+    assert out.loc[13, "n_kept"] == 4
+    assert bool(out.loc[13, "keep"])
+    # empty doc: one empty line, nothing kept, md5('') pins the empty path
+    assert out.loc[11, "n_kept"] == 0
+    assert out.loc[11, "cleaned_md5"] == "d41d8cd98f00b204e9800998ecf8427e"
+
+
+def test_gopher_integer_discipline():
+    """No float anywhere in the Gopher oracle (the documented
+    cross-engine discipline: ratio thresholds as cross-multiplication)."""
+    import re
+
+    assert not re.search(r"(?<![\w.])\d+\.\d", TS.GOPHER_RULES_SQL)

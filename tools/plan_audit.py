@@ -186,6 +186,14 @@ def main() -> None:
         "converts at small SF), one-row totals broadcast, global "
         "top-k via TakeOrderedAndProject (never a full sort)":
             TS.pmi_topk(spark, SF),
+        "q_doc_gopher_rules — Gopher quality battery: per-row integer "
+        "rule arithmetic over the token/line arrays, one codegen span, "
+        "zero exchanges":
+            TS.gopher_rules(spark, SF),
+        "q_doc_c4_clean — C4 line filter: per-row transform/filter "
+        "over the line-split array (the explode never leaves the "
+        "row), zero exchanges":
+            TS.c4_clean(spark, SF),
     }
 
     # staging forms LAST: stage_* replaces the session cache entry, so

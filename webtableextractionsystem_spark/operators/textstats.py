@@ -1731,3 +1731,212 @@ SELECT doc_id,
        md5(t3) AS redacted_md5
 FROM s3
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher document-quality rules (Rae et al. 2021, appendix A1.1) — the
+# standard pre-dedup document filter battery of a training-data pipeline
+# ---------------------------------------------------------------------------
+
+# the 8 "required stopwords" of the Gopher rule set (the rule asks for
+# >=2 of THESE, not the general STOPWORDS lexicon lang_id uses)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher quality counts + the composite keep flag.
+
+    Every ratio threshold of the paper is restated as an INTEGER
+    cross-multiplication (the repo's cross-engine float discipline —
+    zero float anywhere in the expression tree):
+
+      * 50 <= n_words <= 100000
+      * mean word length in [3, 10]   ->  3*n_words <= n_word_chars
+                                          AND n_word_chars <= 10*n_words
+      * symbol-to-word ratio <= 0.1   ->  10*n_symbols <= n_words
+                                          (symbols: '#' chars + '...' runs)
+      * <=90% of lines bullet-led     ->  10*n_bullet_lines <= 9*n_lines
+      * <=30% of lines ellipsis-ended ->  10*n_ellipsis_lines <= 3*n_lines
+      * >=80% words with an alpha char -> 5*n_alpha_words >= 4*n_words
+      * >=2 of the 8 required stopwords present
+
+    Pure per-row Catalyst (one codegen span, zero exchanges); the
+    synthetic corpus is single-line and symbol-free, so the line/symbol
+    rules are exercised by the crafted cross-engine differential in
+    tests/test_quality_filters.py (the same pattern test_pii.py uses
+    for the digit-free corpus)."""
+    toks = _tokens()
+    ltoks = F.transform(toks, lambda t: F.lower(t))
+    n_words = F.size(toks)
+    n_word_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0), lambda acc, x: acc + x)
+    n_hash = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    n_ell = F.regexp_count(F.col("text"), F.lit(r"\.\.\."))
+    lines = F.split("text", "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines,
+        lambda l: l.startswith("- ") | l.startswith("* ")
+        | l.startswith("• ")))
+    n_ell_lines = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    n_stop = F.size(F.filter(
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        lambda w: F.array_contains(ltoks, w)))
+    counts = load_documents(spark, sf_dir).select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        n_word_chars.cast("int").alias("n_word_chars"),
+        (n_hash + n_ell).cast("int").alias("n_symbols"),
+        n_lines.cast("int").alias("n_lines"),
+        n_bullet.cast("int").alias("n_bullet_lines"),
+        n_ell_lines.cast("int").alias("n_ellipsis_lines"),
+        n_alpha.cast("int").alias("n_alpha_words"),
+        n_stop.cast("int").alias("n_stopwords"),
+    )
+    c = F.col
+    keep = (
+        (c("n_words") >= GOPHER_MIN_WORDS)
+        & (c("n_words") <= GOPHER_MAX_WORDS)
+        & (3 * c("n_words") <= c("n_word_chars"))
+        & (c("n_word_chars") <= 10 * c("n_words"))
+        & (10 * c("n_symbols") <= c("n_words"))
+        & (10 * c("n_bullet_lines") <= 9 * c("n_lines"))
+        & (10 * c("n_ellipsis_lines") <= 3 * c("n_lines"))
+        & (5 * c("n_alpha_words") >= 4 * c("n_words"))
+        & (c("n_stopwords") >= 2)
+    )
+    return counts.withColumn("keep", keep)
+
+
+_GOPHER_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+
+GOPHER_RULES_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INTEGER) AS n_words,
+    CAST(coalesce(list_sum([length(tk) FOR tk IN toks]), 0) AS INTEGER)
+      AS n_word_chars,
+    CAST(length(text) - length(replace(text, '#', ''))
+         + len(regexp_extract_all(text, '\.\.\.')) AS INTEGER) AS n_symbols,
+    CAST(len(lines) AS INTEGER) AS n_lines,
+    CAST(len([l FOR l IN lines IF starts_with(l, '- ')
+              OR starts_with(l, '* ') OR starts_with(l, '• ')])
+         AS INTEGER) AS n_bullet_lines,
+    CAST(len([l FOR l IN lines IF ends_with(l, '...')]) AS INTEGER)
+      AS n_ellipsis_lines,
+    CAST(len([tk FOR tk IN toks IF regexp_matches(tk, '[A-Za-z]')])
+         AS INTEGER) AS n_alpha_words,
+    CAST(len([w FOR w IN {_GOPHER_STOP_SQL}
+              IF list_contains([lower(tk) FOR tk IN toks], w)])
+         AS INTEGER) AS n_stopwords
+  FROM t
+)
+SELECT *,
+  (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+   AND 3*n_words <= n_word_chars AND n_word_chars <= 10*n_words
+   AND 10*n_symbols <= n_words
+   AND 10*n_bullet_lines <= 9*n_lines
+   AND 10*n_ellipsis_lines <= 3*n_lines
+   AND 5*n_alpha_words >= 4*n_words
+   AND n_stopwords >= 2) AS keep
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning (Raffel et al. 2020, §2.2) — keep lines that
+# end in terminal punctuation, have >=5 words, and don't mention
+# javascript; drop documents with code braces, lorem ipsum, or <3
+# sentences after cleaning
+# ---------------------------------------------------------------------------
+
+C4_MIN_LINE_WORDS = 5
+
+
+def _c4_line_keep(line):
+    """The C4 per-line predicate over a TRIMMED line column — one home
+    shared by c4_clean and any future streaming twin. Terminal set is
+    the paper's (. ! ? ")."""
+    words = F.size(F.split(line, r"[ \t\n\f\r]+"))
+    term = (line.endswith(".") | line.endswith("!")
+            | line.endswith("?") | line.endswith('"'))
+    return (term & (words >= C4_MIN_LINE_WORDS)
+            & ~F.lower(line).contains("javascript"))
+
+
+def c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document C4 cleaning audit: line counts before/after the
+    line filter, the sentence count of the cleaned text, the composite
+    document keep flag, and the md5 of the cleaned text (so the oracle
+    fails loudly on any divergence in the KEPT BYTES, not just the
+    counts).
+
+    Deviations from the paper, documented: lines are TRIMMED before
+    both the predicate and the cleaned output (trailing whitespace
+    would defeat the terminal-punctuation check); the paper's >=3
+    sentence rule counts [.!?] marks in the cleaned text (its own
+    sentence splitter is heuristic too); the bad-word list is out of
+    scope (policy data, not an operator).
+
+    Pure per-row Catalyst — the line explode never leaves the row
+    (transform/filter over the split array), so the operator is one
+    codegen span with zero exchanges at any corpus size."""
+    lines = F.split("text", "\n")
+    kept = F.filter(
+        F.transform(lines, lambda l: F.trim(l)),
+        _c4_line_keep)
+    cleaned = F.array_join(kept, "\n")
+    n_sentences = F.regexp_count(cleaned, F.lit("[.!?]"))
+    keep = (~F.col("text").contains("{")
+            & ~F.lower("text").contains("lorem ipsum")
+            & (n_sentences >= 3))
+    return load_documents(spark, sf_dir).select(
+        "doc_id",
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept"),
+        n_sentences.cast("int").alias("n_sentences"),
+        keep.alias("keep"),
+        F.md5(cleaned).alias("cleaned_md5"),
+    )
+
+
+C4_CLEAN_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents
+),
+k AS (
+  SELECT doc_id, text, len(lines) AS n_lines,
+    [trim(l) FOR l IN lines IF
+       (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+        OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+       AND len(regexp_split_to_array(trim(l), '\s+'))
+           >= {C4_MIN_LINE_WORDS}
+       AND NOT contains(lower(trim(l)), 'javascript')] AS kept
+  FROM base
+),
+s AS (
+  -- coalesce: DuckDB's array_to_string of an EMPTY list is NULL where
+  -- Spark's array_join is '' — every doc with zero kept lines diverged
+  SELECT doc_id, text, n_lines, kept,
+         coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+  FROM k
+)
+SELECT doc_id,
+  CAST(n_lines AS INTEGER) AS n_lines,
+  CAST(len(kept) AS INTEGER) AS n_kept,
+  CAST(len(regexp_extract_all(cleaned, '[.!?]')) AS INTEGER) AS n_sentences,
+  (NOT contains(text, '{{') AND NOT contains(lower(text), 'lorem ipsum')
+   AND len(regexp_extract_all(cleaned, '[.!?]')) >= 3) AS keep,
+  md5(cleaned) AS cleaned_md5
+FROM s
+"""
