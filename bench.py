@@ -138,6 +138,8 @@ def main() -> None:
             .agg(F.count("*")).collect(),
             "q_doc_c4_clean": lambda: TS.c4_clean(spark, sf_dir)
             .agg(F.count("*")).collect(),
+            "q_doc_mixture_weights": lambda: TS.mixture_weights(
+                spark, sf_dir).collect(),
         }
         for name, fn in bench_set.items():
             queries[name] = timed(fn)

@@ -124,3 +124,32 @@ def test_gopher_integer_discipline():
     import re
 
     assert not re.search(r"(?<![\w.])\d+\.\d", TS.GOPHER_RULES_SQL)
+
+
+def test_mixture_weights_semantics(spark):
+    """T=2 temperature mixture over sf0.001: shares sum to ~1, an
+    above-average-token source downsamples (rate < 1) while a
+    below-average one upsamples (rate > 1), and the natural-share
+    identity rate = target_share / natural_share holds to the 4dp
+    rounding."""
+    out = (TS.mixture_weights(spark, "/root/testdata/sf0.001")
+           .toPandas().set_index("source"))
+    assert abs(out["target_share"].sum() - 1.0) < 5e-4 * len(out)
+    tot = out["total_tokens"].sum()
+    sum_sqrt = out["tok_sqrt"].sum()
+    for src, r in out.iterrows():
+        nat = r["total_tokens"] / tot
+        assert r["sample_rate"] == round(
+            (float(r["tok_sqrt"]) * tot)
+            / (float(sum_sqrt) * r["total_tokens"]), 4)
+        # direction: sqrt flattening up-samples small, down-samples big
+        if nat > out["target_share"].loc[src]:
+            assert r["sample_rate"] <= 1.0 + 1e-9
+        elif nat < out["target_share"].loc[src]:
+            assert r["sample_rate"] >= 1.0 - 1e-9
+    # perfect-square edge: floor(sqrt) is exact (no off-by-one from the
+    # double path) for every observed count
+    import math
+
+    for _, r in out.iterrows():
+        assert r["tok_sqrt"] == math.isqrt(int(r["total_tokens"]))

@@ -194,6 +194,10 @@ def main() -> None:
         "over the line-split array (the explode never leaves the "
         "row), zero exchanges":
             TS.c4_clean(spark, SF),
+        "q_doc_mixture_weights — T=2 source mixture: one scan into a "
+        "source-keyed integer agg (map-side partials), one-row totals "
+        "broadcast, zero further shuffles":
+            TS.mixture_weights(spark, SF),
     }
 
     # staging forms LAST: stage_* replaces the session cache entry, so

@@ -1940,3 +1940,78 @@ SELECT doc_id,
   md5(cleaned) AS cleaned_md5
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture reweighting — temperature-based sampling rates over the
+# per-source token counts (the mixture-balancing step between curation
+# and packing; p_i ∝ n_i^(1/T) with T=2, the standard multilingual /
+# multi-source scheme of Lample & Conneau 2019 §3.1)
+# ---------------------------------------------------------------------------
+
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source target share and sampling-rate multiplier for a T=2
+    temperature mixture: target_share_i = s_i / Σs where
+    s_i = floor(sqrt(total_tokens_i)), and sample_rate_i =
+    target_share_i / natural_share_i (>1 means upsample).
+
+    Cross-engine float discipline (the pmi_topk pattern): the ONLY
+    cross-row reductions are INTEGER sums (token counts and the
+    floor(sqrt) values — order-free); sqrt is IEEE-correctly-rounded
+    in both engines so floor(sqrt(bigint)) is deterministic and equal,
+    and the final share/rate are single fixed-association IEEE
+    division chains, each step correctly rounded — bit-equal without
+    any guarded-ln machinery. round(,4) only formats output.
+
+    Scale shape: one corpus scan into a source-keyed integer agg
+    (map-side partials; source cardinality is the tiny dimension), a
+    one-row totals broadcast, zero further shuffles."""
+    per_src = (
+        load_documents(spark, sf_dir)
+        .select("source", F.size(_tokens()).alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").cast("long").alias("total_tokens"))
+        .withColumn("tok_sqrt",
+                    F.floor(F.sqrt(F.col("total_tokens"))).cast("long"))
+    )
+    totals = per_src.agg(
+        F.sum("tok_sqrt").cast("long").alias("sum_sqrt"),
+        F.sum("total_tokens").cast("long").alias("sum_tokens"))
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source", "n_docs", "total_tokens", "tok_sqrt",
+            F.round(F.col("tok_sqrt").cast("double") / F.col("sum_sqrt"),
+                    4).alias("target_share"),
+            F.round((F.col("tok_sqrt").cast("double")
+                     * F.col("sum_tokens"))
+                    / (F.col("sum_sqrt").cast("double")
+                       * F.col("total_tokens")),
+                    4).alias("sample_rate"),
+        )
+    )
+
+
+MIXTURE_WEIGHTS_SQL = r"""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+              AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source
+),
+s AS (
+  SELECT *, CAST(floor(sqrt(total_tokens)) AS BIGINT) AS tok_sqrt
+  FROM per_src
+),
+tot AS (
+  SELECT CAST(sum(tok_sqrt) AS BIGINT) AS sum_sqrt,
+         CAST(sum(total_tokens) AS BIGINT) AS sum_tokens
+  FROM s
+)
+SELECT source, n_docs, total_tokens, tok_sqrt,
+       round(CAST(tok_sqrt AS DOUBLE) / sum_sqrt, 4) AS target_share,
+       round((CAST(tok_sqrt AS DOUBLE) * sum_tokens)
+             / (CAST(sum_sqrt AS DOUBLE) * total_tokens), 4) AS sample_rate
+FROM s CROSS JOIN tot
+"""
