@@ -115,6 +115,25 @@ def test_pii_redaction_semantics(spark):
     assert "192.168" not in s.loc[1, "redacted"]
 
 
+def test_pii_redacted_is_the_final_stage(spark):
+    """pii_redacted (the corpus-map transform) must equal the third
+    _pii_stages output pii_stats audits — exercised over the crafted
+    rows so a stage-index regression in the helper cannot ship silently."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(CRAFTED, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        TS.pii_redacted(F.col("text")).alias("via_helper"),
+        TS._pii_stages(F.col("text"))[2].alias("via_stages"),
+    ).collect()
+    assert all(r.via_helper == r.via_stages for r in out)
+    byid = {r.doc_id: r.via_helper for r in out}
+    assert byid[8] == CRAFTED[8][1]          # no-PII row passes through
+    assert "<EMAIL>" in byid[0] and "<IP>" in byid[1]
+    assert "<PHONE>" in byid[2]
+
+
 def test_pii_stats_is_noop_on_digit_free_corpus(spark):
     out = TS.pii_stats(spark, SF001).toPandas()
     assert (out[["n_email", "n_ip", "n_phone"]].to_numpy() == 0).all()

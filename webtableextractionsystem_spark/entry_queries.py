@@ -43,20 +43,22 @@ N_X_DOCS = 600  # fixed extraction-correctness corpus (2 mega-docs included)
 
 # one extraction pass shared by all x_* queries within a Spark context
 # (the driver runs each query separately; persisting avoids re-running
-# the kernel 8x over the same 600 docs). Keyed by applicationId: unique
-# per SparkContext lifetime, no id()-reuse aliasing across sessions.
-_EXT_CACHE: dict[str, DataFrame] = {}
+# the kernel 8x over the same 600 docs). Keyed by (applicationId,):
+# unique per SparkContext lifetime, no id()-reuse aliasing across
+# sessions; the tuple key fits operators/_cache.py's shared sweep.
+_EXT_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _extracted(spark: SparkSession) -> DataFrame:
-    key = spark.sparkContext.applicationId
+    from .operators._cache import _drop_dead_sessions
+
+    key = (spark.sparkContext.applicationId,)
     df = _EXT_CACHE.get(key)
     if df is None:
-        # same dead-session sweep discipline as operators/_cache.py:
+        # the ONE home of the dead-session eviction discipline —
         # long-lived processes spawning many sessions (test suites)
         # must not accumulate JVM references through stale entries
-        for stale in [k for k in _EXT_CACHE if k != key]:
-            del _EXT_CACHE[stale]
+        _drop_dead_sessions(_EXT_CACHE, key[0])
         docs = gen_documents_df(spark, N_X_DOCS)
         df = extract_all(docs, num_buckets=32).persist()
         _EXT_CACHE[key] = df
