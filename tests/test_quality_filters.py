@@ -153,3 +153,64 @@ def test_mixture_weights_semantics(spark):
 
     for _, r in out.iterrows():
         assert r["tok_sqrt"] == math.isqrt(int(r["total_tokens"]))
+
+
+# ---------------------------------------------------------------------------
+# Seeded fuzz differential: 200 random documents over the DOCUMENTED
+# input alphabet (printable ASCII incl. quotes/braces/#, CJK, the
+# whitespace set, and \x0B — the Java-vs-RE2 divergence char) through
+# the three per-row batteries in BOTH engines. Deterministic (seed 7),
+# one Spark round-trip per operator — systematic coverage of the
+# combinations the hand-crafted rows cannot enumerate.
+# ---------------------------------------------------------------------------
+
+_FUZZ_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    " \t\n\f\r\x0b"
+    ".!?\"'(){}[]#@+-_%/\\:;,…•*<>"
+    "的一是不了人我在有他这中大来上国兄弟姓名关系"
+    "éßİ"   # é ß İ — case/width edge chars
+)
+
+
+def _fuzz_rows(n=200, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        length = rng.randint(0, 400)
+        rows.append((i, "".join(rng.choice(_FUZZ_ALPHABET)
+                                for _ in range(length))))
+    return rows
+
+
+def _fuzz_register(tmp_path, spark, rows):
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(2).write.mode("overwrite") \
+        .parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    return sf_dir, con
+
+
+def test_fuzz_cross_engine_gopher(spark, tmp_path):
+    sf_dir, con = _fuzz_register(tmp_path, spark, _fuzz_rows())
+    s = _canon(TS.gopher_rules(spark, sf_dir).toPandas())
+    d = _canon(con.sql(TS.GOPHER_RULES_SQL).df())
+    assert s == d
+
+
+def test_fuzz_cross_engine_c4(spark, tmp_path):
+    sf_dir, con = _fuzz_register(tmp_path, spark, _fuzz_rows())
+    s = _canon(TS.c4_clean(spark, sf_dir).toPandas())
+    d = _canon(con.sql(TS.C4_CLEAN_SQL).df())
+    assert s == d
+
+
+def test_fuzz_cross_engine_pii(spark, tmp_path):
+    sf_dir, con = _fuzz_register(tmp_path, spark, _fuzz_rows())
+    s = _canon(TS.pii_stats(spark, sf_dir).toPandas())
+    d = _canon(con.sql(TS.PII_STATS_SQL).df())
+    assert s == d
