@@ -214,3 +214,43 @@ def test_fuzz_cross_engine_pii(spark, tmp_path):
     s = _canon(TS.pii_stats(spark, sf_dir).toPandas())
     d = _canon(con.sql(TS.PII_STATS_SQL).df())
     assert s == d
+
+
+def test_fuzz_cross_engine_per_row_battery(spark, tmp_path):
+    """The same seeded fuzz corpus through EVERY other per-row oracled
+    text operator (token stats, quality band, lang-id, fingerprints,
+    BPE-ish tokens, rolling hashes, repetition, length buckets) — one
+    Spark round-trip each, byte-equal against its DuckDB oracle. This
+    is the standing regression net for the Java-vs-RE2 class of silent
+    divergence (the \\x0B tokenizer and md5-normalizer findings came
+    from exactly these expressions)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, t, rng.choice(["zh", "en", "unk"]))
+            for i, t in _fuzz_rows(n=150, seed=11)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(2).write.mode("overwrite") \
+        .parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    battery = [
+        ("token_stats", TS.token_stats, TS.TOKEN_STATS_SQL),
+        ("quality", TS.quality_stats, TS.QUALITY_SQL),
+        ("lang_id", TS.lang_id, TS.LANG_ID_SQL),
+        ("fingerprint", TS.fingerprints, TS.FINGERPRINT_SQL),
+        ("bpe_tokens", TS.bpe_token_stats, TS.BPE_TOKENS_SQL),
+        ("rolling_hash", TS.rolling_fingerprints, TS.ROLLING_SQL),
+        ("repetition", TS.repetition_stats, TS.REPETITION_SQL),
+        ("length_buckets", TS.length_buckets, TS.LENGTH_BUCKETS_SQL),
+    ]
+    diverged = {}
+    for name, fn, sql in battery:
+        s = _canon(fn(spark, sf_dir).toPandas())
+        d = _canon(con.sql(sql).df())
+        if s != d:
+            first = next((a, b) for a, b in zip(s, d) if a != b)
+            diverged[name] = first
+    assert not diverged, f"cross-engine fuzz divergence: {diverged}"

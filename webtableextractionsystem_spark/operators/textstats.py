@@ -37,6 +37,27 @@ def _tokens():
     return F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+")
 
 
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LC = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _ascii_lower(col):
+    """ASCII-only case fold via translate — bit-identical in both
+    engines by construction. Full Unicode lower() DIVERGES between the
+    JVM and DuckDB on special-casing characters (measured by the fuzz
+    differential: lower(U+0130 'İ') = 'i' + combining U+0307 in Java
+    but plain 'i' in DuckDB), so every oracled expression that folds
+    case — ASCII stopword/keyword matching, fingerprint normalization —
+    uses this instead. Non-ASCII letters keep their case, which is the
+    right semantic for matching ASCII-only word lists."""
+    return F.translate(col, _ASCII_UPPER, _ASCII_LC)
+
+
+def _ascii_lower_sql(expr: str) -> str:
+    """DuckDB twin of _ascii_lower (same translate, same rationale)."""
+    return f"translate({expr}, '{_ASCII_UPPER}', '{_ASCII_LC}')"
+
+
 # ---------------------------------------------------------------------------
 # token stats
 # ---------------------------------------------------------------------------
@@ -77,7 +98,7 @@ def _quality_cols():
     stop = F.array(*[F.lit(w) for w in STOPWORDS])
     n_tokens = F.size(toks)
     stop_hits = F.size(
-        F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+        F.filter(toks, lambda t: F.array_contains(stop, _ascii_lower(t))))
     quality_ok = ((stop_hits * 10 >= n_tokens)
                   & (n_tokens >= 5) & (n_tokens <= 10000))
     return n_tokens, stop_hits, quality_ok
@@ -99,13 +120,13 @@ def quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the quality band over a `toks` list alias — one SQL home shared by
 # QUALITY_SQL and SOURCE_STATS_SQL (mirrors _quality_cols)
 _QUALITY_OK_SQL = (
-    f"(len([t FOR t IN toks IF list_contains({_STOP_SQL}, lower(t))])"
+    f"(len([t FOR t IN toks IF list_contains({_STOP_SQL}, translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))])"
     f" * 10 >= len(toks) AND len(toks) >= 5 AND len(toks) <= 10000)")
 
 QUALITY_SQL = rf"""
 SELECT doc_id,
        CAST(len(toks) AS INTEGER) AS n_tokens,
-       CAST(len([t FOR t IN toks IF list_contains({_STOP_SQL}, lower(t))]) AS INTEGER) AS stop_hits,
+       CAST(len([t FOR t IN toks IF list_contains({_STOP_SQL}, translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))]) AS INTEGER) AS stop_hits,
        CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS INTEGER) AS punct_count,
        {_QUALITY_OK_SQL} AS quality_ok
 FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -126,7 +147,7 @@ def _lang_pred_col():
     cjk = (F.length("text")
            - F.length(F.regexp_replace("text", "[一-龥]", "")))
     stop_hits = F.size(
-        F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+        F.filter(toks, lambda t: F.array_contains(stop, _ascii_lower(t))))
     n_tokens = F.size(toks)
     return (F.when(cjk > 0, F.lit("zh"))
             .when(stop_hits * 20 >= n_tokens, F.lit("en"))
@@ -142,7 +163,7 @@ LANG_ID_SQL = rf"""
 SELECT doc_id, lang,
        CASE
          WHEN length(text) - length(regexp_replace(text, '[一-龥]', '', 'g')) > 0 THEN 'zh'
-         WHEN len([t FOR t IN toks IF list_contains({_STOP_SQL}, lower(t))]) * 20
+         WHEN len([t FOR t IN toks IF list_contains({_STOP_SQL}, translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))]) * 20
               >= len(toks) THEN 'en'
          ELSE 'unk'
        END AS lang_pred
@@ -153,11 +174,17 @@ FROM (SELECT doc_id, text, lang, regexp_split_to_array(trim(text), '\s+') AS tok
 
 # ---------------------------------------------------------------------------
 # BPE-ish subword token count (GPT-2-style pre-tokenizer pattern; both
-# Java regex and DuckDB's RE2 support \p{L}/\p{N} identically here)
+# Java regex and DuckDB's RE2 support \p{L}/\p{N} identically here —
+# but NOT \s: Java's includes \x0B, RE2's does not (fuzz-differential
+# finding: a \x0B next to punctuation flipped a piece between the
+# whitespace and symbol alternatives), so the whitespace class is
+# explicit like _tokens())
 # ---------------------------------------------------------------------------
 
+_WS = r" \t\n\f\r"
 BPE_PATTERN = (
-    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^"
+    + _WS + r"\p{L}\p{N}]+|[" + _WS + r"]+"
 )
 
 
@@ -178,7 +205,7 @@ SELECT doc_id,
             AS INTEGER) AS n_number_pieces
 FROM (SELECT doc_id,
              regexp_extract_all(text,
-               '''s|''t|''re|''ve|''m|''ll|''d| ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+|\s+'
+               '''s|''t|''re|''ve|''m|''ll|''d| ?\p{{L}}+| ?\p{{N}}+| ?[^ \t\n\f\r\p{{L}}\p{{N}}]+|[ \t\n\f\r]+'
              ) AS pieces
       FROM documents)
 """
@@ -229,7 +256,7 @@ def _norm_text():
     vertical tab (\\x0B), RE2's (every DuckDB oracle) does not, so a
     corpus document containing \\x0B would silently diverge the md5
     between engines (the cross-engine probe test pins the agreement)."""
-    return F.lower(F.regexp_replace(
+    return _ascii_lower(F.regexp_replace(
         F.trim(F.col("text")), r"[ \t\n\f\r]+", " "))
 
 
@@ -241,7 +268,7 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FINGERPRINT_SQL = r"""
 SELECT doc_id,
-       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+       md5(translate(regexp_replace(trim(text), '\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fingerprint
 FROM documents
 """
 
@@ -907,7 +934,7 @@ def _hll_docs_sql(extra: str = "") -> str:
                                         AS BIGINT)))
                    ELSE 0 END AS r,
          h AS fp
-  FROM (SELECT {extra}md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+  FROM (SELECT {extra}md5(translate(regexp_replace(trim(text), '\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS h
         FROM documents)"""
 
 
@@ -1767,7 +1794,7 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_quality_filters.py (the same pattern test_pii.py uses
     for the digit-free corpus)."""
     toks = _tokens()
-    ltoks = F.transform(toks, lambda t: F.lower(t))
+    ltoks = F.transform(toks, lambda t: _ascii_lower(t))
     n_words = F.size(toks)
     n_word_chars = F.aggregate(
         F.transform(toks, lambda t: F.length(t)),
@@ -1837,7 +1864,7 @@ c AS (
     CAST(len([tk FOR tk IN toks IF regexp_matches(tk, '[A-Za-z]')])
          AS INTEGER) AS n_alpha_words,
     CAST(len([w FOR w IN {_GOPHER_STOP_SQL}
-              IF list_contains([lower(tk) FOR tk IN toks], w)])
+              IF list_contains([translate(tk, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') FOR tk IN toks], w)])
          AS INTEGER) AS n_stopwords
   FROM t
 )
@@ -1871,7 +1898,7 @@ def _c4_line_keep(line):
     term = (line.endswith(".") | line.endswith("!")
             | line.endswith("?") | line.endswith('"'))
     return (term & (words >= C4_MIN_LINE_WORDS)
-            & ~F.lower(line).contains("javascript"))
+            & ~_ascii_lower(line).contains("javascript"))
 
 
 def c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1898,7 +1925,7 @@ def c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = F.array_join(kept, "\n")
     n_sentences = F.regexp_count(cleaned, F.lit("[.!?]"))
     keep = (~F.col("text").contains("{")
-            & ~F.lower("text").contains("lorem ipsum")
+            & ~_ascii_lower(F.col("text")).contains("lorem ipsum")
             & (n_sentences >= 3))
     return load_documents(spark, sf_dir).select(
         "doc_id",
@@ -1921,7 +1948,7 @@ k AS (
         OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
        AND len(regexp_split_to_array(trim(l), '\s+'))
            >= {C4_MIN_LINE_WORDS}
-       AND NOT contains(lower(trim(l)), 'javascript')] AS kept
+       AND NOT contains(translate(trim(l), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'javascript')] AS kept
   FROM base
 ),
 s AS (
@@ -1935,7 +1962,7 @@ SELECT doc_id,
   CAST(n_lines AS INTEGER) AS n_lines,
   CAST(len(kept) AS INTEGER) AS n_kept,
   CAST(len(regexp_extract_all(cleaned, '[.!?]')) AS INTEGER) AS n_sentences,
-  (NOT contains(text, '{{') AND NOT contains(lower(text), 'lorem ipsum')
+  (NOT contains(text, '{{') AND NOT contains(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'lorem ipsum')
    AND len(regexp_extract_all(cleaned, '[.!?]')) >= 3) AS keep,
   md5(cleaned) AS cleaned_md5
 FROM s
