@@ -254,3 +254,49 @@ def test_fuzz_cross_engine_per_row_battery(spark, tmp_path):
             first = next((a, b) for a, b in zip(s, d) if a != b)
             diverged[name] = first
     assert not diverged, f"cross-engine fuzz divergence: {diverged}"
+
+
+def test_fuzz_cross_engine_aggregation_battery(spark, tmp_path):
+    """The seeded fuzz corpus through the AGGREGATION-family text
+    operators (signatures, shingle pipelines, sketches, rollups) —
+    anything whose normalizers/tokenizers could diverge between
+    engines on inputs the synthetic corpus never produces."""
+    import random
+
+    from webtableextractionsystem_spark.operators import dedup as DD
+
+    rng = random.Random(13)
+    rows = [(i, t, rng.choice(["zh", "en", "unk"]),
+             f"src{rng.randint(0, 4)}")
+            for i, t in _fuzz_rows(n=150, seed=13)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(2).write.mode("overwrite") \
+        .parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    battery = [
+        ("exact_dedup", DD.exact_dedup, DD.EXACT_DEDUP_SQL),
+        ("minhash", DD.minhash_signatures, DD.minhash_sql()),
+        ("simhash", DD.simhash_signatures, DD.simhash_sql()),
+        ("lsh_bands", DD.lsh_band_keys, DD.lsh_band_keys_sql()),
+        ("ngram_jaccard", DD.ngram_jaccard_pairs, DD.ngram_jaccard_sql()),
+        ("repeated_ngrams", DD.repeated_ngrams, DD.repeated_ngrams_sql()),
+        ("fingerprint", TS.fingerprints, TS.FINGERPRINT_SQL),
+        ("bigram_lm", TS.bigram_lm_score, TS.BIGRAM_LM_SQL),
+        ("top_terms", TS.top_terms_per_source, TS.TOP_TERMS_SQL),
+        ("inverted_index", TS.inverted_index_stats, TS.INVERTED_INDEX_SQL),
+        ("source_stats", TS.source_stats, TS.SOURCE_STATS_SQL),
+        ("hll_distinct", TS.hll_distinct, TS.HLL_DISTINCT_SQL),
+        ("cms_heavy_hitters", TS.cms_heavy_hitters,
+         TS.CMS_HEAVY_HITTERS_SQL),
+    ]
+    diverged = {}
+    for name, fn, sql in battery:
+        s = _canon(fn(spark, sf_dir).toPandas())
+        d = _canon(con.sql(sql).df())
+        if s != d:
+            firsts = [(a, b) for a, b in zip(s, d) if a != b][:2]
+            diverged[name] = (len(s), len(d), firsts)
+    assert not diverged, f"cross-engine fuzz divergence: {diverged}"
