@@ -81,3 +81,63 @@ def test_fuzz_cross_engine_events_battery(spark, tmp_path):
             firsts = [(a, b) for a, b in zip(s, d) if a != b][:2]
             diverged[name] = (len(s), len(d), firsts)
     assert not diverged, f"cross-engine fuzz divergence: {diverged}"
+
+
+def test_fuzz_cross_engine_embeddings_battery(spark, tmp_path):
+    """Seeded fuzz for the SQL-oracled similarity operators with
+    deliberate cosine-TIE bait: exact duplicate vectors, sign-flipped
+    and scaled copies (same direction -> same cosine), plus random
+    vectors. Zero vectors are excluded — a degenerate embedding is out
+    of the operator domain (cosine is undefined), and the model-output
+    contract never produces one."""
+    import random
+
+    from webtableextractionsystem_spark.operators import similarity as SIM
+
+    rng = random.Random(19)
+    dim = 64          # the operators' embedding-dimension contract
+    vecs = []
+    for i in range(60):
+        if i >= 3 and rng.random() < 0.25:
+            src = vecs[rng.randrange(len(vecs))]
+            mode = rng.random()
+            if mode < 0.4:
+                v = list(src)                       # exact duplicate
+            elif mode < 0.7:
+                v = [x * 2.0 for x in src]          # same direction
+            else:
+                v = [-x for x in src]               # antipode
+        else:
+            v = [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+            if all(abs(x) < 1e-6 for x in v):
+                v[0] = 1.0
+        vecs.append(v)
+    pdf = pd.DataFrame({
+        "vec_id": range(len(vecs)),
+        "embedding": vecs,
+        "label": [rng.randint(0, 3) for _ in vecs],
+    })
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(2).write.mode("overwrite") \
+        .parquet(f"{sf_dir}/embeddings.parquet")
+    # register from the SAME parquet bytes Spark reads (pandas object
+    # columns of python lists register with NULL-laden inference)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')")
+
+    battery = [
+        ("topk", SIM.topk_bruteforce, SIM.TOPK_SQL),
+        ("lsh_buckets", SIM.lsh_buckets, SIM.LSH_BUCKETS_SQL),
+        ("neardup_pairs", SIM.neardup_pairs, SIM.neardup_pairs_sql()),
+        ("centroid_outliers", SIM.centroid_outliers,
+         SIM.CENTROID_OUTLIERS_SQL),
+    ]
+    diverged = {}
+    for name, fn, sql in battery:
+        s = _canon(fn(spark, sf_dir).toPandas())
+        d = _canon(con.sql(sql).df())
+        if s != d:
+            firsts = [(a, b) for a, b in zip(s, d) if a != b][:2]
+            diverged[name] = (len(s), len(d), firsts)
+    assert not diverged, f"cross-engine fuzz divergence: {diverged}"
