@@ -140,6 +140,8 @@ def main() -> None:
             .agg(F.count("*")).collect(),
             "q_doc_mixture_weights": lambda: TS.mixture_weights(
                 spark, sf_dir).collect(),
+            "q_doc_winnowing": lambda: DD.winnowing_fingerprints(
+                spark, sf_dir).agg(F.count("*")).collect(),
         }
         for name, fn in bench_set.items():
             queries[name] = timed(fn)

@@ -300,3 +300,56 @@ def test_fuzz_cross_engine_aggregation_battery(spark, tmp_path):
             firsts = [(a, b) for a, b in zip(s, d) if a != b][:2]
             diverged[name] = (len(s), len(d), firsts)
     assert not diverged, f"cross-engine fuzz divergence: {diverged}"
+
+
+def test_winnowing_guarantee_and_edges(spark, tmp_path):
+    """The Schleimer guarantee: two documents sharing a token run of
+    t = WINNOW_W + WINNOW_K - 1 tokens select at least one COMMON
+    fingerprint. Plus the edge branches: gram-less docs select nothing
+    (md5('') digest), and docs with grams but fewer than WINNOW_W
+    windows select exactly the global min (n_selected == 1)."""
+    from webtableextractionsystem_spark.operators import dedup as DD
+
+    t = DD.WINNOW_W + DD.WINNOW_K - 1
+    shared = " ".join(f"s{i}" for i in range(t))
+    rows = [
+        (0, "alpha beta gamma " + shared + " delta epsilon"),
+        (1, "zeta eta " + shared + " theta iota kappa"),
+        (2, "too short"),                       # < WINNOW_K tokens
+        (3, " ".join(f"w{i}" for i in range(DD.WINNOW_K + 1))),  # 2 grams
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite") \
+        .parquet(f"{sf_dir}/documents.parquet")
+
+    out = (DD.winnowing_fingerprints(spark, sf_dir).toPandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[2, "n_grams"] == 0
+    assert out.loc[2, "fp_digest"] == "d41d8cd98f00b204e9800998ecf8427e"
+    assert out.loc[3, "n_grams"] == 2 and out.loc[3, "n_selected"] == 1
+
+    # the guarantee needs the SETS, not just digests: recompute the
+    # selected values in python from the same definition
+    import hashlib
+
+    def select(text):
+        toks = text.split()
+        grams = [" ".join(toks[i:i + DD.WINNOW_K])
+                 for i in range(len(toks) - DD.WINNOW_K + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+              for g in grams]
+        if not hs:
+            return set()
+        if len(hs) < DD.WINNOW_W:
+            return {min(hs)}
+        return {min(hs[j:j + DD.WINNOW_W])
+                for j in range(len(hs) - DD.WINNOW_W + 1)}
+
+    s0, s1 = select(rows[0][1]), select(rows[1][1])
+    assert s0 & s1, "shared t-token run must share a fingerprint"
+    # and the python twin reproduces the Spark digests exactly
+    for i, text in rows:
+        sel = sorted(select(text))
+        dig = hashlib.md5(",".join(str(v) for v in sel).encode()).hexdigest()
+        assert out.loc[i, "fp_digest"] == dig

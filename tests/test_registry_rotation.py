@@ -15,15 +15,15 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _EXPECTED_TAIL = {
-    # round-7 tail (35 entries) — see the queries() docstring for the
+    # round-7 tail (36 entries) — see the queries() docstring for the
     # per-entry twin reasoning; all were driver-rowed green in r06.
-    # queue_batch/name_union/stratified_sample/anomalies/retention
-    # were pushed out mid-round to make prefix room for the five NEW
-    # round-7 entries (pii, pmi_topk, gopher_rules, c4_clean,
-    # mixture_weights)
+    # queue_batch/name_union/stratified_sample/anomalies/retention/
+    # json_props were pushed out mid-round to make prefix room for the
+    # six NEW round-7 entries (pii, pmi_topk, gopher_rules, c4_clean,
+    # mixture_weights, winnowing)
     "q_rel_queue_batch", "q_rel_name_union",
     "q_doc_stratified_sample", "q_events_anomalies",
-    "q_events_retention",
+    "q_events_retention", "q_events_json_props",
     "q_doc_neardup_components_lsss", "q_doc_simhash_pairs",
     "q_rel_top_orders", "q_rel_pricing_summary", "q_emb_lsh_buckets",
     "q_doc_minhash", "q_doc_ngram_jaccard", "q_doc_exact_dedup",
@@ -49,7 +49,7 @@ def _entry_mod():
 def test_registry_order_and_tail_match_documentation():
     mod = _entry_mod()
     qs = list(mod.queries())
-    assert len(qs) == 85
+    assert len(qs) == 86
     tail = set(qs[50:])
     assert tail == _EXPECTED_TAIL, (
         "registry tail drifted from the documented rotation — update "

@@ -198,6 +198,10 @@ def main() -> None:
         "source-keyed integer agg (map-side partials), one-row totals "
         "broadcast, zero further shuffles":
             TS.mixture_weights(spark, SF),
+        "q_doc_winnowing — MOSS winnowing fingerprints: grams, hashes, "
+        "window minima and the selected set are all row-local "
+        "transform/slice expressions — one scan, zero exchanges":
+            DD.winnowing_fingerprints(spark, SF),
     }
 
     # staging forms LAST: stage_* replaces the session cache entry, so

@@ -303,12 +303,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        guarded by the cross-engine ln-domain sweep + crafted-ranking
        pins), hll_distinct (same register pipeline as the still-rowed
        hll_by_source), plus queue_batch, name_union,
-       stratified_sample, anomalies and retention (rowed green r05
-       AND r06; pushed out mid-round to make prefix room for the five
-       NEW round-7 entries q_doc_pii / q_doc_pmi_topk /
-       q_doc_gopher_rules / q_doc_c4_clean / q_doc_mixture_weights) —
-       round 8 MUST rotate these 35 back inside the first 50 and push
-       round-7's rowed veterans out.
+       stratified_sample, anomalies, retention and json_props (rowed
+       green r05 AND r06; pushed out mid-round to make prefix room
+       for the six NEW round-7 entries q_doc_pii / q_doc_pmi_topk /
+       q_doc_gopher_rules / q_doc_c4_clean / q_doc_mixture_weights /
+       q_doc_winnowing) — round 8 MUST rotate these 36 back inside
+       the first 50 and push round-7's rowed veterans out.
        (50-boundary re-verified this round: list(queries())[49] is the
        last prefix entry, [50] the first tail entry.)
 
@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_gopher_rules": TS.gopher_rules,  # Gopher quality battery
         "q_doc_c4_clean": TS.c4_clean,          # C4 line-level cleaning
         "q_doc_mixture_weights": TS.mixture_weights,  # T=2 source mixture
+        "q_doc_winnowing": DD.winnowing_fingerprints,  # MOSS fingerprints
         # --- code changed in round 7 (must stay rowed) ---
         "q_emb_semdedup": SIM.semdedup,         # corpus-scaled k_cells
         "x_pdf_features": x_pdf_features,       # DCT image XObjects
@@ -366,13 +367,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_sessionize": REL.event_sessions,
         "q_events_user_profiles": REL.user_profiles,
         "q_events_hourly": REL.events_hourly,
-        "q_events_json_props": REL.events_json_props,
         "q_rel_cube": REL.lineitem_cube,
         "q_rel_region_part_volume": REL.region_part_volume,
         "q_events_interval_join": REL.event_interval_join,
         "q_doc_neardup_pagerank": DD.neardup_pagerank,
         # --- tail (rotated out this round; all green r06, unchanged;
         # see the rotation-policy docstring for the twin reasoning) ---
+        "q_events_json_props": REL.events_json_props,
         "q_events_retention": REL.event_retention,
         "q_doc_stratified_sample": TS.stratified_sample,
         "q_events_anomalies": REL.event_anomalies,
@@ -477,6 +478,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_gopher_rules": TS.GOPHER_RULES_SQL,
         "q_doc_c4_clean": TS.C4_CLEAN_SQL,
         "q_doc_mixture_weights": TS.MIXTURE_WEIGHTS_SQL,
+        "q_doc_winnowing": DD.winnowing_sql(),
         "q_events_interval_join": REL.EVENT_INTERVAL_JOIN_SQL,
         "q_doc_bloom_filter": DD.bloom_filter_sql(),
         "q_doc_length_quantiles": TS.LENGTH_QUANTILES_SQL,

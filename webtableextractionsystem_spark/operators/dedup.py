@@ -1519,3 +1519,104 @@ SELECT g.doc_id,
 FROM grams g LEFT JOIN incidence i ON g.h = i.h
 GROUP BY g.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+# local fingerprinting scheme): guarantees any shared token run of
+# t = WINNOW_W + WINNOW_K - 1 tokens contributes at least one COMMON
+# selected fingerprint between two documents
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4   # token k-gram size
+WINNOW_W = 5   # winnowing window over consecutive gram hashes
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint set, digested.
+
+    Positional k-gram hashes (the minhash base hash: md5 prefix ->
+    32-bit int, shared idiom with the DuckDB twin), then the MINIMUM
+    hash of every WINNOW_W-window of consecutive gram hashes is
+    selected; the DISTINCT selected values are the fingerprint set.
+    Tie handling is by VALUE (window min + set dedup — 'robust
+    winnowing' without the positional argmin rule), so both engines
+    agree without an index tie-break. Documents with at least one gram
+    but fewer than WINNOW_W windows select the single global min (one
+    window over what exists); gram-less documents select nothing.
+
+    Entirely ROW-LOCAL — grams, hashes, windows and the selected set
+    are transform/slice expressions over the token array and never
+    leave the row: one corpus scan, ZERO exchanges at any scale.
+    Output pins the fingerprint SET (md5 over the sorted values), not
+    just its size."""
+    toks = _tokens()
+    n = F.size(toks)
+    grams = F.when(
+        n >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), n - (WINNOW_K - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, WINNOW_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    )
+    nh = F.size(hashes)
+    mins = (
+        F.when(nh == 0, F.array().cast("array<long>"))
+        .when(nh < WINNOW_W, F.array(F.array_min(hashes)))
+        .otherwise(F.transform(
+            F.sequence(F.lit(1), nh - (WINNOW_W - 1)),
+            lambda j: F.array_min(F.slice(hashes, j, WINNOW_W)),
+        ))
+    )
+    selected = F.array_sort(F.array_distinct(mins))
+    digest = F.md5(F.concat_ws(
+        ",", F.transform(selected, lambda v: v.cast("string"))))
+    return load_documents(spark, sf_dir).select(
+        "doc_id",
+        nh.cast("int").alias("n_grams"),
+        F.size(selected).cast("int").alias("n_selected"),
+        digest.alias("fp_digest"),
+    )
+
+
+def winnowing_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {k}
+              THEN [array_to_string(toks[i:i+{k - 1}], ' ')
+                    FOR i IN range(1, len(toks)-{k}+2)]
+              ELSE [] END AS grams
+  FROM t
+),
+h AS (
+  SELECT doc_id,
+         [CAST('0x' || substring(md5(gm), 1, 8) AS BIGINT)
+          FOR gm IN grams] AS hs
+  FROM g
+),
+m AS (
+  SELECT doc_id, len(hs) AS n_grams,
+         CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+              WHEN len(hs) < {w} THEN [list_min(hs)]
+              ELSE [list_min(hs[j:j+{w - 1}])
+                    FOR j IN range(1, len(hs)-{w}+2)] END AS mins
+  FROM h
+)
+SELECT doc_id,
+       CAST(n_grams AS INTEGER) AS n_grams,
+       CAST(len(sel) AS INTEGER) AS n_selected,
+       -- coalesce: array_to_string of the EMPTY selected set is NULL
+       -- in DuckDB where Spark's concat_ws is '' (same as c4_clean)
+       md5(coalesce(array_to_string([CAST(v AS VARCHAR) FOR v IN sel],
+                                    ','), '')) AS fp_digest
+FROM (SELECT doc_id, n_grams, list_sort(list_distinct(mins)) AS sel FROM m)
+"""
