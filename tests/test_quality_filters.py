@@ -283,6 +283,7 @@ def test_fuzz_cross_engine_aggregation_battery(spark, tmp_path):
         ("lsh_bands", DD.lsh_band_keys, DD.lsh_band_keys_sql()),
         ("ngram_jaccard", DD.ngram_jaccard_pairs, DD.ngram_jaccard_sql()),
         ("repeated_ngrams", DD.repeated_ngrams, DD.repeated_ngrams_sql()),
+        ("winnowing", DD.winnowing_fingerprints, DD.winnowing_sql()),
         ("fingerprint", TS.fingerprints, TS.FINGERPRINT_SQL),
         ("bigram_lm", TS.bigram_lm_score, TS.BIGRAM_LM_SQL),
         ("top_terms", TS.top_terms_per_source, TS.TOP_TERMS_SQL),
