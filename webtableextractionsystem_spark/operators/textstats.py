@@ -58,6 +58,13 @@ def _ascii_lower_sql(expr: str) -> str:
     return f"translate({expr}, '{_ASCII_UPPER}', '{_ASCII_LC}')"
 
 
+# the whitespace-collapse normalizer body shared by FINGERPRINT_SQL and
+# _hll_docs_sql (kept OUT of the f-string expressions: backslashes are
+# illegal there before py3.12)
+_NORM_BODY_SQL = r"regexp_replace(trim(text), '\s+', ' ', 'g')"
+
+
+
 # ---------------------------------------------------------------------------
 # token stats
 # ---------------------------------------------------------------------------
@@ -120,13 +127,13 @@ def quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the quality band over a `toks` list alias — one SQL home shared by
 # QUALITY_SQL and SOURCE_STATS_SQL (mirrors _quality_cols)
 _QUALITY_OK_SQL = (
-    f"(len([t FOR t IN toks IF list_contains({_STOP_SQL}, translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))])"
+    f"(len([t FOR t IN toks IF list_contains({_STOP_SQL}, {_ascii_lower_sql('t')})])"
     f" * 10 >= len(toks) AND len(toks) >= 5 AND len(toks) <= 10000)")
 
 QUALITY_SQL = rf"""
 SELECT doc_id,
        CAST(len(toks) AS INTEGER) AS n_tokens,
-       CAST(len([t FOR t IN toks IF list_contains({_STOP_SQL}, translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))]) AS INTEGER) AS stop_hits,
+       CAST(len([t FOR t IN toks IF list_contains({_STOP_SQL}, {_ascii_lower_sql('t')})]) AS INTEGER) AS stop_hits,
        CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS INTEGER) AS punct_count,
        {_QUALITY_OK_SQL} AS quality_ok
 FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -163,7 +170,7 @@ LANG_ID_SQL = rf"""
 SELECT doc_id, lang,
        CASE
          WHEN length(text) - length(regexp_replace(text, '[一-龥]', '', 'g')) > 0 THEN 'zh'
-         WHEN len([t FOR t IN toks IF list_contains({_STOP_SQL}, translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))]) * 20
+         WHEN len([t FOR t IN toks IF list_contains({_STOP_SQL}, {_ascii_lower_sql('t')})]) * 20
               >= len(toks) THEN 'en'
          ELSE 'unk'
        END AS lang_pred
@@ -205,7 +212,7 @@ SELECT doc_id,
             AS INTEGER) AS n_number_pieces
 FROM (SELECT doc_id,
              regexp_extract_all(text,
-               '''s|''t|''re|''ve|''m|''ll|''d| ?\p{{L}}+| ?\p{{N}}+| ?[^ \t\n\f\r\p{{L}}\p{{N}}]+|[ \t\n\f\r]+'
+               '''s|''t|''re|''ve|''m|''ll|''d| ?\p{{L}}+| ?\p{{N}}+| ?[^{_WS}\p{{L}}\p{{N}}]+|[{_WS}]+'
              ) AS pieces
       FROM documents)
 """
@@ -266,9 +273,9 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-FINGERPRINT_SQL = r"""
+FINGERPRINT_SQL = rf"""
 SELECT doc_id,
-       md5(translate(regexp_replace(trim(text), '\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fingerprint
+       md5({_ascii_lower_sql(_NORM_BODY_SQL)}) AS fingerprint
 FROM documents
 """
 
@@ -934,7 +941,7 @@ def _hll_docs_sql(extra: str = "") -> str:
                                         AS BIGINT)))
                    ELSE 0 END AS r,
          h AS fp
-  FROM (SELECT {extra}md5(translate(regexp_replace(trim(text), '\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS h
+  FROM (SELECT {extra}md5({_ascii_lower_sql(_NORM_BODY_SQL)}) AS h
         FROM documents)"""
 
 
@@ -1845,6 +1852,9 @@ GOPHER_RULES_SQL = rf"""
 WITH t AS (
   SELECT doc_id, text,
          regexp_split_to_array(trim(text), '\s+') AS toks,
+         -- hoisted: one translate fold per row, not one per stopword
+         [{_ascii_lower_sql('tk')} FOR tk IN
+          regexp_split_to_array(trim(text), '\s+')] AS ltoks,
          string_split(text, chr(10)) AS lines
   FROM documents
 ),
@@ -1864,7 +1874,7 @@ c AS (
     CAST(len([tk FOR tk IN toks IF regexp_matches(tk, '[A-Za-z]')])
          AS INTEGER) AS n_alpha_words,
     CAST(len([w FOR w IN {_GOPHER_STOP_SQL}
-              IF list_contains([translate(tk, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') FOR tk IN toks], w)])
+              IF list_contains(ltoks, w)])
          AS INTEGER) AS n_stopwords
   FROM t
 )
@@ -1948,7 +1958,7 @@ k AS (
         OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
        AND len(regexp_split_to_array(trim(l), '\s+'))
            >= {C4_MIN_LINE_WORDS}
-       AND NOT contains(translate(trim(l), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'javascript')] AS kept
+       AND NOT contains({_ascii_lower_sql('trim(l)')}, 'javascript')] AS kept
   FROM base
 ),
 s AS (
@@ -1962,7 +1972,7 @@ SELECT doc_id,
   CAST(n_lines AS INTEGER) AS n_lines,
   CAST(len(kept) AS INTEGER) AS n_kept,
   CAST(len(regexp_extract_all(cleaned, '[.!?]')) AS INTEGER) AS n_sentences,
-  (NOT contains(text, '{{') AND NOT contains(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'lorem ipsum')
+  (NOT contains(text, '{{') AND NOT contains({_ascii_lower_sql('text')}, 'lorem ipsum')
    AND len(regexp_extract_all(cleaned, '[.!?]')) >= 3) AS keep,
   md5(cleaned) AS cleaned_md5
 FROM s
