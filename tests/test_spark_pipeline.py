@@ -496,8 +496,7 @@ def test_guarded_ln_sweep_bm25_dsir_domains(spark):
     from webtableextractionsystem_spark.operators.textstats import (
         DSIR_BUCKETS,
         DSIR_LLR_SCALE,
-        _DSIR_FEATS_CACHE,
-        dsir_weights,
+        _dsir_feats_lazy,
     )
 
     sf = "/root/testdata/sf0.01"
@@ -518,9 +517,12 @@ def test_guarded_ln_sweep_bm25_dsir_domains(spark):
         f"FROM (SELECT unnest(range(1, {n_docs + 1})) AS v)").fetchall()}
     assert s == d and len(s) == n_docs
 
-    # DSIR llr sweep over the realized (cp, cq) pairs (+/-1 jitter)
-    dsir_weights(spark, sf)   # warms the cache
-    feats = next(v for k, v in _DSIR_FEATS_CACHE.items() if k[1] == sf)
+    # DSIR llr sweep over the realized (cp, cq) pairs (+/-1 jitter).
+    # The feature relation comes from the lazy explode directly —
+    # dsir_weights no longer persists a corpus-token-sized relation
+    # (round 8: the llr dimension is collected into a literal lookup
+    # and the scoring pass is row-local)
+    feats = _dsir_feats_lazy(spark, sf)
     from pyspark.sql import functions as F
     tgt = F.col("source").isin("src0", "src1", "src2")
     cnt = feats.groupBy("f").agg(

@@ -58,6 +58,18 @@ def _drop_dead_sessions(cache: dict[tuple, DataFrame], app: str) -> None:
         del cache[stale]
 
 
+def session_peek(spark: SparkSession,
+                 cache: dict[tuple, DataFrame],
+                 key_suffix: tuple) -> DataFrame | None:
+    """Return this session's memoized relation for ``key_suffix`` if one
+    exists (persisted or staged), else None — the ONE home of the
+    cache-key shape for opportunistic consumers (decontaminate's probe
+    side, dsir_weights' distribution pass) that want to reuse a
+    relation another operator already paid for but must not FORCE a
+    corpus-wide materialization themselves."""
+    return cache.get((spark.sparkContext.applicationId,) + key_suffix)
+
+
 def session_persisted(spark: SparkSession,
                       cache: dict[tuple, DataFrame],
                       key_suffix: tuple,

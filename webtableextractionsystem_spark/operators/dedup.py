@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._cache import session_persisted, session_staged
+from ._cache import session_peek, session_persisted, session_staged
 from .textstats import _tokens, load_documents
 
 SHINGLE_K = 3
@@ -43,8 +43,17 @@ BAND_ROWS = 2        # seeds per LSH band -> 4 bands
 JACCARD_MAX_ID = 200  # bounded id range for the oracle-checked pair query
 
 
-def _shingles(k: int = SHINGLE_K):
-    toks = _tokens()
+def _shingles(k: int = SHINGLE_K, toks=None):
+    """``toks``: pass a MATERIALIZED token-array column (an attribute)
+    on any hot path. Higher-order functions are interpreted
+    (CodegenFallback, no common-subexpression elimination), so the
+    lambda body's ``slice(toks, i, k)`` re-evaluates its ``toks`` child
+    PER GRAM POSITION — with the inline split expression that is one
+    full regex tokenization per gram per row (measured ~5x slower at
+    sf1.0: 29.6 s -> 6.3 s for the 8-gram explode, before scan
+    parallelization)."""
+    if toks is None:
+        toks = _tokens()
     n = F.size(toks)
     return F.when(
         n >= k,
@@ -71,13 +80,16 @@ def _shingles_sql(k: int = SHINGLE_K) -> str:
 # collides; full-text exact dedup is the same query with the full md5)
 # ---------------------------------------------------------------------------
 
-def _prefix_fp():
+def _prefix_fp(toks=None):
     """First-5-token fingerprint — the SINGLE home shared by
     exact_dedup, the curation funnel, and the Bloom keys (Spark side;
     _PREFIX_FP_SQL is the DuckDB twin). A one-sided width/separator
     edit would silently decouple the three while each still matched
-    its own oracle (review finding)."""
-    return F.md5(F.concat_ws(" ", F.slice(_tokens(), 1, 5)))
+    its own oracle (review finding). ``toks``: optional materialized
+    token-array column (hot paths)."""
+    if toks is None:
+        toks = _tokens()
+    return F.md5(F.concat_ws(" ", F.slice(toks, 1, 5)))
 
 
 _PREFIX_FP_SQL = ("md5(array_to_string(regexp_split_to_array(trim(text), "
@@ -132,10 +144,17 @@ def row_minhash(docs: DataFrame, shingles=None) -> DataFrame:
     hash is strictly below the modulus).
 
     ``shingles``: optional array<string> Column of PRE-COMPUTED shingles
-    (e.g. a staged signature table); default derives them from ``text``.
+    (e.g. a staged signature table); default derives them from ``text``
+    through an internally materialized token array (``_shingles``'s
+    per-position re-evaluation hazard — the interim ``_rmh_toks``
+    projection makes the gram lambda read an attribute, and is dropped
+    from the output).
     """
+    if shingles is None:
+        docs = docs.withColumn("_rmh_toks", _tokens())
+        shingles = _shingles(toks=F.col("_rmh_toks"))
     hs = F.transform(
-        _shingles() if shingles is None else shingles,
+        shingles,
         lambda sh: F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long"),
     )
     a_arr = F.array(*[F.lit(a).cast("long") for a, _ in SEED_PARAMS])
@@ -159,7 +178,7 @@ def row_minhash(docs: DataFrame, shingles=None) -> DataFrame:
             F.when(F.element_at("_mh", s + 1) < MINHASH_P,
                    F.element_at("_mh", s + 1)),
         )
-    return out.drop("_mh")
+    return out.drop("_mh", "_rmh_toks")
 
 
 def band_structs():
@@ -189,7 +208,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     exploded = docs.select(
-        "doc_id", F.explode_outer(_shingles()).alias("sh")
+        "doc_id", _tokens().alias("_toks")
+    ).select(
+        "doc_id", F.explode_outer(_shingles(toks=F.col("_toks"))).alias("sh")
     ).select(
         "doc_id",
         F.when(
@@ -492,7 +513,8 @@ WHERE a.doc_id < b.doc_id
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_documents(spark, sf_dir) \
         .where(F.col("doc_id") < JACCARD_MAX_ID) \
-        .select("doc_id", _shingles().alias("sh"))
+        .select("doc_id", _tokens().alias("_toks")) \
+        .select("doc_id", _shingles(toks=F.col("_toks")).alias("sh"))
     a = docs.alias("a")
     b = docs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
@@ -567,7 +589,8 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only. The shared front end of neardup_canonical and
     neardup_components."""
     docs = load_documents(spark, sf_dir).select(
-        "doc_id", _shingles().alias("sh"))
+        "doc_id", _tokens().alias("_toks")
+    ).select("doc_id", _shingles(toks=F.col("_toks")).alias("sh"))
     return jaccard_verified(lsh_candidate_pairs(spark, sf_dir), docs)
 
 
@@ -847,12 +870,13 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_documents(spark, sf_dir)
     bench = (
         docs.where(F.col("doc_id") < DECON_BENCH_MAX_ID)
-        .select(F.explode(_shingles(DECON_K)).alias("g"))
+        .select(_tokens().alias("_toks"))
+        .select(F.explode(_shingles(DECON_K, toks=F.col("_toks")))
+                .alias("g"))
         .select(F.md5("g").alias("h"))
         .distinct()
     )
-    key = (spark.sparkContext.applicationId, sf_dir, DECON_K)
-    probe = _GRAM_CACHE.get(key)
+    probe = session_peek(spark, _GRAM_CACHE, (sf_dir, DECON_K))
     if probe is None:
         probe = _grams_lazy(spark, sf_dir, DECON_K)
     hits = (
@@ -927,7 +951,13 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage-codegen unit that takes ~8.5 s of janino compile
     (superlinear in unit size) vs ~2.7 s split, and caching sh/g8
     arrays would multiply the cache footprint for columns each branch
-    can recompute from memory in microseconds. Semantics are unchanged
+    can recompute from the cached token array cheaply. Round 8: the
+    persisted relation carries the TOKEN ARRAY alongside text — every
+    branch (shingles, 8-gram hashes, quality, prefix fp) previously
+    re-tokenized text inline inside interpreted HOF lambdas, which
+    re-evaluate the split per gram position (the _shingles hazard —
+    this one relation paid it in four branches); text stays cached
+    too because the CJK language probe needs raw bytes. Semantics are unchanged
     and the oracle still composes the five standalone SQL bodies, so
     the driver gate checks this single-scan plan against the five-scan
     composition (row_minhash is differential-tested equal to the
@@ -949,26 +979,28 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lang/source/n_chars columns would otherwise sit in every cached
     # block (review finding).
     docs = load_documents(spark, sf_dir).select("doc_id", "text") \
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism) \
+        .withColumn("toks", _tokens())
     # quality band / language cascade / prefix fp from their single
     # expression homes — the funnel's oracle composes the standalone
     # QUALITY_SQL/LANG_ID_SQL/EXACT_DEDUP_SQL bodies, so inline copies
     # here could drift one-sidedly (review finding)
-    n_tokens, _stop_hits, quality_ok = _quality_cols()
+    toks = F.col("toks")
+    n_tokens, _stop_hits, quality_ok = _quality_cols(toks)
     # the ONE source read: persisted narrow signature relation; every
     # branch below projects from this cache with column pruning
     # (lazy persist, LRU-left — see lsh_candidate_pairs docstring)
-    sig = row_minhash(docs).persist()
+    sig = row_minhash(docs, shingles=_shingles(toks=toks)).persist()
     base = sig.select(
         "doc_id",
         quality_ok.alias("quality_ok"),
-        _lang_pred_col().alias("lang_pred"),
-        _prefix_fp().alias("fp"),
+        _lang_pred_col(toks).alias("lang_pred"),
+        _prefix_fp(toks).alias("fp"),
         F.when(F.col("mh0").isNotNull(), band_structs())
         .otherwise(F.array().cast(
             "array<struct<band:int,band_key:string>>")).alias("bands"),
-        _shingles().alias("sh"),
-        F.transform(_shingles(DECON_K), F.md5).alias("g8"),
+        _shingles(toks=toks).alias("sh"),
+        F.transform(_shingles(DECON_K, toks=toks), F.md5).alias("g8"),
     )
     # exact dedup: the one window shuffle
     w = Window.partitionBy("fp")
@@ -1346,10 +1378,20 @@ _GRAM_CACHE: dict[tuple, DataFrame] = {}
 def _grams_lazy(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """The UN-persisted per-doc-DISTINCT hashed k-gram relation — the
     lazy building block `_gram_relation` persists and `decontaminate`
-    scans directly (so its filters still push into parquet)."""
-    return load_documents(spark, sf_dir).select(
+    scans directly (its doc_id filter still pushes through the
+    round-robin exchange and the Generate into the parquet scan —
+    plan-checked in plans/r08). Repartition first: the sf-dir parquet
+    is one file -> one scan partition, and the gram build is the
+    expensive pass; the token array is materialized behind the
+    projection so the gram lambda reads an attribute (_shingles
+    docstring)."""
+    return load_documents(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
+        "doc_id", _tokens().alias("_toks")
+    ).select(
         "doc_id",
-        F.explode_outer(_shingles(k)).alias("g"),
+        F.explode_outer(_shingles(k, toks=F.col("_toks"))).alias("g"),
     ).select("doc_id", F.md5("g").alias("h"))
 
 
@@ -1424,6 +1466,10 @@ def ngram_clean(spark: SparkSession, sf_dir: str,
     )
     base = (
         load_documents(spark, sf_dir).select("doc_id", "text")
+        # round-robin repartition: if AQE broadcasts doc_dups, the
+        # row-local coverage/filter pass below would otherwise inherit
+        # the one-file scan's single partition
+        .repartition(spark.sparkContext.defaultParallelism)
         .join(doc_dups, "doc_id", "left")
         .withColumn("toks", _tokens())
         .withColumn("n", F.size("toks"))
@@ -1549,37 +1595,49 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     are transform/slice expressions over the token array and never
     leave the row: one corpus scan, ZERO exchanges at any scale.
     Output pins the fingerprint SET (md5 over the sorted values), not
-    just its size."""
+    just its size.
+
+    The token array, the gram-hash array and the selected set are each
+    MATERIALIZED behind a projection (round 8): interpreted HOF lambdas
+    re-evaluate outer expression children per element, so the inline
+    form re-tokenized per gram position and re-hashed the whole gram
+    array once per W-window (the _shingles hazard, squared)."""
     toks = _tokens()
-    n = F.size(toks)
+    n = F.size(F.col("_toks"))
     grams = F.when(
         n >= WINNOW_K,
         F.transform(
             F.sequence(F.lit(1), n - (WINNOW_K - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, WINNOW_K)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, WINNOW_K)),
         ),
     ).otherwise(F.array().cast("array<string>"))
     hashes = F.transform(
         grams,
         lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
     )
-    nh = F.size(hashes)
+    nh = F.size(F.col("_hs"))
     mins = (
         F.when(nh == 0, F.array().cast("array<long>"))
-        .when(nh < WINNOW_W, F.array(F.array_min(hashes)))
+        .when(nh < WINNOW_W, F.array(F.array_min(F.col("_hs"))))
         .otherwise(F.transform(
             F.sequence(F.lit(1), nh - (WINNOW_W - 1)),
-            lambda j: F.array_min(F.slice(hashes, j, WINNOW_W)),
+            lambda j: F.array_min(F.slice(F.col("_hs"), j, WINNOW_W)),
         ))
     )
     selected = F.array_sort(F.array_distinct(mins))
     digest = F.md5(F.concat_ws(
-        ",", F.transform(selected, lambda v: v.cast("string"))))
-    return load_documents(spark, sf_dir).select(
-        "doc_id",
-        nh.cast("int").alias("n_grams"),
-        F.size(selected).cast("int").alias("n_selected"),
-        digest.alias("fp_digest"),
+        ",", F.transform(F.col("_sel"), lambda v: v.cast("string"))))
+    return (
+        load_documents(spark, sf_dir)
+        .select("doc_id", toks.alias("_toks"))
+        .select("doc_id", hashes.alias("_hs"))
+        .select("doc_id", nh.cast("int").alias("n_grams"),
+                selected.alias("_sel"))
+        .select(
+            "doc_id", "n_grams",
+            F.size("_sel").cast("int").alias("n_selected"),
+            digest.alias("fp_digest"),
+        )
     )
 
 

@@ -34,7 +34,16 @@ _SIM_CACHE: dict[tuple, DataFrame] = {}
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    """Embeddings scan, round-robin repartitioned: the sf-dir parquet is
+    one file with one row group -> one scan partition, which would run
+    every downstream per-row fold (norms, brute-force dot products,
+    bucket signatures, k-means assignment) on a single core. Results
+    are partitioning-independent: every consumer is a per-row map, an
+    aggregation, or a join, and the k-means fit input is made
+    deterministic by its own orderBy/limit/repartition(1) (see
+    ivf_assignments) regardless of this layout."""
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism)
 
 
 def _dot(a, b):

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._cache import session_persisted, session_staged
+from ._cache import session_peek, session_persisted, session_staged
 
 # common-word list for the stopword/langid heuristics (includes the
 # synthetic corpus' function-ish words so the signal is non-trivial)
@@ -93,15 +93,17 @@ FROM documents
 # quality scoring (length / punctuation / stopword-ratio flags)
 # ---------------------------------------------------------------------------
 
-def _quality_cols():
+def _quality_cols(toks=None):
     """(n_tokens, stop_hits, quality_ok) expressions — the SINGLE home
     of the quality band, shared by quality_stats and source_stats
     (review finding: the band was written out twice; a one-sided edit
     would silently decouple the dashboard rollup from the per-doc
     flags while each still matched its own oracle). Integer
     cross-multiplication instead of a float ratio: stopword ratio
-    >= 10% and a sane length band."""
-    toks = _tokens()
+    >= 10% and a sane length band. ``toks``: optional materialized
+    token-array column (hot paths — see _bigrams)."""
+    if toks is None:
+        toks = _tokens()
     stop = F.array(*[F.lit(w) for w in STOPWORDS])
     n_tokens = F.size(toks)
     stop_hits = F.size(
@@ -145,11 +147,13 @@ FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
 # language-ID heuristic (CJK presence, stopword density)
 # ---------------------------------------------------------------------------
 
-def _lang_pred_col():
+def _lang_pred_col(toks=None):
     """The zh/en/unk language cascade — single home shared by lang_id
     and the curation funnel (whose oracle composes LANG_ID_SQL, so a
-    one-sided threshold edit would silently decouple them)."""
-    toks = _tokens()
+    one-sided threshold edit would silently decouple them).
+    ``toks``: optional materialized token-array column (hot paths)."""
+    if toks is None:
+        toks = _tokens()
     stop = F.array(*[F.lit(w) for w in STOPWORDS])
     cjk = (F.length("text")
            - F.length(F.regexp_replace("text", "[一-龥]", "")))
@@ -286,10 +290,19 @@ FROM documents
 # the standard filters a training-data pipeline applies before dedup)
 # ---------------------------------------------------------------------------
 
-def _bigrams():
+def _bigrams(toks=None):
     """Token bigram MULTISET (no array_distinct — repetition measurement
-    needs duplicates preserved)."""
-    toks = _tokens()
+    needs duplicates preserved).
+
+    ``toks``: pass a MATERIALIZED array column (an attribute, not the
+    inline ``_tokens()`` expression) on any hot path. Higher-order
+    functions are interpreted (CodegenFallback, no common-subexpression
+    elimination), so the lambda body's ``slice(toks, i, 2)`` re-evaluates
+    its ``toks`` child PER POSITION — with the inline split expression
+    that is one full regex tokenization per bigram per row (measured
+    9x slower at sf1.0: 33 s -> 3.6 s for the bigram count pass)."""
+    if toks is None:
+        toks = _tokens()
     n = F.size(toks)
     return F.when(
         n >= 2,
@@ -318,10 +331,11 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelizes single-file local inputs, as in minhash_signatures —
     not a key shuffle."""
     docs = load_documents(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism)
-    toks_n = F.size(_tokens())
+        spark.sparkContext.defaultParallelism
+    ).select("doc_id", _tokens().alias("_toks"))
+    toks_n = F.size("_toks")
     n_bigrams = F.when(toks_n >= 2, toks_n - 1).otherwise(0).cast("long")
-    bgs = F.array_sort(_bigrams())
+    bgs = F.array_sort(_bigrams(F.col("_toks")))
     init = F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.lit(0).cast("long").alias("run"),
@@ -347,13 +361,19 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.when(acc["prev"].isNull() | (acc["prev"] != e),
                       new_run).otherwise(cont)
 
-    acc = F.aggregate(bgs, init, step)
-    return docs.select(
-        "doc_id",
-        n_bigrams.alias("n_bigrams"),
-        acc["distinct"].alias("n_distinct_bigrams"),
-        acc["top"].alias("top_bigram_count"),
-        acc["rep"].alias("n_repeated_bigrams"),
+    # materialize the fold ONCE behind a projection: the three output
+    # columns each referencing F.aggregate(...) directly would carry
+    # three COPIES of the fold expression, and interpreted HOFs get no
+    # subexpression elimination — 3x the per-row work (same hazard the
+    # row_minhash `_mh` column guards against)
+    acc = docs.select(
+        "doc_id", n_bigrams.alias("n_bigrams"),
+        F.aggregate(bgs, init, step).alias("_acc"))
+    return acc.select(
+        "doc_id", "n_bigrams",
+        F.col("_acc")["distinct"].alias("n_distinct_bigrams"),
+        F.col("_acc")["top"].alias("top_bigram_count"),
+        F.col("_acc")["rep"].alias("n_repeated_bigrams"),
     )
 
 
@@ -468,8 +488,11 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (review finding; cf. _BM25_POSTINGS_CACHE)
     d = session_persisted(
         spark, _BIGRAM_LM_CACHE, (sf_dir,),
-        lambda: load_documents(spark, sf_dir).select(
-            "doc_id", F.explode_outer(_bigrams()).alias("bg")))
+        lambda: load_documents(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", _tokens().alias("_toks"))
+        .select("doc_id", F.explode_outer(_bigrams(F.col("_toks")))
+                .alias("bg")))
     lm = d.where(F.col("bg").isNotNull()) \
         .groupBy("bg").agg(F.count("*").alias("freq"))
     return (
@@ -1012,8 +1035,9 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build and the exact top-k probe side (review finding)
     tok_occ = session_persisted(
         spark, _CMS_TOKENS_CACHE, (sf_dir,),
-        lambda: load_documents(spark, sf_dir).select(
-            F.explode(_tokens()).alias("token")))
+        lambda: load_documents(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(_tokens()).alias("token")))
     rows = tok_occ.select(
         "token", F.explode(_cms_hash_structs()).alias("h")
     ).select("token", "h.d", "h.c")
@@ -1353,6 +1377,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = session_persisted(
         spark, _BM25_POSTINGS_CACHE, (sf_dir,),
         lambda: load_documents(spark, sf_dir)
+        # round-robin repartition: one-file scan -> one partition
+        # otherwise, and the index build is the expensive pass
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.explode(toks).alias("token"))
         .where(F.col("token") != "")
         .groupBy("token", "doc_id")
@@ -1455,13 +1482,16 @@ DSIR_TARGET_SOURCES = ("src0", "src1", "src2")   # the "target domain"
 DSIR_LLR_SCALE = 10000                  # llr quantization (1e-4)
 
 
-def _dsir_features():
+def _dsir_features(toks=None):
     """Hashed unigram + bigram feature buckets per document (array of
     ints in [0, DSIR_BUCKETS)) — one expression home for the target
     and corpus distributions and the per-doc scorer; bigrams come from
-    the shared _bigrams() home (review finding: three inline copies)."""
-    toks = _tokens()
-    feats = F.concat(toks, _bigrams())
+    the shared _bigrams() home (review finding: three inline copies).
+    ``toks``: pass a materialized array column on hot paths (see
+    _bigrams — the inline split re-evaluates per bigram position)."""
+    if toks is None:
+        toks = _tokens()
+    feats = F.concat(toks, _bigrams(toks))
     return F.transform(
         feats,
         lambda t: (F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
@@ -1486,23 +1516,30 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     with accumulation order; the integer quantization is what makes
     this oracle-gateable (cf. neardup_pagerank's fixed point).
 
-    Scale shape: the feature explode is persisted per session
-    (_DSIR_FEATS_CACHE — it feeds both the distribution build and the
-    per-doc scorer; unpersisted it would run twice, review finding);
-    the distribution folds into <=B rows map-side, the totals come
-    from a window over those <=B rows (NOT a second corpus aggregate —
-    review finding), and the llr dimension BROADCASTS back onto the
-    feature relation; one doc-keyed integer agg.
+    Scale shape (round 8 — the previous form's corpus-token-sized
+    persist + broadcast-join + doc-keyed re-aggregation was 85% of its
+    sf1.0 cost): the distribution pass folds the feature explode into
+    <=B=256 rows map-side (one scan, a 256-row-per-task shuffle), the
+    totals come from a window over those <=B rows (NOT a second corpus
+    aggregate — review finding), and the quantized llr dimension —
+    provably <= DSIR_BUCKETS integers — is collected (a BOUNDED
+    256-row action, the IVF-quantizer precedent, NOT a corpus collect)
+    into a LITERAL lookup array. The per-doc weight is then a row-LOCAL
+    fold over the feature array (element_at into the literal), so the
+    scoring pass needs ZERO shuffles, no persist, and no join at any
+    corpus size. Integer llr_q summation is order-independent, so the
+    restructure is value-identical to the joined form (equivalence
+    pinned by test_staging / the driver oracle).
 
-    Storage contract: the feature relation is corpus-token-sized (~2
-    rows per token with bigrams), so the in-memory persist is right
-    only within one query; a multi-query 100 TB session calls
-    ``stage_dsir_features`` first and every consumer reads the
-    f-bucketed staged table (the distribution groupBy('f') then
-    inherits the bucketing, zero exchange)."""
-    docs = session_persisted(
-        spark, _DSIR_FEATS_CACHE, (sf_dir,),
-        lambda: _dsir_feats_lazy(spark, sf_dir))
+    The distribution pass reuses a session-staged/persisted feature
+    relation OPPORTUNISTICALLY (session_peek — if stage_dsir_features
+    ran, the groupBy('f') inherits the f-bucketing with zero exchange);
+    otherwise it scans the lazy explode. Nothing here forces a
+    corpus-token-sized materialization anymore — the 100 TB-safe path
+    is now the DEFAULT, staging an optional accelerator."""
+    docs = session_peek(spark, _DSIR_FEATS_CACHE, (sf_dir,))
+    if docs is None:
+        docs = _dsir_feats_lazy(spark, sf_dir)
     tgt = F.col("source").isin(*DSIR_TARGET_SOURCES)
     counts = docs.groupBy("f").agg(
         F.count("*").alias("cq"),
@@ -1523,11 +1560,31 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (F.sum("cq").over(wall) + F.lit(DSIR_BUCKETS)))
         ) * DSIR_LLR_SCALE, 0).cast("long").alias("llr_q"),
     )
-    return (
-        docs.join(F.broadcast(llr), "f")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_features"),
-             F.sum("llr_q").cast("long").alias("weight_q"))
+    llr_arr = [0] * DSIR_BUCKETS
+    for r in llr.collect():          # <= DSIR_BUCKETS rows, bounded
+        llr_arr[r["f"]] = int(r["llr_q"])
+    lit_llr = F.array(*[F.lit(v).cast("long") for v in llr_arr])
+    # text IS NOT NULL replicates the joined form's row set exactly: a
+    # NULL-text doc has a NULL feature array (the explode emitted
+    # nothing), while ANY non-null text yields >= 1 token (split of ''
+    # is ['']) and therefore >= 1 feature. Deliberately NOT written as
+    # size(_f) > 0: PushDownPredicates substitutes the alias into the
+    # pushed filter, which re-runs the whole interpreted feature
+    # construction on the pre-repartition single-partition scan
+    # (measured: 32.7 s vs 2.5 s at sf1.0) — the cheap IsNotNull
+    # predicate pushes into the parquet reader instead.
+    scored = load_documents(spark, sf_dir) \
+        .where(F.col("text").isNotNull()) \
+        .repartition(spark.sparkContext.defaultParallelism) \
+        .select("doc_id", _tokens().alias("_toks")) \
+        .select("doc_id", _dsir_features(F.col("_toks")).alias("_f"))
+    return scored.select(
+        "doc_id",
+        F.size("_f").cast("long").alias("n_features"),
+        F.aggregate(
+            "_f", F.lit(0).cast("long"),
+            lambda acc, f: acc + F.element_at(lit_llr, f + 1),
+        ).alias("weight_q"),
     )
 
 
@@ -1537,11 +1594,20 @@ _DSIR_FEATS_CACHE: dict[tuple, DataFrame] = {}
 
 def _dsir_feats_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The un-persisted (doc_id, source, f) hashed-feature explode —
-    the building block dsir_weights persists and stage_dsir_features
-    writes to a bucketed table."""
-    return load_documents(spark, sf_dir).select(
+    the building block the distribution pass scans and
+    stage_dsir_features writes to a bucketed table. Round-robin
+    repartition first: the sf-dir parquet is one file -> one scan
+    partition (same pattern as minhash_signatures), and the token
+    array is materialized behind the projection so the bigram lambda
+    reads an attribute, not the re-evaluated split (guide §4 / the
+    _bigrams docstring)."""
+    return load_documents(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
+        "doc_id", "source", _tokens().alias("_toks")
+    ).select(
         "doc_id", "source",
-        F.explode(_dsir_features()).alias("f"))
+        F.explode(_dsir_features(F.col("_toks"))).alias("f"))
 
 
 def stage_dsir_features(spark: SparkSession, sf_dir: str,
@@ -1634,10 +1700,17 @@ def pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     PLANS.md). Corpus totals are a one-row broadcast; the final global
     top-k is TakeOrderedAndProject over the >=PMI_MIN_COOC pair types —
     never a single-partition sort of corpus rows."""
-    docs = load_documents(spark, sf_dir)
+    # round-robin repartition spreads the one-file scan (the
+    # minhash_signatures pattern); the bigram side materializes the
+    # token array so the gram lambda reads an attribute (_bigrams
+    # docstring — the inline split re-evaluated per position was ~90%
+    # of this query's cost at sf1.0)
+    docs = load_documents(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism)
     uni = (docs.select(F.explode(_tokens()).alias("token"))
            .groupBy("token").agg(F.count("*").alias("c")))
-    bi = (docs.select(F.explode(_bigrams()).alias("bg"))
+    bi = (docs.select(_tokens().alias("_toks"))
+          .select(F.explode(_bigrams(F.col("_toks"))).alias("bg"))
           .groupBy("bg").agg(F.count("*").alias("c_xy")))
     stats = (uni.agg(F.sum("c").cast("long").alias("n_uni"))
              .crossJoin(bi.agg(F.sum("c_xy").cast("long").alias("n_bi"))))
@@ -1800,7 +1873,12 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules are exercised by the crafted cross-engine differential in
     tests/test_quality_filters.py (the same pattern test_pii.py uses
     for the digit-free corpus)."""
-    toks = _tokens()
+    # token + line arrays materialized behind a projection (each is
+    # referenced by several count columns — inline they would be
+    # re-split once per column, and the stopword probe once per
+    # stopword; see _bigrams for the interpreted-HOF rationale)
+    toks = F.col("_toks")
+    lines = F.col("_lines")
     ltoks = F.transform(toks, lambda t: _ascii_lower(t))
     n_words = F.size(toks)
     n_word_chars = F.aggregate(
@@ -1809,7 +1887,6 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_hash = F.length("text") - F.length(
         F.replace(F.col("text"), F.lit("#"), F.lit("")))
     n_ell = F.regexp_count(F.col("text"), F.lit(r"\.\.\."))
-    lines = F.split("text", "\n")
     n_lines = F.size(lines)
     n_bullet = F.size(F.filter(
         lines,
@@ -1817,10 +1894,21 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         | l.startswith("• ")))
     n_ell_lines = F.size(F.filter(lines, lambda l: l.endswith("...")))
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
-    n_stop = F.size(F.filter(
+    # size(array_intersect(stop_literals, ltoks)) == the former
+    # size(filter(stop_literals, w -> array_contains(ltoks, w))):
+    # the literal list is distinct, so both count the distinct required
+    # stopwords present — but array_intersect is a plain function, so
+    # ltoks is evaluated ONCE instead of once per stopword. The
+    # coalesce pins the NULL-text edge to the filter form's value
+    # (array_contains(NULL, w) filtered every literal -> 0, where a
+    # NULL intersect would return NULL)
+    n_stop = F.size(F.array_intersect(
         F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
-        lambda w: F.array_contains(ltoks, w)))
+        F.coalesce(ltoks, F.array().cast("array<string>"))))
     counts = load_documents(spark, sf_dir).select(
+        "doc_id", "text", _tokens().alias("_toks"),
+        F.split("text", "\n").alias("_lines"),
+    ).select(
         "doc_id",
         n_words.cast("int").alias("n_words"),
         n_word_chars.cast("int").alias("n_word_chars"),
@@ -2005,6 +2093,7 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row totals broadcast, zero further shuffles."""
     per_src = (
         load_documents(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("source", F.size(_tokens()).alias("n_tokens"))
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"),
