@@ -1135,6 +1135,9 @@ def bloom_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = session_persisted(
         spark, _BLOOM_CACHE, ("keys", sf_dir),
         lambda: load_documents(spark, sf_dir)
+        # spread the one-file scan: the md5 fingerprint projection and
+        # the partial-distinct otherwise run on a single core
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(fp.alias("key")).distinct())
     bits = session_persisted(
         spark, _BLOOM_CACHE, ("bits", sf_dir),

@@ -34,16 +34,20 @@ _SIM_CACHE: dict[tuple, DataFrame] = {}
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings scan, round-robin repartitioned: the sf-dir parquet is
-    one file with one row group -> one scan partition, which would run
-    every downstream per-row fold (norms, brute-force dot products,
-    bucket signatures, k-means assignment) on a single core. Results
-    are partitioning-independent: every consumer is a per-row map, an
-    aggregation, or a join, and the k-means fit input is made
-    deterministic by its own orderBy/limit/repartition(1) (see
-    ivf_assignments) regardless of this layout."""
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
-        spark.sparkContext.defaultParallelism)
+    """Plain embeddings scan — deliberately NOT repartitioned here:
+    lsh_buckets' zero-exchange narrow plan is a pinned production
+    property (test_lsh_buckets_plan_is_narrow). Operators whose
+    downstream is a fat per-row fold over a one-file local scan spread
+    it themselves with ``_spread``."""
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition for the one-file local corpus (one row
+    group -> one scan partition): without it the brute-force dot
+    products / centroid folds run on a single core. Results are
+    partitioning-independent (per-row maps, aggs, joins only)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def _dot(a, b):
@@ -82,8 +86,13 @@ def topk_bruteforce(spark: SparkSession, sf_dir: str,
     q = emb.where(F.col("vec_id") < N_QUERIES) \
            .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"),
                    F.col("nrm").alias("qn"))
-    c = emb.select(F.col("vec_id").alias("nbr_id"), F.col("e").alias("ce"),
-                   F.col("nrm").alias("cn"))
+    # the candidate side carries the N_QUERIES x n dot products —
+    # spread the one-file scan so they don't run on one core (the
+    # query side keeps its pushed-down vec_id filter on the raw scan)
+    c = _emb_with_norm(spark, sf_dir,
+                       emb_raw=_spread(load_embeddings(spark, sf_dir))) \
+        .select(F.col("vec_id").alias("nbr_id"), F.col("e").alias("ce"),
+                F.col("nrm").alias("cn"))
     sim = _cosine(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("nbr_id"))
     return (
@@ -416,6 +425,10 @@ def centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     to one array row per label and BROADCASTS back onto the embeddings
     scan, where the dot product is a per-row JVM fold — no second
     shuffle, no row explosion on the big side."""
+    # NOT _spread: measured at sf1.0 the round-robin exchange costs
+    # more than the single-core posexplode/fold saves (0.75-1.0 s
+    # without vs 0.9-2.0 s with; the centroid agg key domain is tiny
+    # and the final join's fold is cheap per row)
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id", "label",
         F.col("embedding").cast("array<double>").alias("e"))

@@ -901,8 +901,11 @@ def hll_distinct(spark: SparkSession, sf_dir: str,
     register merge (partial max per register map-side) — the plan audit
     pins that the sketch-only form has no distinct-fp exchange."""
     bucket, rho, h = _hll_doc_cols()
-    docs = load_documents(spark, sf_dir).select(
-        bucket.alias("b"), rho.alias("r"), h.alias("fp"))
+    # spread the one-file scan: the normalize+md5 register projection
+    # is the whole per-row cost and would otherwise run on one core
+    docs = load_documents(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(bucket.alias("b"), rho.alias("r"), h.alias("fp"))
     if not with_exact:
         regs = docs.groupBy("b").agg(F.max("r").alias("mr"))
         sketch = regs.agg(
@@ -1170,8 +1173,9 @@ def hll_by_source(spark: SparkSession, sf_dir: str,
     countDistinct(fp) — the shuffle payload is <=256 rows per group
     regardless of corpus size."""
     bucket, rho, h = _hll_doc_cols()
-    docs = load_documents(spark, sf_dir).select(
-        "source", bucket.alias("b"), rho.alias("r"), h.alias("fp"))
+    docs = load_documents(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    ).select("source", bucket.alias("b"), rho.alias("r"), h.alias("fp"))
     if not with_exact:
         regs = docs.groupBy("source", "b").agg(F.max("r").alias("mr"))
         sketch = regs.groupBy("source").agg(

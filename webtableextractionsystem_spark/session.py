@@ -56,17 +56,15 @@ def get_spark(app_name: str = "wtes-spark", cores: int | None = None,
         # extraction kernel: bound Arrow batch size so mega-docs (H11) can't
         # blow worker memory; many small batches also smooth skew
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
-        # scan split size, env-parameterised (guide §6): the local
-        # default 32m splits the multi-row-group testdata files
-        # (lineitem = 6 x ~22 MB row groups) across cores instead of
-        # the 1-2 tasks the 128m default yields; a real cluster doing
-        # large sequential scans sets SPARK_GRAFT_MAX_PARTITION_BYTES
-        # to 512m-1g to cut task-scheduling overhead and map-task
-        # count feeding shuffles (single-row-group files are
-        # unsplittable either way — operators that need parallelism
-        # over those repartition explicitly)
+        # scan split size, env-parameterised (guide §6). Default left at
+        # Spark's 128m: a 32m local override was MEASURED SLOWER on the
+        # TPC-H files (pricing 1.45/1.65/1.93 s at 128m vs
+        # 1.58/1.82/3.99 s at 32m; revenue likewise) — per-task reader
+        # init outweighs the decode parallelism at these sizes. A real
+        # cluster doing large sequential scans sets it to 512m-1g to
+        # cut task count feeding shuffles (guide §2.2/§6).
         .config("spark.sql.files.maxPartitionBytes",
-                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"))
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
