@@ -1704,18 +1704,35 @@ def pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     PLANS.md). Corpus totals are a one-row broadcast; the final global
     top-k is TakeOrderedAndProject over the >=PMI_MIN_COOC pair types —
     never a single-partition sort of corpus rows."""
-    # round-robin repartition spreads the one-file scan (the
-    # minhash_signatures pattern); the bigram side materializes the
-    # token array so the gram lambda reads an attribute (_bigrams
-    # docstring — the inline split re-evaluated per position was ~90%
-    # of this query's cost at sf1.0)
+    # ONE corpus pass for BOTH count tables (round 8): tokens cannot
+    # contain whitespace (they come from the whitespace split) and
+    # bigrams always contain a space, so the two term domains are
+    # disjoint — explode the concatenated array once, count by term,
+    # and split the tiny type table by contains(' '). Every consumer
+    # derives from the same aggregation subtree, so the shuffle is
+    # planned once and reused (ReusedExchange — the map side runs one
+    # time; plan-checked in plans/r08). Round-robin repartition spreads
+    # the one-file scan (the minhash_signatures pattern); the token
+    # array is materialized behind a projection so the bigram lambda
+    # reads an attribute (_bigrams docstring — the inline split
+    # re-evaluated per position was ~90% of this query's cost).
     docs = load_documents(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism)
-    uni = (docs.select(F.explode(_tokens()).alias("token"))
-           .groupBy("token").agg(F.count("*").alias("c")))
-    bi = (docs.select(_tokens().alias("_toks"))
-          .select(F.explode(_bigrams(F.col("_toks"))).alias("bg"))
-          .groupBy("bg").agg(F.count("*").alias("c_xy")))
+    # persisted: the term-TYPE table (vocabulary + bigram types, never
+    # corpus-sized) feeds five consumers (ux, uy, pairs, both totals);
+    # AQE's exchange reuse only deduplicated some of them (measured 6
+    # residual scans), so without the persist the corpus explode ran
+    # several times per action — 3.9 s -> 0.9-1.4 s at sf1.0. Lazy
+    # persist, LRU-left, same discipline as lsh_candidate_pairs.
+    terms = (docs.select(_tokens().alias("_toks"))
+             .select(F.explode(
+                 F.concat(F.col("_toks"), _bigrams(F.col("_toks"))))
+                 .alias("term"))
+             .groupBy("term").agg(F.count("*").alias("c"))).persist()
+    uni = terms.where(~F.col("term").contains(" ")) \
+        .select(F.col("term").alias("token"), "c")
+    bi = terms.where(F.col("term").contains(" ")) \
+        .select(F.col("term").alias("bg"), F.col("c").alias("c_xy"))
     stats = (uni.agg(F.sum("c").cast("long").alias("n_uni"))
              .crossJoin(bi.agg(F.sum("c_xy").cast("long").alias("n_bi"))))
     pairs = (bi.where(F.col("c_xy") >= PMI_MIN_COOC)
