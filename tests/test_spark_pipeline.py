@@ -434,6 +434,12 @@ def test_ngram_clean_crafted_removal(spark, tmp_path):
         (3, "c1 c2 c3 c4 c5 c6 c7 c8 c1 c2 c3 c4 c5 c6 c7 c8",
          "en", "s", 0),
         (4, "short doc", "en", "s", 0),
+        # round-8 mask-fold restructure edges: NULL text must propagate
+        # NULL counts + the empty-clean md5, and a fully-duplicated
+        # exact pair must lose every token
+        (5, None, "en", "s", 0),
+        (6, "z1 z2 z3 z4 z5 z6 z7 z8", "en", "s", 0),
+        (7, "z1 z2 z3 z4 z5 z6 z7 z8", "en", "s", 0),
     ]
     d = str(tmp_path / "docs")
     spark.createDataFrame(
@@ -453,6 +459,11 @@ def test_ngram_clean_crafted_removal(spark, tmp_path):
     assert got[3]["clean_hash"] == h(docs[2][1])
     assert got[4]["n_removed"] == 0
     assert got[4]["clean_hash"] == h("short doc")
+    assert got[5]["n_tokens"] is None and got[5]["n_removed"] is None
+    assert got[5]["clean_hash"] == h("")
+    for i in (6, 7):
+        assert got[i]["n_tokens"] == 8 and got[i]["n_removed"] == 8
+        assert got[i]["clean_hash"] == h("")
 
 
 def test_bm25_lucene_idf_positive_and_ranks_by_relevance(spark, tmp_path):

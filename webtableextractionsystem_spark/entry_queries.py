@@ -286,7 +286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        then entries whose CODE changed this round.
     3. Long-green entries rotate to the TAIL (positions >50), a
        different slice each round, so every query gets a driver row at
-       least every other round. Round-7 tail (30 entries, all green
+       least every other round. Round-7 tail (36 entries, all green
        r06): the 25 veterans rotated back in for r06 (rowed green r04
        AND r06 — the longest coverage in the registry: the minhash/
        simhash/LSH/jaccard/exact-dedup signature family, chunks/pack/

@@ -1478,19 +1478,32 @@ def ngram_clean(spark: SparkSession, sf_dir: str,
         .withColumn("n", F.size("toks"))
         .withColumn("dup", F.coalesce(
             F.col("dup_hashes"), F.array().cast("array<string>")))
-        # which gram START positions are cross-dup (index i covers
+        # which gram START positions are cross-dup (start i covers
         # tokens i..i+k-1); n<k has no grams -> CASE guard keeps every
         # sequence() ascending (sequence(1,0) would DESCEND)
-        .withColumn("dup_at", F.expr(
-            f"CASE WHEN n >= {k} THEN transform(sequence(1, n-{k}+1), "
+        .withColumn("dup_starts", F.expr(
+            f"CASE WHEN n >= {k} THEN filter(sequence(1, n-{k}+1), "
             f"i -> array_contains(dup, md5(concat_ws(' ', "
             f"slice(toks, i, {k}))))) "
-            f"ELSE CAST(array() AS array<boolean>) END"))
+            f"ELSE CAST(array() AS array<int>) END"))
+        # keep mask: fold the (usually short) dup-start list over an
+        # all-true mask, clearing each start's k-token cover. Every
+        # expensive sub-expression here is consumed ONLY as a top-level
+        # HOF input: the previous per-position form referenced a
+        # boolean gram array via element_at inside a nested exists
+        # lambda, and CollapseProject inlines a once-referenced alias
+        # regardless of cost — re-evaluating the ENTIRE gram-hash
+        # transform per (position, window) pair (measured: the cleanup
+        # pass alone ran minutes at sf1.0; now 2-3 s. The bench's
+        # count(*) had always pruned this subtree, so the cost only
+        # showed under a full materialization — bench_extra.py).
+        .withColumn("keep_mask", F.expr(
+            f"aggregate(dup_starts, array_repeat(true, n), "
+            f"(acc, i) -> transform(acc, "
+            f"(v, idx) -> v AND NOT (idx + 1 >= i AND idx + 1 <= i + {k - 1})))"))
         .withColumn("clean_toks", F.expr(
-            f"CASE WHEN n >= {k} THEN transform(filter(sequence(1, n), "
-            f"p -> NOT exists(sequence(greatest(1, p-{k}+1), "
-            f"least(p, n-{k}+1)), i -> element_at(dup_at, i))), "
-            f"p -> element_at(toks, p)) ELSE toks END"))
+            "filter(zip_with(toks, keep_mask, "
+            "(t, m) -> CASE WHEN m THEN t END), x -> x IS NOT NULL)"))
     )
     return base.select(
         "doc_id",

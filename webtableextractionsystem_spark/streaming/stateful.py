@@ -293,9 +293,16 @@ def streaming_neardup_verified(spark: SparkSession, input_dir: str,
     metrics_root = f"{state_dir}/metrics"
 
     def stage_batch(batch, batch_id: int) -> None:
+        from ..operators.textstats import _tokens
+
+        # token array materialized behind a projection before the gram
+        # build (_shingles docstring: interpreted HOF lambdas
+        # re-evaluate the inline split per gram position)
         staged = batch.select(
+            "doc_id", _tokens().alias("_toks"),
+        ).select(
             "doc_id",
-            _shingles().alias("sh"),
+            _shingles(toks=F.col("_toks")).alias("sh"),
             F.pmod(F.xxhash64("doc_id"), F.lit(_N_DBUCKETS))
             .alias("dbucket"),
         )
